@@ -1,0 +1,88 @@
+"""Catalog layer: Parquet-backed views, the Spark analogue of the reference's
+views-only DuckDB catalog.
+
+Reference parallel: ``scripts/create_unified_db.py`` builds a 268 KB DuckDB
+file holding 159 ``CREATE VIEW x AS SELECT ... FROM read_parquet(glob)``
+definitions over ~1.3 TB of Parquet (create_unified_db.py:63-92,340-344) —
+data is never copied. Here the same contract is ``register_views``: every
+table is a temp view over ``spark.read.parquet(dir)``; derived/convenience
+views are plain ``CREATE OR REPLACE TEMPORARY VIEW`` on top. Views are lazy
+logical plans, so Catalyst pushes filters/column pruning through them into
+the Parquet scan exactly like DuckDB does through its view definitions.
+
+Scale notes: ``spark.read.parquet`` on a directory does distributed file
+listing and partition discovery; at 100 TB the views would point at
+Hive-partitioned / Delta paths and partition pruning stays free. Nothing in
+this module materializes data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Register one temp view per Parquet table under ``sf_dir``.
+
+    Mirrors create_unified_db.py:332-344's auto-discovery: only files that
+    exist are registered; missing tables are skipped silently so the same
+    bootstrap works across scale factors.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    _register_convenience_views(spark, set(out))
+    return out
+
+
+def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
+    """Filtered convenience views, as the reference defines ``recent_papers``,
+    ``us_institutions``, ``high_impact_papers`` (create_unified_db.py:281-319).
+    """
+    if "orders" in present:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW recent_orders AS
+            SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+            """
+        )
+    if "lineitem" in present:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW shipped_lineitem AS
+            SELECT * FROM lineitem WHERE l_linestatus = 'F'
+            """
+        )
+    if "documents" in present:
+        spark.sql(
+            """
+            CREATE OR REPLACE TEMPORARY VIEW documents_en AS
+            SELECT * FROM documents WHERE lang = 'en'
+            """
+        )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Direct DataFrame accessor (no view registration needed)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -1,0 +1,238 @@
+"""Core relational queries (TPC-H-shaped) over the driver testdata.
+
+These exercise the reference's bread-and-butter relational surface —
+scan → filter → multi-join → group/agg → sort/limit (SURVEY §2.1-2.7) —
+the same shapes as the 6-way unified_papers join
+(materialize_unified_papers.py:266-407) and the app.py example queries.
+
+Scale notes per query are inline. General discipline: filters before joins
+(Catalyst pushes them into the Parquet scan), dimension sides broadcast,
+aggregates partial (map-side combine is automatic for hash aggregates),
+top-k via orderBy+limit which Spark plans as TakeOrderedAndProject (no
+global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from science_datalake_spark.catalog import table
+from science_datalake_spark.queries import query
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(round(sum(l_quantity), 2) AS DOUBLE)                                 AS sum_qty,
+        CAST(round(sum(l_extendedprice), 2) AS DOUBLE)                            AS sum_base_price,
+        CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE)         AS sum_disc_price,
+        CAST(round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS DOUBLE) AS sum_charge,
+        CAST(round(avg(l_quantity), 2) AS DOUBLE)                                 AS avg_qty,
+        CAST(round(avg(l_extendedprice), 2) AS DOUBLE)                            AS avg_price,
+        CAST(round(avg(l_discount), 4) AS DOUBLE)                                 AS avg_disc,
+        count(*)                                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide scan → filtered agg (A1/A4 + P4).
+
+    Scale: single shuffle on a 2-value×2-value key; partial aggregation
+    happens map-side so the shuffle carries only per-partition partials.
+    The shipdate predicate reaches the Parquet scan (PushedFilters).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_top_unshipped_orders",
+    oracle="""
+    SELECT
+        l.l_orderkey,
+        CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue,
+        o.o_orderdate,
+        o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'HOUSEHOLD'
+      AND o.o_orderdate < TIMESTAMP '1997-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join → agg → top-k (J1/J4 + A4 + O1).
+
+    Scale: customer is the small side (1:10 vs orders, 1:40 vs lineitem) —
+    broadcast it so only orders⨝lineitem shuffles on l_orderkey. Top-10 is
+    TakeOrderedAndProject: each partition keeps 10 rows, no global sort.
+    Tie-break on l_orderkey keeps the limit deterministic.
+    """
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "HOUSEHOLD")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT
+        n.n_name,
+        CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with dim broadcast (J2/J4 multi-hop J10).
+
+    Scale: region/nation/supplier/customer are dimensions → broadcast; the
+    only shuffle is orders⨝lineitem on the order key. This is the same join
+    topology as the reference's unified_papers fan-in where retwatch/pwc
+    sides broadcast (materialize_unified_papers.py:287-407).
+    """
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "top_customers_flagged",
+    oracle="""
+    WITH revenue AS (
+        SELECT o.o_custkey,
+               CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS DOUBLE) AS total_revenue,
+               count(DISTINCT o.o_orderkey) AS n_orders
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_custkey
+    )
+    SELECT
+        c.c_custkey,
+        c.c_name,
+        n.n_name   AS nation,
+        rg.r_name  AS region,
+        rv.total_revenue,
+        rv.n_orders,
+        (ro.o_custkey IS NOT NULL) AS has_recent_order
+    FROM revenue rv
+    JOIN customer c ON c.c_custkey = rv.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region rg  ON rg.r_regionkey = n.n_regionkey
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1998-01-01') ro
+           ON ro.o_custkey = c.c_custkey
+    ORDER BY rv.total_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def top_customers_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: top-k revenue customers + dims + existence flag.
+
+    The Spark-first re-expression of the reference's flagship "top-k
+    most-cited papers with code, with retraction status" (app.py:51-63):
+    fact agg → dim broadcast joins → left-join existence flag (J3 pattern,
+    materialize_unified_papers.py:361-396) → top-k.
+
+    Scale: one shuffle for the per-customer agg; all other joins broadcast.
+    The existence flag comes from a left join against a pre-distinct'd key
+    set (exactly how the reference computes has_pwc/has_retraction).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+
+    revenue = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .withColumnRenamed("o_custkey", "recent_custkey")
+    )
+    return (
+        revenue.join(F.broadcast(c), revenue.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(recent), F.col("c_custkey") == F.col("recent_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "total_revenue",
+            "n_orders",
+            F.col("recent_custkey").isNotNull().alias("has_recent_order"),
+        )
+        .orderBy(F.desc("total_revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -1,0 +1,61 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Reference parallel: the reference tunes DuckDB per job (``SET threads=16``,
+``memory_limit='200GB'``, ``preserve_insertion_order=false`` —
+materialize_unified_papers.py:580-581, materialize_fulltext.py:74). Here the
+equivalent knobs are set once on the session and the rest is delegated to
+Catalyst + AQE, which re-plans shuffles/joins at runtime — the idiomatic
+Spark replacement for hand-budgeted thread/memory splits.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and broadcast-join demotion/promotion based on observed sizes.
+- ``spark.sql.shuffle.partitions`` is only the pre-AQE upper bound; AQE
+  coalesces down. On a real cluster this would be set ~2-3x total cores.
+- ANSI off: DuckDB's TRY_CAST-everywhere tolerance (SURVEY §1.3) maps to
+  non-ANSI casts returning NULL on failure; explicit ``try_*`` functions are
+  still used in query code so plans stay correct if ANSI is re-enabled.
+- zstd parquet to match the reference's storage format (convert_s2ag.py:37-70).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # local testing is single-node; partition counts kept moderate so tiny
+    # SF inputs don't drown in task overhead. AQE coalesces further.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "science-datalake-spark", **overrides: str) -> SparkSession:
+    """Build (or reuse) the session. ``local[N]`` via $SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    conf = dict(_DEFAULTS)
+    conf.update({k: str(v) for k, v in overrides.items()})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
