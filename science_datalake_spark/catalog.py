@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Tables the driver testdata provides (TESTDATA.md).
 TESTDATA_TABLES = (
@@ -49,7 +50,7 @@ def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = T
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     _register_convenience_views(spark, set(out))
@@ -84,5 +85,19 @@ def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Direct DataFrame accessor (no view registration needed)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Direct DataFrame accessor (no view registration needed).
+
+    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects. The schema-evolution-tolerant read (SURVEY
+    §1.3: TRY_CAST-everywhere tolerance) is: read nanos as long via the
+    legacy conf, then convert with integer division (``DIV`` — a double
+    roundtrip would lose sub-microsecond precision on epoch-nanos values).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)

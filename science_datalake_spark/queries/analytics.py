@@ -1,6 +1,954 @@
 """Operator-inventory queries (SURVEY §2.2-2.8) over the driver testdata.
 
-Filled in incrementally; each query maps 1:1 to a SURVEY §2 row.
+One query per SURVEY §2 row, each with a DuckDB oracle. The testdata lacks
+nested columns, so struct/array shapes are constructed inline (struct_pack /
+F.struct) — same operator semantics, synthetic input.
+
+Scale discipline: every query here is a declarative DataFrame plan —
+Catalyst pushes filters into scans, prunes columns, and broadcasts dims.
+Comments call out the shuffle structure where it matters.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from science_datalake_spark.catalog import table
+from science_datalake_spark.operators.windows import top1_per_key, top_k_per_key
+from science_datalake_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "proj_computed_columns",
+    oracle="""
+    SELECT doc_id,
+           'doc:' || CAST(doc_id AS VARCHAR) AS doc_uri,
+           length(text)                      AS text_len,
+           length(text) > 200                AS is_long,
+           upper(substr(lang, 1, 2))         AS lang_uc
+    FROM documents
+    WHERE n_chars >= 100
+    ORDER BY doc_id
+    """,
+)
+def proj_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: computed columns (LENGTH/concat/flags), like the reference's
+    ``LENGTH(text) AS text_length`` / ``'https://openalex.org/'||id``
+    (convert_fulltext.py:145-147, create_unified_db.py:371)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") >= 100)
+        .select(
+            "doc_id",
+            F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias("doc_uri"),
+            F.length("text").alias("text_len"),
+            (F.length("text") > 200).alias("is_long"),
+            F.upper(F.substring("lang", 1, 2)).alias("lang_uc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "proj_struct_fields",
+    oracle="""
+    SELECT (s).cname AS cust_name, (s).seg AS segment, (s).bal AS balance
+    FROM (
+        SELECT struct_pack(cname := c_name, seg := c_mktsegment, bal := c_acctbal) AS s
+        FROM customer WHERE c_custkey < 200
+    )
+    ORDER BY cust_name
+    """,
+)
+def proj_struct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: struct build + dotted-field projection, the reference's
+    ``externalids.DOI AS doi`` / ``journal.name`` pattern
+    (create_unified_db.py:81-90). Testdata is flat, so the struct is built
+    then immediately projected — Catalyst collapses this to a plain
+    projection (CollapseProject), proving struct access is free."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    nested = c.select(
+        F.struct(
+            F.col("c_name").alias("cname"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").alias("bal"),
+        ).alias("s")
+    )
+    return nested.select(
+        F.col("s.cname").alias("cust_name"),
+        F.col("s.seg").alias("segment"),
+        F.col("s.bal").alias("balance"),
+    ).orderBy("cust_name")
+
+
+@query(
+    "try_cast_tolerant",
+    oracle="""
+    SELECT
+        count(*) AS n_rows,
+        count(TRY_CAST(datestr AS DATE)) AS n_valid_dates,
+        count(TRY_CAST(numstr AS INTEGER)) AS n_valid_nums
+    FROM (
+        SELECT
+            CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+                 ELSE strftime(o_orderdate, '%Y-%m-%d') END AS datestr,
+            CASE WHEN o_orderkey % 7 = 0 THEN 'NaN?'
+                 ELSE CAST(o_orderkey AS VARCHAR) END AS numstr
+        FROM orders
+    )
+    """,
+)
+def try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: TRY_CAST tolerance — the reference wraps every OpenAlex column in
+    TRY_CAST (convert_openalex.py:155-388). Spark equivalent: try_cast /
+    null-on-failure casts (ANSI off)."""
+    o = table(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("datestr"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("NaN?"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("numstr"),
+    )
+    return mixed.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.expr("try_cast(datestr AS DATE)")).alias("n_valid_dates"),
+        F.count(F.expr("try_cast(numstr AS INT)")).alias("n_valid_nums"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT p_type, count(*) AS n, CAST(round(avg(p_retailprice), 2) AS DOUBLE) AS avg_price
+    FROM part
+    WHERE p_size BETWEEN 5 AND 30
+      AND p_name LIKE '%wi%'
+      AND p_name ILIKE '%WIDGET%'
+      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#17')
+      AND p_retailprice IS NOT NULL
+    GROUP BY p_type
+    ORDER BY p_type
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the predicate zoo — BETWEEN / LIKE / ILIKE / IN / IS NOT NULL
+    (materialize_unified_papers.py:116; create_unified_db.py:290-318).
+    All push down to the Parquet scan except ILIKE (evaluated post-scan)."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_size").between(5, 30)
+            & F.col("p_name").like("%wi%")
+            & F.col("p_name").ilike("%WIDGET%")
+            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#17")
+            & F.col("p_retailprice").isNotNull()
+        )
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@query(
+    "union_null_padded",
+    oracle="""
+    SELECT src, id, label, val FROM (
+        SELECT 'orders' AS src, o_orderkey AS id, o_orderpriority AS label,
+               o_totalprice AS val
+        FROM orders WHERE o_orderkey < 100
+        UNION ALL
+        SELECT 'supplier' AS src, s_suppkey AS id, s_name AS label,
+               CAST(NULL AS DOUBLE) AS val
+        FROM supplier
+    )
+    ORDER BY src, id
+    """,
+)
+def union_null_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 + P6: schema-aligned UNION ALL with NULL-typed padding — exactly
+    how xref.doi_map unions 7 heterogeneous sources
+    (create_unified_db.py:521-576; materialize_unified_papers.py:291-298)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    s = table(spark, sf_dir, "supplier")
+    left = o.select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("label"),
+        F.col("o_totalprice").alias("val"),
+    )
+    right = s.select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("label"),
+        F.lit(None).cast("double").alias("val"),
+    )
+    return left.unionByName(right).orderBy("src", "id")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doi_normalize",
+    oracle="""
+    SELECT doc_id, raw_doi,
+           lower(coalesce(nullif(regexp_extract(lower(raw_doi), 'doi\\.org/(.+)$', 1), ''),
+                          raw_doi)) AS doi
+    FROM (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN '10.' || CAST(1000 + doc_id AS VARCHAR) || '/j.' || source
+                   WHEN 1 THEN 'https://doi.org/10.' || CAST(1000 + doc_id AS VARCHAR) || '/x' || source
+                   WHEN 2 THEN 'HTTPS://DOI.ORG/10.' || CAST(1000 + doc_id AS VARCHAR) || '/Y' || source
+                   ELSE 'doi.org/10.' || CAST(1000 + doc_id AS VARCHAR) || '/z'
+               END AS raw_doi
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def doi_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's most important scalar logic: DOI normalization
+    (README.md:117-138; convert_fulltext.py:52-58 DOI_CLEAN_SQL). Three wild
+    formats → lowercase, prefix-stripped. Testdata has no DOIs, so variants
+    are synthesized deterministically, then cleaned by the same expression
+    the engine exposes in ``functions.clean_doi``."""
+    from science_datalake_spark.functions import clean_doi, synth_doi
+
+    d = table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", synth_doi(F.col("doc_id"), F.col("source")).alias("raw_doi"))
+    return raw.select("doc_id", "raw_doi", clean_doi(F.col("raw_doi")).alias("doi")).orderBy("doc_id")
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name)                       AS name_lc,
+           replace(c_name, 'Customer#', '')    AS name_id,
+           length(c_name)                      AS name_len,
+           c_name LIKE 'Customer#0000000%'     AS is_low_id,
+           trim(' ' || c_mktsegment || ' ')    AS seg_trimmed,
+           substr(c_name, 10, 4)               AS id_prefix
+    FROM customer
+    WHERE c_custkey < 150
+    ORDER BY c_custkey
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string class: LOWER/REPLACE/LENGTH/LIKE/TRIM/SUBSTR
+    (create_unified_db.py:531-539)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lc"),
+        F.regexp_replace("c_name", "Customer#", "").alias("name_id"),
+        F.length("c_name").alias("name_len"),
+        F.col("c_name").like("Customer#0000000%").alias("is_low_id"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
+        F.substring("c_name", 10, 4).alias("id_prefix"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "case_coalesce",
+    oracle="""
+    SELECT
+        CASE l_returnflag WHEN 'R' THEN 'returned'
+                          WHEN 'A' THEN 'accepted'
+                          ELSE 'none' END AS flag_label,
+        CASE WHEN l_quantity >= 40 THEN 'bulk'
+             WHEN l_quantity >= 10 THEN 'standard'
+             ELSE 'small' END AS qty_class,
+        coalesce(NULLIF(l_linestatus, 'F'), 'final') AS status_label,
+        count(*) AS n
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 conditionals: CASE priority ranking + COALESCE/NULLIF source
+    preference (materialize_fulltext.py:88-91;
+    materialize_unified_papers.py:348-359)."""
+    li = table(spark, sf_dir, "lineitem")
+    flag_label = (
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_returnflag") == "A", "accepted")
+        .otherwise("none")
+        .alias("flag_label")
+    )
+    qty_class = (
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("qty_class")
+    )
+    status_label = F.coalesce(F.nullif(F.col("l_linestatus"), F.lit("F")), F.lit("final")).alias(
+        "status_label"
+    )
+    return (
+        li.select(flag_label, qty_class, status_label)
+        .groupBy("flag_label", "qty_class", "status_label")
+        .agg(F.count("*").alias("n"))
+        .orderBy("flag_label", "qty_class", "status_label")
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT
+        CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+        CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        date_trunc('month', o_orderdate)    AS month_start,
+        count(*)                            AS n_orders,
+        CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monthly_total
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date class: year/month extraction + date_trunc grouping
+    (create_unified_db.py:76 TRY_CAST-to-DATE; vignette year arithmetic)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monthly_total"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON: opaque JSON string column + path extraction — the
+    reference keeps ``institutions AS JSON`` and probes with
+    json_extract_string (convert_openalex.py:403,501-509)."""
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "array_explode_pos",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
+    FROM (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words
+        FROM documents WHERE doc_id < 20
+    ), unnest(generate_series(1, least(len(words), 5))) AS t(i)
+    ORDER BY doc_id, pos
+    """,
+)
+def array_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array/table-gen + W2: UNNEST-with-position. The reference fakes
+    element position with ``row_number() OVER (ORDER BY (SELECT NULL))``
+    (create_unified_db.py:96-106) — nondeterministic; posexplode is the
+    Spark-native deterministic fix (SURVEY §7.4)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    words = d.select("doc_id", F.slice(F.split("text", r"\s+"), 1, 5).alias("words"))
+    return (
+        words.select("doc_id", F.posexplode("words").alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_expression_key",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS n_orders,
+           CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders o
+    JOIN customer c
+      ON 'Customer#' || lpad(CAST(o.o_custkey AS VARCHAR), 9, '0') = c.c_name
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def join_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: expression/theta equi-join — key computed in the predicate, like
+    ``ON 'W'||CAST(oaid AS VARCHAR) = sc.paperid`` and
+    ``ON 'https://openalex.org/'||sc.paperid = oa.id`` (SCHEMA.md:174-273).
+    Catalyst evaluates the key expression before the shuffle, so this stays
+    a hash join, not a nested loop."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    key = F.concat(F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0"))
+    return (
+        o.join(F.broadcast(c), key == c.c_name)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_anti_orphans",
+    oracle="""
+    SELECT p.p_partkey, p.p_name
+    FROM part p
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    ORDER BY p.p_partkey
+    """,
+)
+def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: orphan detection as a left-anti join — the reference writes it
+    as LEFT JOIN ... WHERE right.id IS NULL (sanity_checks cell 6); Spark's
+    explicit left_anti is the same plan without the null-filter hack."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "join_semi_active",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_active_customers
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-as-semi: existence check via left_semi (the reference's
+    ``x.col IS NOT NULL AS has_x`` flags are semi-join markers,
+    materialize_unified_papers.py:361-396)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_active_customers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "join_left_coverage_flags",
+    oracle="""
+    SELECT
+        c.c_custkey,
+        (o.o_custkey IS NOT NULL)  AS has_orders,
+        (hv.o_custkey IS NOT NULL) AS has_high_value
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+           ON o.o_custkey = c.c_custkey
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) hv
+           ON hv.o_custkey = c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def join_left_coverage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3: left-join fan-in producing coverage flags — the shape of the
+    6-way unified_papers join (materialize_unified_papers.py:287-407).
+    Right sides are pre-distinct'd so the left join can't fan out."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey").distinct().withColumnRenamed("o_custkey", "any_custkey")
+    hv_cust = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+        .withColumnRenamed("o_custkey", "hv_custkey")
+    )
+    return (
+        c.join(F.broadcast(all_cust), c.c_custkey == all_cust.any_custkey, "left")
+        .join(F.broadcast(hv_cust), c.c_custkey == hv_cust.hv_custkey, "left")
+        .select(
+            "c_custkey",
+            F.col("any_custkey").isNotNull().alias("has_orders"),
+            F.col("hv_custkey").isNotNull().alias("has_high_value"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "multi_hop_rollup",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           count(DISTINCT s.s_suppkey) AS n_suppliers,
+           count(l.l_orderkey)         AS n_lineitems,
+           CAST(round(sum(l.l_extendedprice), 2) AS DOUBLE) AS gross
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def multi_hop_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: multi-hop lookup chain region→nation→supplier→lineitem, like the
+    doi_map multi-source hop joins (SCHEMA.md:202-209). All hops broadcast —
+    zero shuffles before the final aggregation."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: COUNT(DISTINCT) (materialize_fulltext.py:148-155)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.countDistinct("o_custkey").alias("n_customers"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           count(*) AS n,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_large
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: filtered aggregates — ``COUNT(*) FILTER (WHERE ...)``
+    (materialize_fulltext.py:150-163) as count(when(...))."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "agg_stats_median",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(avg(l_extendedprice), 2) AS DOUBLE)    AS avg_price,
+           CAST(min(l_extendedprice) AS DOUBLE)              AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE)              AS max_price,
+           CAST(round(median(l_extendedprice), 2) AS DOUBLE) AS median_price,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)         AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: AVG/MIN/MAX/SUM + exact MEDIAN (vignette_1 cell 2;
+    materialize_fulltext.py:158-164). Spark's ``median`` is exact like
+    DuckDB's; at 100 TB swap to percentile_approx — same plan shape."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+           CAST(round(corr(l_discount, l_tax), 6) AS DOUBLE)           AS corr_disc_tax,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: Pearson correlation — the reference's cross-source citation-count
+    consistency check over 121M rows (sanity_checks cell 8)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_upset_flags",
+    oracle="""
+    SELECT has_orders, has_high_value, is_machinery, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey,
+               (o.o_custkey IS NOT NULL)        AS has_orders,
+               (hv.o_custkey IS NOT NULL)       AS has_high_value,
+               (c.c_mktsegment = 'MACHINERY')   AS is_machinery
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON o.o_custkey = c.c_custkey
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000) hv
+               ON hv.o_custkey = c.c_custkey
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def agg_upset_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: UpSet-style boolean-combination counts — GROUP BY all coverage
+    flags → 2^k cell counts (materialize_unified_papers.py:502-509)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey").distinct().withColumnRenamed("o_custkey", "any_custkey")
+    hv_cust = (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+        .withColumnRenamed("o_custkey", "hv_custkey")
+    )
+    return (
+        c.join(F.broadcast(all_cust), c.c_custkey == all_cust.any_custkey, "left")
+        .join(F.broadcast(hv_cust), c.c_custkey == hv_cust.hv_custkey, "left")
+        .select(
+            F.col("any_custkey").isNotNull().alias("has_orders"),
+            F.col("hv_custkey").isNotNull().alias("has_high_value"),
+            (F.col("c_mktsegment") == "MACHINERY").alias("is_machinery"),
+        )
+        .groupBy("has_orders", "has_high_value", "is_machinery")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("has_orders", "has_high_value", "is_machinery")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS lifetime_value
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    ORDER BY o_custkey
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: GROUP BY + HAVING (vignette_1 cell 8)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        )
+        .filter(F.col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_conditional_rates",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                       / count(*), 4) AS DOUBLE) AS pct_urgent,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def agg_conditional_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: conditional percentage per group — the reference's per-year
+    coverage-rate queries (vignette_1 cell 4; SCHEMA.md:1098-1101)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+    return (
+        o.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(100.0 * urgent / F.count("*"), 4).alias("pct_urgent"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("order_year")
+    )
+
+
+@query(
+    "distinct_projection",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: DISTINCT projection (materialize_unified_papers.py:114-117)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows + §2.6 sorts/limits/sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_dedup_top1",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC NULLS LAST, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def window_dedup_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — THE workhorse: top-1-per-key dedup via row_number, the
+    reference's QUALIFY pattern (materialize_unified_papers.py:146-149).
+    Tie-break on the unique o_orderkey makes it deterministic under
+    parallelism (SURVEY §7.4 golden-count note)."""
+    o = table(spark, sf_dir, "orders")
+    best = top1_per_key(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey"],
+        order=[F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey")],
+    )
+    return best.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("best_orderkey"),
+        F.col("o_totalprice").alias("best_price"),
+    ).orderBy("o_custkey")
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rank
+        FROM orders
+    )
+    WHERE rank <= 3
+    ORDER BY o_orderpriority, rank
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group generalization of W1 (kNN post-filter shape,
+    build_embedding_linkage.py:529-538)."""
+    o = table(spark, sf_dir, "orders")
+    topk = top_k_per_key(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        keys=["o_orderpriority"],
+        order=[F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+    return topk.select("o_orderpriority", "rank", "o_orderkey", "o_totalprice").orderBy(
+        "o_orderpriority", "rank"
+    )
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap, no full sort), the scalable form of ORDER BY ... LIMIT
+    (SCHEMA.md:327-329; app.py:51-63)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.desc_nulls_last("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT count(*) AS n_sampled,
+           CAST(round(avg(l_extendedprice), 2) AS DOUBLE) AS avg_price,
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)      AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey % 97 = 0
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: sampling. ``USING SAMPLE n`` (build_embedding_linkage.py:649-656)
+    is nondeterministic across engines, so the oracle-checked form is a
+    deterministic systematic sample (key mod p); ``df.sample(fraction,
+    seed)`` is the production form for spot checks at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events (batch analogue of streaming windows)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form). The same plan runs as
+    Structured Streaming with a watermark in streaming/events.py — this
+    batch twin is the oracle-checkable version (SURVEY §2.10)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_user_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(median(value), 2) AS DOUBLE) AS median_value,
+           CAST(round(max(value), 2) AS DOUBLE)    AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream profile stats (A2/A5 over the stream table)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.median("value"), 2).alias("median_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
