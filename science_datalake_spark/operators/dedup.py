@@ -1,0 +1,161 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families (BASELINE.json north star):
+- exact: hash-groupBy on a content key — one shuffle, the 100 TB workhorse
+- MinHash + LSH: shingle → per-band min-hash → band-bucket self-join; the
+  shuffle is on (band, minhash), never on pairs, so cost is O(docs·bands)
+  not O(docs²)
+- SimHash: random-hyperplane bit signature via hash parity; near-dups share
+  signatures (Hamming buckets)
+- n-gram Jaccard: exact set similarity for candidate verification — at
+  scale this runs AFTER LSH candidate generation, never on the cross
+  product
+
+All hashing is md5-based so results are engine-portable (the DuckDB oracle
+computes the identical signatures). For raw throughput at 100 TB you would
+swap md5 for xxhash64 — the plan shape is unchanged.
+
+Reference parallel: the reference dedups only by key priority
+(materialize_fulltext.py:96-120); content-based near-dup is the additive
+LLM-pipeline capability this engine provides on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_word_ngrams(df: DataFrame, text_col: str, n: int = 3, out: str = "ng") -> DataFrame:
+    """Add an ARRAY<STRING> column of word n-grams (shingles).
+
+    Pure column expressions — stays inside whole-stage codegen; no UDF.
+    """
+    df = df.withColumn("__words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    ngram_expr = F.expr(
+        f"CASE WHEN size(__words) >= {n} "
+        f"THEN transform(sequence(1, size(__words) - {n - 1}), "
+        f"             i -> concat_ws(' ', slice(__words, i, {n}))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return df.withColumn(out, ngram_expr).drop("__words")
+
+
+def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
+    """Exact dedup by content key: mark each row with its group's canonical
+    (minimum) id. One shuffle on the key; at 100 TB this is a plain
+    hash-partitioned window, and the null/empty-key rows should be filtered
+    first exactly like DOI dedup (SURVEY §7.4)."""
+    w = Window.partitionBy("__key")
+    return (
+        df.withColumn("__key", key)
+        .withColumn("canonical_id", F.min(F.col(id_col)).over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("canonical_id"))
+        .drop("__key")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature: num_hashes salted-md5 minima over
+    word n-grams. Documents with fewer than n words drop out (no shingles).
+
+    Scale: explode is linear in corpus token count; the groupBy(id) agg is
+    one shuffle with map-side partial min — no pairwise work.
+    """
+    ng = (
+        with_word_ngrams(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode("ng").alias("__ng"))
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("__ng")))).alias(f"mh{b}")
+        for b in range(num_hashes)
+    ]
+    return ng.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+    """LSH banding (1 row per band): docs sharing any band's min-hash become
+    a candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Scale: the self-join key is (band, minhash) — bucket sizes stay small
+    for non-degenerate corpora, so the join output is near-linear. A
+    skew-guard (drop buckets above a size cap) slots in here if a corpus
+    has degenerate shingles; AQE skew-join handles moderate cases.
+    """
+    stack_args = ", ".join(f"'{b}', mh{b}" for b in range(num_hashes))
+    bands = signatures.select(
+        F.col(id_col), F.expr(f"stack({num_hashes}, {stack_args}) AS (band, mh)")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature via hash-parity random hyperplanes: bit b is the
+    sign of the sum over tokens of ±1, where the sign of each token's
+    contribution is the parity of md5(b || token). Near-identical token
+    multisets get identical signatures; Hamming-close docs are near-dups.
+
+    Scale: one explode + one groupBy(id) with 2·bits tiny aggregates —
+    identical shuffle profile to minhash_signatures.
+    """
+    tokens = df.select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"))
+    contribs = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{b}|"), F.col("__tok"))), 1, 1).isin(
+                    *"01234567"
+                ),
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = tokens.groupBy(id_col).agg(*contribs)
+    bit_chars = [F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(bits)]
+    return summed.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing ≥1 shingle.
+
+    Returns (id_a, id_b, inter, size_a, size_b, jaccard). Intended for
+    candidate VERIFICATION: at scale, feed it the LSH candidate subset, not
+    a whole corpus — the shared-shingle join is quadratic in bucket size.
+    """
+    shingles = (
+        with_word_ngrams(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode("ng").alias("__ng"))
+        .distinct()
+    )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__ng") == F.col("b.__ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
+        )
+    )

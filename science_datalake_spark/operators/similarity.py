@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two tiers (BASELINE.json north star):
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — exact, linear in corpus size, the correctness baseline. This is
+  the same plan as the reference's FAISS IndexFlatIP linkage
+  (build_embedding_linkage.py:246-273) re-expressed as a broadcast join.
+- sign-LSH bucketed ANN: hyperplane-sign bucket key → co-partitioned join
+  on the bucket — the scale path: each query only scans its bucket.
+
+All vector math is native Spark SQL higher-order functions (zip_with +
+aggregate) over DOUBLE — JVM-side, no Python. For very hot paths a
+pandas_udf with numpy matmul is the alternative; at 64-dim the native
+expressions are already cheap and keep the whole plan in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from science_datalake_spark.operators.windows import top_k_per_key
+
+
+def as_double_vec(col: str | Column) -> Column:
+    """Cast ARRAY<FLOAT> → ARRAY<DOUBLE> for stable, engine-portable math."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos = dot(a,b) / sqrt(dot(a,a) * dot(b,b)) — written exactly in this
+    form so the DuckDB oracle (same formula) matches bit-for-bit pre-round."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries × corpus.
+
+    Scale: queries broadcast (small side), corpus streams — no shuffle of
+    the corpus at all; the per-query top-k is a window over (query_id),
+    which shuffles only (query, candidate, sim) triples, k-prunable by AQE.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("__cv"))
+    pairs = c.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+    )
+    return top_k_per_key(
+        scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
+    )
+
+
+def sign_bucket(vec: Column, dims: int = 6) -> Column:
+    """Hyperplane-sign LSH bucket key: the sign pattern of the first
+    ``dims`` coordinates (axis-aligned hyperplanes — deterministic and
+    engine-portable; random hyperplanes would be a broadcast matrix)."""
+    chars = [
+        F.when(F.element_at(vec, i) > 0, "1").otherwise("0") for i in range(1, dims + 1)
+    ]
+    return F.concat(*chars)
+
+
+def bucketed_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    dims: int = 6,
+) -> DataFrame:
+    """ANN: join query and corpus on the sign-LSH bucket, rank within
+    bucket. Recall < 1 by design; cost drops from O(|Q|·|C|) to
+    O(Σ bucket²) — the standard IVF-style trade."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("__qv"),
+    ).withColumn("__bucket", sign_bucket(F.col("__qv"), dims))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        as_double_vec(vec_col).alias("__cv"),
+    ).withColumn("__bucket", sign_bucket(F.col("__cv"), dims))
+    pairs = c.join(F.broadcast(q), "__bucket").filter(F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+    )
+    return top_k_per_key(scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k)

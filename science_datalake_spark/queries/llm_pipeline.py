@@ -1,7 +1,474 @@
 """LLM-training-data pipeline queries: dedup, similarity search, text
 analysis over the ``documents`` and ``embeddings`` tables.
 
-Filled in incrementally; see BASELINE.json north star.
+These are the additive capabilities beyond the reference's surface
+(BASELINE.json north star). Every query has a DuckDB oracle computing the
+IDENTICAL md5-salted signatures / vector math, so correctness is
+hash-checked, not eyeballed. Repetitive oracle SQL (per-band mins, per-bit
+sums) is generated programmatically.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from science_datalake_spark.catalog import table
+from science_datalake_spark.operators import dedup as D
+from science_datalake_spark.operators import similarity as S
+from science_datalake_spark.operators import textops as T
+from science_datalake_spark.queries import query
+
+_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_NUM_HASHES = 8
+_SIMHASH_BITS = 16
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g')) AS key
+        FROM documents
+    )
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY key) AS canonical_id,
+           count(*)    OVER (PARTITION BY key) AS group_size,
+           doc_id != min(doc_id) OVER (PARTITION BY key) AS is_dup
+    FROM keyed
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of normalized 200-char
+    prefix): hash-groupBy, one shuffle. The 100 TB first-pass dedup."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = D.exact_dedup(d, "doc_id", T.fingerprint(F.col("text")))
+    return out.select("doc_id", "canonical_id", "group_size", "is_dup").orderBy("doc_id")
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(md5('{b}:' || ng)) AS mh{b}" for b in range(_NUM_HASHES)
+    )
+    bands = "\n        UNION ALL ".join(
+        f"SELECT doc_id, '{b}' AS band, mh{b} AS mh FROM sig" for b in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    ng AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS ng
+        FROM w WHERE len(words) >= 3
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM ng GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: word-trigram shingles → 8 salted-md5
+    min-hashes (1 band each) → band-bucket self-join. Shuffles scale with
+    docs·bands, never with pairs."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES)
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    hexes = "'0','1','2','3','4','5','6','7'"
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN substr(md5('{b}|' || tok), 1, 1) IN ({hexes}) THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash
+    FROM sums
+    ORDER BY doc_id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit signatures via hash-parity hyperplanes — near-dup docs
+    collide or land Hamming-close. Same shuffle profile as minhash."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    w AS (SELECT doc_id, {_WORDS} AS words FROM sub),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS ng
+        FROM w WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ng a JOIN ng b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           CAST(sa.sz AS BIGINT) AS size_a,
+           CAST(sb.sz AS BIGINT) AS size_b,
+           CAST(round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY jaccard DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard over a source-restricted shard (the
+    verification stage that follows LSH candidate generation at scale),
+    top-20 most similar pairs."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select("doc_id", "text")
+    )
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", n=3)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.col("size_a").cast("long").alias("size_a"),
+            F.col("size_b").cast("long").alias("size_b"),
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)), 4)"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, cand_id, CAST({_COS} AS DOUBLE) AS sim
+        FROM q CROSS JOIN c
+        WHERE query_id != cand_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, sim, rank FROM ranked
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query set — the exact ANN baseline.
+    Queries broadcast; corpus streams with zero shuffle (the reference's
+    FAISS IndexFlatIP re-expressed, build_embedding_linkage.py:246-273)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    out = S.cosine_topk(e, q, "vec_id", "embedding", k=10)
+    return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
+
+
+@query(
+    "sim_knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+    scored AS (
+        SELECT query_id, cand_id, label, CAST({_COS} AS DOUBLE) AS sim
+        FROM q CROSS JOIN c
+        WHERE query_id != cand_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, cand_id) AS rn
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, label, count(*) AS votes
+        FROM ranked WHERE rn <= 5
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT query_id, label AS predicted_label, votes,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY votes DESC, label) AS rn
+        FROM votes
+    )
+    SELECT b.query_id, e.label AS true_label, b.predicted_label, b.votes
+    FROM best b JOIN embeddings e ON e.vec_id = b.query_id
+    WHERE b.rn = 1
+    ORDER BY b.query_id
+    """,
+)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-classification by majority vote of the 5 nearest neighbors —
+    the similarity-search quality check (labels exist in the fixture)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    top5 = S.cosine_topk(e, q, "vec_id", "embedding", k=5)
+    labels = e.select(F.col("vec_id").alias("cand_id"), "label")
+    votes = (
+        top5.join(F.broadcast(labels), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    from science_datalake_spark.operators.windows import top1_per_key
+
+    best = top1_per_key(votes, keys=["query_id"], order=[F.desc("votes"), F.asc("label")])
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return (
+        best.withColumnRenamed("label", "predicted_label")
+        .join(F.broadcast(truth), "query_id")
+        .select("query_id", "true_label", "predicted_label", "votes")
+        .orderBy("query_id")
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    return " || ".join(
+        f"(CASE WHEN {col}[{i}] > 0 THEN '1' ELSE '0' END)" for i in range(1, 7)
+    )
+
+
+@query(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+    SELECT {_bucket_sql('embedding')} AS bucket,
+           count(*) AS n_vecs,
+           count(DISTINCT label) AS n_labels
+    FROM embeddings
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram — the partition-health check for bucketed
+    ANN (bucket skew here = task skew at scale)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select(S.sign_bucket(S.as_double_vec("embedding"), 6).alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"), F.countDistinct("label").alias("n_labels"))
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "sim_ann_bucketed",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 20),
+    pairs AS (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               CAST(round(list_dot_product(qv, c.v) /
+                    sqrt(list_dot_product(qv, qv) * list_dot_product(c.v, c.v)), 4) AS DOUBLE) AS sim
+        FROM q JOIN e c USING (bucket)
+        WHERE c.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM pairs
+    )
+    SELECT query_id, cand_id, sim, rank FROM ranked
+    WHERE rank <= 3
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: candidates restricted to the query's sign-LSH bucket —
+    the IVF-style scale path (cost O(Σ bucket²) instead of |Q|·|C|)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    out = S.bucketed_ann_topk(e, q, "vec_id", "embedding", k=3, dims=6)
+    return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(round(avg(len({_WORDS})), 2) AS DOUBLE) AS avg_tokens,
+           CAST(max(len({_WORDS})) AS INTEGER) AS max_tokens,
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source (whitespace tokenizer) — corpus budgeting."""
+    d = table(spark, sf_dir, "documents")
+    nt = T.token_count(F.col("text"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(nt), 2).alias("avg_tokens"),
+            F.max(nt).alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(list_sum(list_transform({_WORDS},
+                w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))) AS BIGINT) AS est_bpe_tokens,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS word_tokens
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimation (≈4 chars/piece) — LLM context budgeting
+    without a tokenizer dependency; pure codegen arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(T.bpe_ish_token_count(F.col("text"))).cast("long").alias("est_bpe_tokens"),
+            F.sum(T.token_count(F.col("text"))).cast("long").alias("word_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_WORDS}) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alpha,
+               CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
+                   / greatest(len({_WORDS}), 1) AS stop
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(round(alpha, 4) AS DOUBLE) AS alpha_ratio,
+           CAST(round(stop, 4) AS DOUBLE) AS stop_ratio,
+           CAST(round(0.4 * alpha + 0.3 * stop * 5.0 +
+                      0.3 * least(n_tokens / 30.0, 1.0), 4) AS DOUBLE) AS quality
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: alpha ratio, stopword density, length
+    term — the reference's is_readable_text generalized to a score
+    (convert_openalex.py:120-136)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.round(T.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_langid_agreement",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
+                         / greatest(len({_WORDS}), 1) >= 0.10
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n,
+           CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (function-word density) vs the labeled lang
+    column — the langdetect-UDF replacement (convert_fulltext.py:78-87)."""
+    d = table(spark, sf_dir, "documents")
+    pred = T.predict_lang(F.col("text"), threshold=0.10)
+    return (
+        d.select("lang", pred.alias("predicted"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("predicted") == "en", 1).otherwise(0)).cast("long").alias("n_pred_en"),
+        )
+        .orderBy("lang")
+    )
