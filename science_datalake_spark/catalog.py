@@ -84,8 +84,15 @@ def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
         )
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Direct DataFrame accessor (no view registration needed).
+
+    The logical plan (not the data) is memoized per (session, dir, table):
+    repeated queries skip file listing / footer reads — the same role the
+    reference's persistent view catalog plays (create_unified_db.py:63-92).
 
     ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
     vectorized reader rejects. The schema-evolution-tolerant read (SURVEY
@@ -93,11 +100,17 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     legacy conf, then convert with integer division (``DIV`` — a double
     roundtrip would lose sub-microsecond precision on epoch-nanos values).
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df

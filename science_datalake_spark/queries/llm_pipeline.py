@@ -96,14 +96,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_oracle() -> str:
     hexes = "'0','1','2','3','4','5','6','7'"
     sums = ",\n               ".join(
-        f"sum(CASE WHEN substr(md5('{b}|' || tok), 1, 1) IN ({hexes}) THEN 1 ELSE -1 END) AS s{b}"
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ({hexes}) THEN 1 ELSE -1 END) AS s{b}"
         for b in range(_SIMHASH_BITS)
     )
     bits = " || ".join(
         f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS)
     )
     return f"""
-    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    WITH toks AS (SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents),
     sums AS (
         SELECT doc_id,
                {sums}
