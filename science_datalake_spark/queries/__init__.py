@@ -38,6 +38,7 @@ def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Import all query modules and return the merged registries."""
     from science_datalake_spark.queries import (  # noqa: F401
         analytics,
+        linkage_q,
         llm_pipeline,
         tpch,
     )

@@ -1,0 +1,53 @@
+"""JSON/NDJSON readers — the Spark re-expression of the reference's DuckDB
+read_json calls (SURVEY §2.1 S3/S4, §1.3 schema system).
+
+- declared-schema read ≈ ``read_json(files, columns={...})``
+  (convert_fulltext.py:290-304): explicit StructType, corrupt rows land in
+  ``_corrupt_record`` instead of failing the job.
+- inferred read ≈ ``read_json_auto(ignore_errors=true, union_by_name=true)``
+  (convert_openalex.py:798-809): PERMISSIVE mode + Spark's schema union
+  across files.
+- merged parquet read ≈ ``read_parquet(glob, union_by_name=true)``
+  (convert_openalex.py:1456-1464): mergeSchema for heterogeneous shards.
+
+Scale: Spark's JSON source splits gzip members per file and distributes
+file lists across executors — the reference's ProcessPoolExecutor per-file
+fan-out (convert_openalex.py:747-751) disappears into the task scheduler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_ndjson(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """NDJSON(.gz) → DataFrame. With ``schema``: declared-columns read;
+    without: permissive inference with cross-file union."""
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", str(multiline).lower())
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(paths)
+
+
+def read_parquet_merged(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Parquet with schema union across heterogeneous shards."""
+    return spark.read.option("mergeSchema", "true").parquet(
+        *(path if isinstance(path, list) else [path])
+    )
+
+
+def inline_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Inline VALUES table (S11) — the reference's
+    ``FROM (VALUES ...) AS t(cols)`` for source_temporal_coverage
+    (create_unified_db.py:627-640)."""
+    return spark.createDataFrame(rows, schema)

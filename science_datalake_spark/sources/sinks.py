@@ -1,0 +1,92 @@
+"""Parquet sinks with verification, and shard compaction (SURVEY §2.1
+S12-S14).
+
+Reference parallels:
+- tuned writes: ``COPY ... (FORMAT PARQUET, COMPRESSION zstd,
+  COMPRESSION_LEVEL 3, ROW_GROUP_SIZE n)`` with per-table-shape row groups
+  (10K fat text rows ... 500K narrow edges, convert_s2ag.py:37-70)
+- count verification after every COPY (convert_openalex.py:819-821)
+- compaction with count-verify + atomic tmp-rename + crash recovery
+  (convert_openalex.py:1422-1511)
+
+Spark-first notes: multi-part output (one file per task) IS the scalable
+default — the reference's PER_THREAD_OUTPUT (S13). ``single_file=True``
+coalesces to 1 task, only for small dims. Atomicity: Spark's commit
+protocol stages to ``_temporary`` and renames on job commit, so the
+reference's hand-rolled tmp-dance is only needed for the REPLACE step of
+compaction, where we keep it (write-new → verify → swap).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Row-group byte targets per table shape (parquet.block.size).
+ROW_GROUP_FAT_TEXT = 8 * 1024 * 1024
+ROW_GROUP_DEFAULT = 128 * 1024 * 1024
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "zstd",
+    row_group_bytes: int = ROW_GROUP_DEFAULT,
+    single_file: bool = False,
+    verify: bool = True,
+) -> int:
+    """Write + optional count verification. Returns the verified row count
+    (recount from the written files, like the reference's post-COPY check)."""
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .option("parquet.block.size", str(row_group_bytes))
+        .parquet(path)
+    )
+    if not verify:
+        return -1
+    written = df.sparkSession.read.parquet(path).count()
+    expected = df.count()
+    if written != expected:
+        raise RuntimeError(f"write verification failed: {written} != {expected}")
+    return written
+
+
+def compact(
+    spark: SparkSession,
+    shard_dir: str,
+    target_files: int = 1,
+    compression: str = "zstd",
+) -> int:
+    """Merge a shard directory in place: count → write compacted copy →
+    verify count → atomic swap; orphaned tmp dirs from a crash are removed
+    first (the reference's recovery path, convert_openalex.py:1537-1552).
+    Refuses to swap on count mismatch."""
+    parent = os.path.dirname(shard_dir.rstrip("/"))
+    base = os.path.basename(shard_dir.rstrip("/"))
+    for stale in os.listdir(parent or "."):
+        if stale.startswith(f".{base}.compact-"):
+            shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
+
+    src = spark.read.parquet(shard_dir)
+    expected = src.count()
+    tmp = os.path.join(parent, f".{base}.compact-{uuid.uuid4().hex[:8]}")
+    (
+        src.repartition(target_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    actual = spark.read.parquet(tmp).count()
+    if actual != expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compaction verification failed: {actual} != {expected}")
+    backup = os.path.join(parent, f".{base}.old-{uuid.uuid4().hex[:8]}")
+    os.rename(shard_dir, backup)
+    os.rename(tmp, shard_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+    return actual

@@ -1,0 +1,112 @@
+"""Ingest layer tests: NDJSON reads, sinks with verification, compaction,
+incremental checkpointing."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from science_datalake_spark.sources.incremental import IncrementalJsonIngest
+from science_datalake_spark.sources.json_source import inline_table, read_ndjson
+from science_datalake_spark.sources.sinks import compact, write_parquet
+
+
+def _write_ndjson(path, records, gz=False):
+    opener = gzip.open if gz else open
+    with opener(path, "wt") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_ndjson_inferred_and_declared(spark, tmp_path):
+    p = str(tmp_path / "a.json.gz")
+    _write_ndjson(p, [{"id": 1, "t": "x"}, {"id": 2, "t": "y", "extra": True}], gz=True)
+    inferred = read_ndjson(spark, p)
+    assert inferred.count() == 2 and "extra" in inferred.columns
+    declared = read_ndjson(spark, p, schema="id LONG, t STRING")
+    assert declared.select("id", "t").count() == 2
+
+
+def test_ndjson_permissive_corrupt(spark, tmp_path):
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1}\nNOT JSON AT ALL\n{"id": 3}\n')
+    df = read_ndjson(spark, p, schema="id LONG, _corrupt_record STRING")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+
+
+def test_inline_table(spark):
+    df = inline_table(spark, [("s2ag", 2019), ("openalex", 2024)], "source STRING, until INT")
+    assert df.count() == 2
+
+
+def test_write_verify_and_compact(spark, tmp_path):
+    out = str(tmp_path / "t.parquet")
+    df = spark.range(1000).withColumn("k", F.col("id") % 7)
+    n = write_parquet(df.repartition(8), out)
+    assert n == 1000
+    n_files = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_files >= 2
+    assert compact(spark, out, target_files=1) == 1000
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 1
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_incremental_ingest_checkpoint(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_ndjson(str(src / "f1.jsonl"), [{"id": i} for i in range(5)])
+    _write_ndjson(str(src / "f2.jsonl"), [{"id": i} for i in range(3)])
+    ing = IncrementalJsonIngest(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt.json"),
+        schema="id LONG",
+    )
+    r1 = ing.run()
+    assert sorted(r1.converted) == ["f1.jsonl", "f2.jsonl"] and r1.rows_written == 8
+    # unchanged → everything skipped
+    r2 = ing.run()
+    assert r2.converted == [] and sorted(r2.skipped) == ["f1.jsonl", "f2.jsonl"]
+    # new + modified file → only those convert
+    _write_ndjson(str(src / "f3.jsonl"), [{"id": 100}])
+    _write_ndjson(str(src / "f1.jsonl"), [{"id": i} for i in range(6)])
+    r3 = ing.run()
+    assert sorted(r3.converted) == ["f1.jsonl", "f3.jsonl"]
+    assert ing.read_all().count() == 6 + 3 + 1
+
+
+@pytest.mark.parametrize(
+    "sql,ok",
+    [
+        ("SELECT * FROM region", True),
+        ("WITH x AS (SELECT 1 AS a) SELECT * FROM x", True),
+        ("DROP TABLE region", False),
+        ("SELECT * FROM region; DELETE FROM region", False),
+        ("INSERT INTO region VALUES (9, 'X')", False),
+        ("vacuum", False),
+    ],
+)
+def test_sql_guard(sql, ok):
+    from science_datalake_spark.cli import UnsafeSQLError, guard_sql
+
+    if ok:
+        guarded = guard_sql(sql)
+        assert guarded.lower().startswith(("select", "with"))
+        assert "limit" in guarded.lower()
+    else:
+        with pytest.raises(UnsafeSQLError):
+            guard_sql(sql)
+
+
+def test_sql_guard_preserves_existing_limit():
+    from science_datalake_spark.cli import guard_sql
+
+    assert guard_sql("SELECT * FROM region LIMIT 3").lower().count("limit") == 1

@@ -1,0 +1,104 @@
+"""Unification + fulltext + sanity-suite tests on FIXTURES.md-shaped data.
+
+Golden counts are fixed functions of the fixture seed — recorded once,
+asserted forever (the reference's check #10 discipline)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from science_datalake_spark import sanity
+from science_datalake_spark.fulltext import fulltext_stats, unify_fulltext
+from science_datalake_spark.functions import inverted_index_to_text
+from science_datalake_spark.unify import build_unified_papers, coverage_upset
+from tests import fixtures
+
+
+@pytest.fixture(scope="module")
+def unified(spark):
+    return build_unified_papers(
+        oa=fixtures.works_b(spark),
+        s2=fixtures.papers_a(spark),
+        sci=fixtures.metrics_c(spark),
+        retractions=fixtures.retractions(spark),
+        code_links=fixtures.code_links(spark),
+    ).cache()
+
+
+def test_unified_sanity_suite(unified):
+    results = sanity.run_core(unified)
+    results.append(sanity.check_known_entity(unified, fixtures.WAKEFIELD_DOI))
+    for r in results:
+        print(r)
+    assert all(r.passed for r in results), [str(r) for r in results if not r.passed]
+
+
+def test_unified_golden_counts(unified):
+    # distinct clean DOIs across the three sources (fixed by seed)
+    n = unified.count()
+    assert n == unified.select("doi").distinct().count()
+    # spine must cover every source's cleaned DOI set exactly
+    flags = unified.agg(
+        F.sum(F.col("has_openalex").cast("int")).alias("oa"),
+        F.sum(F.col("has_s2ag").cast("int")).alias("s2"),
+        F.sum(F.col("has_sciscinet").cast("int")).alias("sci"),
+        F.sum(F.col("has_pwc").cast("int")).alias("pwc"),
+        F.sum(F.col("has_retraction").cast("int")).alias("rw"),
+    ).first()
+    # golden values recorded from the seeded fixtures
+    assert flags["oa"] == 221, flags
+    assert flags["s2"] == 198, flags
+    assert flags["sci"] == 181, flags
+    assert flags["pwc"] == 12, flags
+    assert flags["rw"] == 1, flags
+
+
+def test_coverage_upset_cells(unified):
+    cells = coverage_upset(unified)
+    total = cells.agg(F.sum("n")).first()[0]
+    assert total == unified.count()
+
+
+def test_dedup_tie_break_deterministic(spark):
+    """Duplicate DOIs with equal citation counts must resolve identically
+    across runs (unique-id tie-break)."""
+    a = build_unified_papers(
+        oa=fixtures.works_b(spark), s2=fixtures.papers_a(spark), sci=fixtures.metrics_c(spark)
+    )
+    b = build_unified_papers(
+        oa=fixtures.works_b(spark), s2=fixtures.papers_a(spark), sci=fixtures.metrics_c(spark)
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_fulltext_priority_dedup(spark):
+    src = fixtures.fulltext_src(spark)
+    out = unify_fulltext(src).cache()
+    # exactly one row per clean DOI
+    assert out.count() == out.select("doi").distinct().count() == 60
+    # no junk/prefixed DOI survives
+    assert out.filter(F.col("doi").like("%doi.org%")).count() == 0
+    # priority: every DOI present in pmc must resolve to pmc
+    pmc_dois = (
+        unify_fulltext(src.filter(F.col("source") == "pmc")).select("doi").distinct()
+    )
+    winners = out.join(pmc_dois, "doi").select("source").distinct().collect()
+    assert [r["source"] for r in winners] == ["pmc"]
+    stats = fulltext_stats(out)
+    assert stats.count() > 0
+
+
+def test_inverted_index_reconstruction(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"the": [0, 3], "study": [1], "of": [2], "things": [4]}',),
+            ('{"solo": [0]}',),
+            (None,),
+        ],
+        "inv STRING",
+    )
+    out = df.select(inverted_index_to_text(F.col("inv")).alias("t")).collect()
+    assert out[0]["t"] == "the study of the things"
+    assert out[1]["t"] == "solo"
+    assert out[2]["t"] is None
