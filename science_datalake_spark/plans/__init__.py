@@ -1,0 +1,74 @@
+"""Physical-plan inspection: assert the plan you designed is the plan you
+got (SURVEY §4 — the reference delegates to DuckDB's optimizer; here we
+delegate to Catalyst but VERIFY the outcome).
+
+Used by tests/test_plans.py to pin the scale-critical properties:
+- filters reach the Parquet scan (PushedFilters)
+- scans read only projected columns (ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin), fact joins sort-merge
+- hot expressions stay inside WholeStageCodegen
+- top-k plans as TakeOrderedAndProject (no global sort)
+
+A regression in any of these is invisible at sf0.01 and fatal at 100 TB —
+this module makes it a test failure instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The formatted physical plan as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if every fragment appears in some PushedFilters list."""
+    plan = physical_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    return all(f in pushed for f in fragments)
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """Union of columns the Parquet scans actually read (ReadSchema)."""
+    plan = physical_plan(df)
+    cols: list[str] = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(c.split(":")[0].strip() for c in m.split(",") if c.strip())
+    return cols
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (broadcast exchanges not
+    counted — those are the cheap kind)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in physical_plan(df)
+
+
+def is_take_ordered(df: DataFrame) -> bool:
+    """Global top-k planned as TakeOrderedAndProject (per-partition heap)."""
+    return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """WholeStageCodegen subtree count. NOTE: AQE defers codegen to
+    execution time — build ``df`` with ``spark.sql.adaptive.enabled=false``
+    (see tests/test_plans.py) or this reports 0."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
+    return int(m.group(1)) if m else 0

@@ -927,6 +927,60 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding_window",
+    oracle="""
+    SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800 * i) AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events, unnest([0, 1]) AS t(i)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length / 30min slide) in batch: every event
+    lands in exactly 2 overlapping windows. Spark's window() expands rows
+    natively; the oracle reconstructs the same epoch-aligned starts. The
+    streaming twin is streaming/events.sliding_user_activity."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           count(*) AS n,
+           CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year → status → grand total). The reference
+    computes its coverage lattice directly (A7); rollup is the OLAP-native
+    generalization Spark and DuckDB both support."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.asc_nulls_first("order_year"), F.asc_nulls_first("o_orderstatus"))
+    )
+
+
+@query(
     "events_user_stats",
     oracle="""
     SELECT event_type,

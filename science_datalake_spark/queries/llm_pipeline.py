@@ -277,6 +277,40 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 100),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(list_dot_product(a.v, b.v) /
+                    sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4) AS DOUBLE)
+                   AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim FROM pairs
+    ORDER BY sim DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: top-20 most-similar vector pairs in a
+    bounded id range. At scale, the pair space comes from sign-LSH buckets
+    (sim_ann_bucketed) instead of the triangular self-join used here."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), S.as_double_vec("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), S.as_double_vec("embedding").alias("__vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(S.cosine(F.col("__va"), F.col("__vb")), 4).alias("sim")
+        )
+        .orderBy(F.desc("sim"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
 def _bucket_sql(col: str) -> str:
     return " || ".join(
         f"(CASE WHEN {col}[{i}] > 0 THEN '1' ELSE '0' END)" for i in range(1, 7)

@@ -22,8 +22,10 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: Row-group byte targets per table shape (parquet.block.size).
 ROW_GROUP_FAT_TEXT = 8 * 1024 * 1024
@@ -54,6 +56,36 @@ def write_parquet(
     if written != expected:
         raise RuntimeError(f"write verification failed: {written} != {expected}")
     return written
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    cluster_cols: Sequence[str] = (),
+    compression: str = "zstd",
+) -> None:
+    """Hive-partitioned write with optional within-partition clustering.
+
+    - ``partition_cols`` → directory partitioning: partition pruning makes
+      selective reads skip entire directories (the reference's OpenAlex
+      snapshot is date-partitioned the same way, convert_openalex.py:607-613).
+    - ``cluster_cols`` → range-repartition + sortWithinPartitions before
+      write: parquet row-group min/max stats then skip row groups on
+      point/range lookups — the Z-ORDER/`CREATE INDEX idx_doi` analogue
+      (create_unified_db.py:579-583) without an index structure.
+    """
+    out = df
+    if cluster_cols:
+        out = df.repartitionByRange(*[F.col(c) for c in cluster_cols]).sortWithinPartitions(
+            *cluster_cols
+        )
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
 
 
 def compact(

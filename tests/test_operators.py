@@ -1,0 +1,90 @@
+"""Operator-level tests: skew-salted aggregation, partitioned/clustered
+writes with pruning, windows, fuzzy-join guard behavior."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from science_datalake_spark import plans
+from science_datalake_spark.catalog import table
+from science_datalake_spark.operators.linkage import fuzzy_label_join, xref_bridge_join
+from science_datalake_spark.operators.skew import salted_aggregate
+from science_datalake_spark.operators.windows import top1_per_key
+from science_datalake_spark.sources.sinks import write_parquet_partitioned
+
+
+def test_salted_aggregate_matches_plain(spark, sf_oracle):
+    li = table(spark, sf_oracle, "lineitem")
+    plain = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("sum_l_quantity"),
+            F.min("l_extendedprice").alias("min_l_extendedprice"),
+            F.max("l_extendedprice").alias("max_l_extendedprice"),
+        )
+    )
+    salted = salted_aggregate(
+        li,
+        keys=["l_returnflag"],
+        sums=["l_quantity"],
+        mins=["l_extendedprice"],
+        maxs=["l_extendedprice"],
+        salt_buckets=8,
+    )
+    p = {r["l_returnflag"]: r.asDict() for r in plain.collect()}
+    s = {r["l_returnflag"]: r.asDict() for r in salted.collect()}
+    assert p.keys() == s.keys()
+    for k in p:
+        assert p[k]["n"] == s[k]["n"]
+        assert abs(p[k]["sum_l_quantity"] - s[k]["sum_l_quantity"]) < 1e-6
+        assert p[k]["min_l_extendedprice"] == s[k]["min_l_extendedprice"]
+        assert p[k]["max_l_extendedprice"] == s[k]["max_l_extendedprice"]
+
+
+def test_partitioned_write_prunes(spark, sf_oracle, tmp_path):
+    o = table(spark, sf_oracle, "orders").withColumn("order_year", F.year("o_orderdate"))
+    out = str(tmp_path / "orders_by_year")
+    write_parquet_partitioned(o, out, ["order_year"], cluster_cols=["o_custkey"])
+    years = [d for d in os.listdir(out) if d.startswith("order_year=")]
+    assert len(years) >= 3
+    read = spark.read.parquet(out).filter(F.col("order_year") == 1997)
+    plan = plans.physical_plan(read)
+    assert "PartitionFilters: [isnotnull(order_year" in plan, plan
+    assert read.count() == o.filter(F.col("order_year") == 1997).count()
+
+
+def test_fuzzy_join_guard_degrades_to_exact(spark):
+    left = spark.createDataFrame([("alpha",), ("beta",)], "name STRING")
+    right = spark.createDataFrame(
+        [("alpha",), ("ALPHA",), ("alphaa",), ("gamma",)], "label STRING"
+    )
+    fuzzy = fuzzy_label_join(left, right, "name", "label", threshold=0.9)
+    assert fuzzy.count() == 3  # alpha≈alpha, ALPHA, alphaa
+    guarded = fuzzy_label_join(left, right, "name", "label", threshold=0.9, max_right_rows=2)
+    got = guarded.select("name", "label", "similarity").collect()
+    assert all(r["similarity"] == 1.0 for r in got)  # exact fallback
+    assert {(r["name"], r["label"]) for r in got} == {("alpha", "alpha"), ("alpha", "ALPHA")}
+
+
+def test_xref_bridge_normalizes_aliases(spark):
+    xa = spark.createDataFrame(
+        [("a1", "UMLS_CUI", "C001"), ("a2", "MSH", "D01"), ("a3", "FOO", "X")],
+        "term_id STRING, xref_db STRING, xref_id STRING",
+    )
+    xb = spark.createDataFrame(
+        [("b1", "UMLS", "C001"), ("b2", "MESH", "D01"), ("b3", "BAR", "X")],
+        "term_id STRING, xref_db STRING, xref_id STRING",
+    )
+    bridged = xref_bridge_join(xa, xb).collect()
+    assert {(r["term_a"], r["term_b"]) for r in bridged} == {("a1", "b1"), ("a2", "b2")}
+
+
+def test_top1_deterministic_on_ties(spark):
+    df = spark.createDataFrame(
+        [("k", 10, "b"), ("k", 10, "a"), ("k", 5, "z")], "key STRING, score INT, id STRING"
+    )
+    best = top1_per_key(df, ["key"], [F.desc("score"), F.asc("id")]).collect()
+    assert len(best) == 1 and best[0]["id"] == "a"

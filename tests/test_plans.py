@@ -1,0 +1,83 @@
+"""Plan-quality pins: the scale-critical physical-plan properties of the
+headline queries must not regress (pushdown, pruning, broadcast, top-k)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from science_datalake_spark import plans
+from science_datalake_spark.catalog import table
+from science_datalake_spark.queries import load_all
+
+QUERIES, _ = load_all()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def no_aqe_plan_view(spark):
+    """Inspect pre-AQE plans (AQE rewrites lazily at execution)."""
+    yield
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    df = QUERIES["q1_pricing_summary"](spark, sf_oracle)
+    assert plans.has_pushed_filters(df, "LessThanOrEqual(l_shipdate"), plans.physical_plan(df)
+
+
+def test_column_pruning(spark, sf_oracle):
+    """Q1 projects 7 of 11 lineitem columns — the scan must not read more."""
+    df = QUERIES["q1_pricing_summary"](spark, sf_oracle)
+    cols = set(plans.scan_columns(df))
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"} <= cols
+
+
+def test_dimension_joins_broadcast(spark, sf_oracle):
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_oracle)
+    assert plans.uses_broadcast_join(df), plans.physical_plan(df)
+
+
+def test_q5_single_fact_shuffle_join(spark, sf_oracle):
+    """Only orders⨝lineitem may shuffle; dims broadcast. Allow the agg's
+    exchange + the two fact-side exchanges at most."""
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_oracle)
+    assert plans.count_exchanges(df) <= 4, plans.physical_plan(df)
+
+
+def test_topk_is_take_ordered(spark, sf_oracle):
+    df = QUERIES["topk_global"](spark, sf_oracle)
+    assert plans.is_take_ordered(df), plans.physical_plan(df)
+
+
+def test_window_dedup_single_shuffle(spark, sf_oracle):
+    df = QUERIES["window_dedup_top1"](spark, sf_oracle)
+    assert plans.count_exchanges(df) <= 2, plans.physical_plan(df)
+
+
+def test_codegen_active(spark, sf_oracle):
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = QUERIES["q1_pricing_summary"](spark, sf_oracle)
+        assert plans.codegen_stage_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_anti_join_no_cross(spark, sf_oracle):
+    plan = plans.physical_plan(QUERIES["join_anti_orphans"](spark, sf_oracle))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expression_join_stays_hash(spark, sf_oracle):
+    """J5: computed join keys must not degrade to nested-loop."""
+    plan = plans.physical_plan(QUERIES["join_expression_key"](spark, sf_oracle))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_struct_projection_collapses(spark, sf_oracle):
+    """P1: build-struct-then-project must not materialize the struct —
+    the scan reads only the 3 referenced columns."""
+    df = QUERIES["proj_struct_fields"](spark, sf_oracle)
+    cols = set(plans.scan_columns(df))
+    assert cols <= {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}, cols
