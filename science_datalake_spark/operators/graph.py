@@ -1,0 +1,91 @@
+"""Graph operators over edge-list DataFrames: degrees, k-hop expansion,
+transitive closure, co-occurrence.
+
+Reference parallel: the citation graph is edge lists (s2ag.citations 2.9B,
+openalex.works_referenced_works 3.01B — SCHEMA.md:353-371) queried via
+self-joins; ontology hierarchies traverse parent/child edges
+(convert_ontologies.py hierarchy tables). Spark-first: graph ops =
+iterative DataFrame joins (GraphFrames is the same thing packaged).
+
+Scale: every hop is one shuffle on the join key. Transitive closure
+checkpoints each iteration (breaks lineage growth) and stops at a fixed
+point — on a 3B-edge citation graph you bound depth and pre-partition both
+sides on the join key so hops reuse the partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_degree, in_degree)."""
+    out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_degree"))
+    in_d = edges.groupBy(F.col(dst).alias("node")).agg(F.count("*").alias("in_degree"))
+    return (
+        out_d.join(in_d, "node", "full_outer")
+        .fillna(0, ["out_degree", "in_degree"])
+    )
+
+
+def k_hop(edges: DataFrame, start: DataFrame, k: int, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Nodes reachable from ``start`` (column ``node``) in exactly ≤k hops,
+    with the minimum hop distance."""
+    frontier = start.select(F.col("node"), F.lit(0).alias("hop"))
+    seen = frontier
+    for hop in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == F.col(src))
+            .select(F.col(dst).alias("node"), F.lit(hop).alias("hop"))
+            .distinct()
+            .join(seen.select("node"), "node", "left_anti")
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    return seen
+
+
+def transitive_closure(
+    edges: DataFrame, max_iters: int = 10, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """All (ancestor, descendant) pairs by iterated self-join to a fixed
+    point (ontology ancestor expansion). Each iteration doubles reachable
+    path length; localCheckpoint truncates the exploding lineage."""
+    closure = edges.select(F.col(src).alias("a"), F.col(dst).alias("d")).distinct()
+    for _ in range(max_iters):
+        hop = (
+            closure.alias("l")
+            .join(closure.alias("r"), F.col("l.d") == F.col("r.a"))
+            .select(F.col("l.a").alias("a"), F.col("r.d").alias("d"))
+        )
+        grown = closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        if grown.count() == closure.count():
+            return grown
+        closure = grown
+    return closure
+
+
+def cooccurrence(
+    memberships: DataFrame, group_col: str, item_col: str, min_count: int = 1
+) -> DataFrame:
+    """Item pairs sharing a group (papers sharing a topic, parts sharing an
+    order), with co-occurrence counts. The self-join key is the group —
+    bucket sizes bound the quadratic term exactly like LSH bands."""
+    m = memberships.select(group_col, item_col).distinct()
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{item_col}").alias("item_a"), F.col(f"b.{item_col}").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
+    )

@@ -1,0 +1,83 @@
+"""Text-search ranking as relational operators: TF-IDF and BM25.
+
+Reference parallel: run_baseline_comparisons.py:164-294 computes TF-IDF
+cosine and BM25 baselines with sklearn/rank_bm25 on the driver. Here both
+are DataFrame plans:
+
+- BM25 is pure relational algebra (token explode → tf counts → df counts →
+  idf join → score sum) — it runs at corpus scale with two shuffles and is
+  exactly reproducible in SQL (oracle-checked in queries/llm_pipeline.py).
+- TF-IDF vectors use Spark ML's HashingTF/IDF (hashing trick → fixed-width
+  sparse vectors), the standard scale path for vector-space retrieval.
+
+Scale: the per-term postings (token, doc) relation is the classic inverted
+index as a DataFrame; document frequencies are a broadcast-sized dimension
+(vocabulary), so scoring is one shuffle on doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def term_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf) — the inverted-index relation."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term")
+    )
+    return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 score per document for a bag of query terms.
+
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1)  (the +1 'plus' variant)
+    score = Σ idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+    """
+    postings = term_postings(df, id_col, text_col)
+    doclen = df.select(
+        F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("dl")
+    )
+    n_docs = df.count()
+    avgdl = doclen.agg(F.avg("dl")).first()[0]
+
+    q = postings.filter(F.col("term").isin(*[t.lower() for t in query_terms]))
+    dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+    scored = (
+        q.join(F.broadcast(idf.select("term", "idf")), "term")
+        .join(doclen, id_col)
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+
+
+def tfidf_vectors(df: DataFrame, id_col: str, text_col: str, num_features: int = 1 << 14):
+    """Hashed TF-IDF vectors via Spark ML (the vector-space scale path).
+    Returns (vectors_df, fitted_idf_model)."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__words")
+    words = tok.transform(df.select(id_col, text_col))
+    htf = HashingTF(inputCol="__words", outputCol="__tf", numFeatures=num_features)
+    tf = htf.transform(words)
+    idf_model = IDF(inputCol="__tf", outputCol="tfidf").fit(tf)
+    return idf_model.transform(tf).select(id_col, "tfidf"), idf_model

@@ -555,6 +555,40 @@ def multi_hop_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_cooccurrence",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, count(*) AS n_shared
+        FROM m a
+        JOIN m b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT item_a, item_b, n_shared FROM pairs
+    WHERE n_shared >= 2
+    ORDER BY n_shared DESC, item_a, item_b
+    LIMIT 20
+    """,
+)
+def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph co-occurrence: items sharing a group (parts co-ordered ≈
+    papers sharing a topic/venue). The self-join key is the group id, so
+    the quadratic term is bounded by group size — same cost shape as the
+    citation-graph self-joins (SCHEMA.md:353-371)."""
+    from science_datalake_spark.operators.graph import cooccurrence
+
+    li = table(spark, sf_dir, "lineitem")
+    pairs = cooccurrence(li, "l_orderkey", "l_partkey", min_count=2)
+    return (
+        pairs.select(
+            F.col("item_a"), F.col("item_b"), F.col("n_shared")
+        )
+        .orderBy(F.desc("n_shared"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------

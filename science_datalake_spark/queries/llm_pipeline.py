@@ -375,6 +375,47 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
 
 
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, len({_WORDS}) AS dl FROM documents),
+    consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT avg(dl) FROM doclen) AS avgdl),
+    q AS (SELECT * FROM postings WHERE term IN ('spark', 'table', 'merge')),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term),
+    idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq, consts),
+    scored AS (
+        SELECT q.doc_id,
+               idf.idf * (q.tf * 2.2) /
+                   (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        FROM q
+        JOIN idf USING (term)
+        JOIN doclen USING (doc_id), consts
+    )
+    SELECT doc_id, CAST(round(sum(ts), 4) AS DOUBLE) AS bm25
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking as pure relational algebra (token explode → tf/df →
+    idf broadcast → score sum): the reference's rank_bm25 baseline
+    (run_baseline_comparisons.py:164-294) re-expressed to run at corpus
+    scale with two shuffles. Top-10 docs for a 3-term query."""
+    from science_datalake_spark.operators.ranking import bm25_scores
+
+    d = table(spark, sf_dir, "documents")
+    scores = bm25_scores(d, "doc_id", "text", ["spark", "table", "merge"])
+    return scores.orderBy(F.desc("bm25"), "doc_id").limit(10)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,157 @@
+"""Ontology converters (OBO / N-Triples), graph traversal, alignment
+pipeline + evaluation harness — the full linkage slice end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from science_datalake_spark.evaluation import evaluate_alignment
+from science_datalake_spark.operators.graph import (
+    cooccurrence,
+    degrees,
+    k_hop,
+    transitive_closure,
+)
+from science_datalake_spark.operators.linkage import fuzzy_label_join
+from science_datalake_spark.sources.ontology import ntriples_to_tables, obo_to_tables
+
+OBO_SAMPLE = """format-version: 1.2
+ontology: toy
+
+[Term]
+id: TOY:0001
+name: machine learning
+def: "Learning from data" [ref:1]
+synonym: "ML" EXACT []
+namespace: cs
+xref: UMLS:C0376284
+xref: MESH:D000069550
+
+[Term]
+id: TOY:0002
+name: deep learning
+is_a: TOY:0001 ! machine learning
+xref: UMLS:C4264611
+
+[Term]
+id: TOY:0003
+name: convolutional networks
+is_a: TOY:0002
+relationship: part_of TOY:0001
+
+[Term]
+id: TOY:0004
+name: obsolete thing
+is_obsolete: true
+
+[Typedef]
+id: part_of
+name: part of
+"""
+
+NT_SAMPLE = """
+<http://ex.org/t1> <http://www.w3.org/2004/02/skos/core#prefLabel> "machine learning"@en .
+<http://ex.org/t1> <http://www.w3.org/2004/02/skos/core#prefLabel> "apprentissage"@fr .
+<http://ex.org/t1> <http://www.w3.org/2004/02/skos/core#altLabel> "ML"@en .
+<http://ex.org/t2> <http://www.w3.org/2004/02/skos/core#prefLabel> "deep learning"@en .
+<http://ex.org/t2> <http://www.w3.org/2004/02/skos/core#broader> <http://ex.org/t1> .
+<http://ex.org/t2> <http://www.w3.org/2004/02/skos/core#exactMatch> <http://umls.org/C4264611> .
+# comment line
+malformed line that should be skipped
+"""
+
+
+def test_obo_parser_tables(spark):
+    t = obo_to_tables(spark, OBO_SAMPLE)
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert set(terms) == {"TOY:0001", "TOY:0002", "TOY:0003", "TOY:0004"}
+    assert terms["TOY:0001"]["label"] == "machine learning"
+    assert terms["TOY:0001"]["synonyms"] == ["ML"]
+    assert terms["TOY:0001"]["definition"] == "Learning from data"
+    assert terms["TOY:0004"]["obsolete"] is True
+    hier = {(r["parent_id"], r["child_id"], r["relation"]) for r in t.hierarchy.collect()}
+    assert ("TOY:0001", "TOY:0002", "is_a") in hier
+    assert ("TOY:0001", "TOY:0003", "part_of") in hier
+    xr = {(r["term_id"], r["xref_db"], r["xref_id"]) for r in t.xrefs.collect()}
+    assert ("TOY:0001", "UMLS", "C0376284") in xr
+
+
+def test_ntriples_parser_tables(spark):
+    t = ntriples_to_tables(spark, NT_SAMPLE)
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert terms["http://ex.org/t1"]["label"] == "machine learning"  # @en wins
+    assert terms["http://ex.org/t1"]["synonyms"] == ["ML"]
+    hier = t.hierarchy.collect()
+    assert [(r["parent_id"], r["child_id"]) for r in hier] == [
+        ("http://ex.org/t1", "http://ex.org/t2")
+    ]
+    assert t.xrefs.count() == 1
+
+
+def test_hierarchy_traversal(spark):
+    t = obo_to_tables(spark, OBO_SAMPLE)
+    edges = t.hierarchy.select(
+        F.col("parent_id").alias("src"), F.col("child_id").alias("dst")
+    )
+    closure = transitive_closure(edges)
+    pairs = {(r["a"], r["d"]) for r in closure.collect()}
+    assert ("TOY:0001", "TOY:0003") in pairs  # grandparent via TOY:0002
+    deg = {r["node"]: (r["out_degree"], r["in_degree"]) for r in degrees(edges).collect()}
+    assert deg["TOY:0001"][0] == 2
+    start = spark.createDataFrame([("TOY:0001",)], "node STRING")
+    reach = k_hop(edges, start, k=2)
+    assert {r["node"] for r in reach.collect()} == {"TOY:0001", "TOY:0002", "TOY:0003"}
+
+
+def test_alignment_end_to_end_with_eval(spark):
+    """OBO terms × topic labels → fuzzy linkage → gold-standard P/R/F1."""
+    t = obo_to_tables(spark, OBO_SAMPLE)
+    active = t.terms.filter(~F.col("obsolete"))
+    topics = spark.createDataFrame(
+        [("T1", "machine learning"), ("T2", "deep learnin"), ("T3", "quantum chemistry")],
+        "topic_id STRING, display_name STRING",
+    )
+    matched = fuzzy_label_join(topics, active, "display_name", "label", threshold=0.85)
+    out = matched.select(
+        F.col("topic_id").alias("left_id"),
+        F.col("id").alias("right_id"),
+        "similarity",
+    )
+    got = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert ("T1", "TOY:0001") in got and ("T2", "TOY:0002") in got
+    assert not any(left == "T3" for left, _ in got)
+
+    gold = spark.createDataFrame(
+        [
+            ("T1", "TOY:0001", True),
+            ("T2", "TOY:0002", True),
+            ("T3", "TOY:0003", False),
+        ],
+        "left_id STRING, right_id STRING, is_correct BOOLEAN",
+    )
+    metrics = evaluate_alignment(out, gold, thresholds=(0.85, 0.99))
+    m85 = metrics[0]
+    assert m85.precision == 1.0 and m85.recall == 1.0 and m85.f1 == 1.0
+    m99 = metrics[1]
+    assert m99.recall == 0.5  # the 'deep learnin' typo match (jw≈0.985) drops out
+
+
+def test_cooccurrence_basic(spark):
+    m = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "a"), ("g2", "b")],
+        "grp STRING, item STRING",
+    )
+    pairs = {(r["item_a"], r["item_b"]): r["n_shared"] for r in cooccurrence(m, "grp", "item").collect()}
+    assert pairs[("a", "b")] == 2 and pairs[("a", "c")] == 1
+
+
+def test_tfidf_vectors_shape(spark, sf_oracle):
+    from science_datalake_spark.operators.ranking import tfidf_vectors
+
+    from science_datalake_spark.catalog import table
+
+    d = table(spark, sf_oracle, "documents").limit(50)
+    vecs, model = tfidf_vectors(d, "doc_id", "text", num_features=256)
+    row = vecs.first()
+    assert row["tfidf"].size == 256
+    assert vecs.count() == 50

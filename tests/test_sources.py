@@ -110,3 +110,19 @@ def test_sql_guard_preserves_existing_limit():
     from science_datalake_spark.cli import guard_sql
 
     assert guard_sql("SELECT * FROM region LIMIT 3").lower().count("limit") == 1
+
+
+def test_config_discovery(tmp_path, monkeypatch):
+    from science_datalake_spark.config import find_datalake_root, load_config
+
+    root = tmp_path / "lake"
+    nested = root / "a" / "b"
+    nested.mkdir(parents=True)
+    (root / "datalake.json").write_text('{"name": "test-lake"}')
+    assert find_datalake_root(str(nested)) == str(root)
+    assert load_config(str(root))["name"] == "test-lake"
+    # no marker anywhere → env var fallback
+    other = tmp_path / "elsewhere"
+    other.mkdir()
+    monkeypatch.setenv("SCIENCE_DATALAKE_ROOT", str(other))
+    assert find_datalake_root("/") == str(other)
