@@ -1,0 +1,102 @@
+"""As-of join: for each left row, the latest right row at-or-before the
+left timestamp, per key.
+
+Spark lacks a native as-of join (the prompt-level example of an operator
+to compose from primitives). Two implementations:
+
+- ``asof_join`` (the default): union both sides tagged, one window pass
+  ordered by (key, ts) carrying the last-seen right row forward
+  (``last(..., ignorenulls=True)``). ONE shuffle on the key — linear, no
+  pair blowup, and robust to any left/right size ratio. This is the plan
+  you want at 100 TB: both sides shuffle once on the key and the window
+  is a single ordered scan per key partition.
+- ``asof_join_broadcast``: when the right side is broadcast-sized, a plain
+  join + top-1-per-left-row window. Quadratic in per-key match count —
+  only for small right sides.
+
+DuckDB has native ASOF JOIN, which makes this operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from science_datalake_spark.operators.windows import top1_per_key
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Left rows + the most recent right row with right_ts <= left_ts.
+
+    Ties (right_ts == left_ts) match, like DuckDB's ``ON a.ts >= b.ts``.
+    Right rows sort before left rows at equal timestamps so same-instant
+    matches are visible to the left row.
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(tagged_l.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__match_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__match_{c}").alias(f"right_{c}") for c in right_value_cols],
+    )
+    return out
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> DataFrame:
+    """Small-right-side variant: broadcast join on the key with the
+    ts-inequality predicate, then keep the latest right row per left row."""
+    lcols = left.columns
+    l = left.withColumn("__lid", F.monotonically_increasing_id())
+    r = right.select(
+        F.col(key).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"right_{c}") for c in right_value_cols],
+    )
+    joined = l.join(
+        F.broadcast(r), (l[key] == F.col("__rk")) & (F.col("__rts") <= l[left_ts]), "left"
+    )
+    best = top1_per_key(
+        joined,
+        keys=["__lid"],
+        order=[F.desc_nulls_last("__rts")],
+    )
+    return best.select(*lcols, *[f"right_{c}" for c in right_value_cols])

@@ -1015,6 +1015,89 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM g
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM s
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum — the
+    lead/lag + running-aggregate window shapes the reference never needed
+    (SURVEY §2.5 'not present'), added as first-class coverage. The
+    streaming twin is streaming/sessions.py (applyInPandasWithState)."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    sessions = e.withColumn("__new", new_s).withColumn(
+        "session_id", F.sum("__new").over(run)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           e.ts AS right_ts, e.event_id AS right_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND c.ts >= e.ts
+    ORDER BY c.event_id
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent prior
+    error. Spark lacks the operator; operators/asof.py composes it from a
+    union + one ordered window pass (single shuffle on the key). DuckDB's
+    native ASOF JOIN is the oracle."""
+    from science_datalake_spark.operators.asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    out = asof_join(
+        clicks, errors, key="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["ts", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("right_ts"), F.col("right_event_id"),
+    ).orderBy("event_id")
+
+
+@query(
     "events_user_stats",
     oracle="""
     SELECT event_type,

@@ -98,3 +98,83 @@ def test_stream_checkpoint_resume(spark, tmp_path):
     assert n1 == 40
     # resumed state (40) + only the new file (1); a reprocess would give 81
     assert n2 == 41
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessions must match the batch twin's
+    completed sessions (every session but each user's last)."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.streaming.sessions import sessionize_stream
+
+    # time-ordered files (a real file stream delivers in arrival order);
+    # 6 files / maxFilesPerTrigger=4 → 2 micro-batches → state carry-over
+    import os as _os
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    eid = 0
+    for fi in range(6):
+        with open(src / f"events-{fi}.json", "w") as f:
+            for _ in range(30):
+                minute = eid * 2 + (eid // 15) * 40  # 40-min gap every 15 events
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": f"2024-01-01T{minute // 60:02d}:{minute % 60:02d}:00.000Z",
+                            "user_id": eid % 4,
+                            "event_type": "click",
+                            "value": round(eid * 0.5, 2),
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+                eid += 1
+        # FileStreamSource orders by modification time; equal mtimes make
+        # the file→batch assignment nondeterministic, which breaks the
+        # in-order-arrival premise of the simple session operator.
+        _os.utime(src / f"events-{fi}.json", (1700000000 + fi, 1700000000 + fi))
+    src = str(src)
+    stream = read_event_stream(spark, src)
+    out = sessionize_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM sessions_test").cache()
+
+    # batch twin: full sessionization, drop each user's final session
+    from pyspark.sql import Window
+
+    batch = spark.read.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).json(src)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = (
+        batch.withColumn("__new", new_s)
+        .withColumn("sid", F.sum("__new").over(run))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    last_sid = sess.groupBy("user_id").agg(F.max("sid").alias("sid")).withColumn("__last", F.lit(True))
+    completed = (
+        sess.join(last_sid, ["user_id", "sid"], "left_anti")
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )
+    got_cmp = got.select("user_id", "session_start_us", "session_end_us", "n_events")
+    assert got_cmp.count() == completed.count() > 0
+    assert got_cmp.exceptAll(completed).count() == 0
