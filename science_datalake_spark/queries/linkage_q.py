@@ -17,7 +17,7 @@ from science_datalake_spark.queries import query
     SELECT s.s_suppkey, c.c_custkey,
            CAST(round(jaro_winkler_similarity(lower(s.s_name), lower(c.c_name)), 6) AS DOUBLE)
                AS similarity
-    FROM supplier s
+    FROM (SELECT * FROM supplier WHERE s_suppkey < 100) s
     CROSS JOIN (SELECT * FROM customer WHERE c_custkey < 100) c
     WHERE jaro_winkler_similarity(lower(s.s_name), lower(c.c_name)) >= 0.75
     ORDER BY s_suppkey, c_custkey
@@ -28,7 +28,7 @@ def linkage_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to DuckDB's jaro_winkler_similarity, so this is a strict
     oracle check of the custom operator (build_ontology_linkage.py:126-161).
     """
-    s = table(spark, sf_dir, "supplier")
+    s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100)
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     joined = fuzzy_label_join(s, c, "s_name", "c_name", threshold=0.75)
     return (

@@ -81,3 +81,48 @@ def test_struct_projection_collapses(spark, sf_oracle):
     df = QUERIES["proj_struct_fields"](spark, sf_oracle)
     cols = set(plans.scan_columns(df))
     assert cols <= {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}, cols
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_oracle, tmp_path):
+    """Bucketing both fact tables on the join key makes the join
+    shuffle-free — the co-located-join strategy for repeated big joins at
+    100 TB (SURVEY §4 'pre-partitioning / bucketing'). Both sides bucketed
+    by o_custkey/c_custkey into the same bucket count → zero exchanges."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.catalog import table
+
+    o = table(spark, sf_oracle, "orders")
+    c = table(spark, sf_oracle, "customer")
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("orders_bkt")
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("customer_bkt")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = spark.table("orders_bkt")
+        cb = spark.table("customer_bkt")
+        joined = (
+            ob.join(cb, ob.o_custkey == cb.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        # join itself is exchange-free; only the final agg shuffles
+        assert plans.count_exchanges(joined) <= 1, plans.physical_plan(joined)
+        assert plans.uses_sort_merge_join(joined)
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
