@@ -923,6 +923,154 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "inverted_index_reconstruct",
+    oracle="""
+    WITH docs AS (
+        SELECT * FROM (VALUES
+            (1, '{"the":[0,3],"study":[1],"of":[2],"things":[4]}'),
+            (2, '{"solo":[0]}'),
+            (3, '{"b":[1],"a":[0],"c":[2]}')
+        ) t(id, inv)
+    ),
+    words AS (
+        SELECT id, k AS word, CAST(pos AS INTEGER) AS pos
+        FROM docs,
+             unnest(json_keys(inv)) AS t1(k),
+             unnest(CAST(json_extract(inv, '$.' || k) AS INTEGER[])) AS t2(pos)
+    )
+    SELECT id, string_agg(word, ' ' ORDER BY pos) AS text
+    FROM words GROUP BY id ORDER BY id
+    """,
+)
+def inverted_index_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenAlex inverted-index → text as a NATIVE column expression — the
+    reference's per-row Python UDF (convert_openalex.py:100-117) replaced
+    by from_json/map_entries/flatten/array_sort/array_join, which runs
+    inside codegen over the 479M-work corpus. Inline VALUES input (S11) so
+    the oracle computes the identical reconstruction relationally."""
+    from science_datalake_spark.functions import inverted_index_to_text
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"the":[0,3],"study":[1],"of":[2],"things":[4]}'),
+            (2, '{"solo":[0]}'),
+            (3, '{"b":[1],"a":[0],"c":[2]}'),
+        ],
+        "id INT, inv STRING",
+    )
+    return df.select("id", inverted_index_to_text(F.col("inv")).alias("text")).orderBy("id")
+
+
+@query(
+    "agg_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS DOUBLE) AS qty_open,
+           CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS DOUBLE) AS qty_final
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) via Spark's pivot() — planned as conditional
+    aggregates, exactly what the oracle writes by hand. One shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_final"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(quantile_cont(o_totalprice, 0.25), 2) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(o_totalprice, 0.50), 2) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(o_totalprice, 0.75), 2) AS DOUBLE) AS p75,
+           CAST(round(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS p95
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (A5 generalized). Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear-interpolation semantics. At
+    100 TB swap to percentile_approx — identical plan shape."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {q})"), 2).alias(name)
+                for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
+            ]
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+               CAST(round(sum(value), 2) AS DOUBLE) AS total
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT s.hour,
+           coalesce(a.n, 0) AS n_events,
+           CAST(coalesce(a.total, 0.0) AS DOUBLE) AS total_value
+    FROM spine s LEFT JOIN agg a ON a.hour = s.hour
+    ORDER BY s.hour
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: generate the dense hour spine (sequence +
+    explode), left-join sparse aggregates, zero-fill. The dimension-spine
+    pattern every monitoring rollup needs; spine generation is O(hours)
+    and broadcasts."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    return (
+        spine.join(agg, "hour", "left")
+        .select(
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("hour")
+    )
+
+
 # ---------------------------------------------------------------------------
 # events (batch analogue of streaming windows)
 # ---------------------------------------------------------------------------
