@@ -89,6 +89,13 @@ class IncrementalJsonIngest:
                 skipped.append(fname)
                 continue
             df = read_ndjson(self.spark, path, schema=self.schema)
+            if not df.schema.fields:
+                # empty file / no inferable columns → nothing to convert,
+                # but checkpoint it so it isn't re-examined every run
+                state[fname] = sig
+                self._save_checkpoint(state)
+                skipped.append(fname)
+                continue
             shard = os.path.join(self.output_dir, self._shard_name(fname))
             df.write.mode("overwrite").option("compression", "zstd").parquet(shard)
             n = self.spark.read.parquet(shard).count()

@@ -100,13 +100,15 @@ def compact(
     Refuses to swap on count mismatch."""
     parent = os.path.dirname(shard_dir.rstrip("/"))
     base = os.path.basename(shard_dir.rstrip("/"))
+    # tmp/backup names must NOT start with '.' — Spark's hidden-path filter
+    # refuses to read dot-prefixed directories even as the read root
     for stale in os.listdir(parent or "."):
-        if stale.startswith(f".{base}.compact-"):
+        if stale.startswith(f"{base}__compact-") or stale.startswith(f"{base}__old-"):
             shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)
 
     src = spark.read.parquet(shard_dir)
     expected = src.count()
-    tmp = os.path.join(parent, f".{base}.compact-{uuid.uuid4().hex[:8]}")
+    tmp = os.path.join(parent, f"{base}__compact-{uuid.uuid4().hex[:8]}")
     (
         src.repartition(target_files)
         .write.mode("overwrite")
@@ -117,7 +119,7 @@ def compact(
     if actual != expected:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(f"compaction verification failed: {actual} != {expected}")
-    backup = os.path.join(parent, f".{base}.old-{uuid.uuid4().hex[:8]}")
+    backup = os.path.join(parent, f"{base}__old-{uuid.uuid4().hex[:8]}")
     os.rename(shard_dir, backup)
     os.rename(tmp, shard_dir)
     shutil.rmtree(backup, ignore_errors=True)
