@@ -38,22 +38,42 @@ TESTDATA_TABLES = (
 )
 
 
-def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
-    """Register one temp view per Parquet table under ``sf_dir``.
+def register_views(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+    database: str | None = None,
+) -> dict[str, DataFrame]:
+    """Register one view per Parquet table under ``sf_dir``.
 
     Mirrors create_unified_db.py:332-344's auto-discovery: only files that
     exist are registered; missing tables are skipped silently so the same
     bootstrap works across scale factors.
+
+    ``database``: register PERSISTENT views inside a catalog database
+    instead of session temp views — the Spark analogue of the reference's
+    22 DuckDB schema namespaces (``s2ag.papers`` → ``s2ag.papers``,
+    create_unified_db.py:57,220). Persistent views live in the metastore
+    and survive sessions, like the reference's views-only .duckdb file.
     """
     out: dict[str, DataFrame] = {}
+    if database is not None:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
         df = table(spark, sf_dir, name)
-        df.createOrReplaceTempView(name)
+        if database is not None:
+            spark.sql(
+                f"CREATE OR REPLACE VIEW {database}.{name} "
+                f"AS SELECT * FROM parquet.`{path}`"
+            )
+        else:
+            df.createOrReplaceTempView(name)
         out[name] = df
-    _register_convenience_views(spark, set(out))
+    if database is None:
+        _register_convenience_views(spark, set(out))
     return out
 
 

@@ -141,13 +141,14 @@ def knn_embedding_join(
     right_id: str,
     left_vec: str,
     right_vec: str,
-    k: int = 20,
     threshold: float = 0.65,
 ) -> DataFrame:
-    """Embedding kNN linkage: cosine top-k of right candidates per left
-    entity, similarity floor, keep the single best match per left id
-    (threshold + best-per-(topic,ontology) semantics,
-    build_embedding_linkage.py:496-538).
+    """Embedding kNN linkage: cosine-score right candidates per left
+    entity, similarity floor, keep the single best match per left id.
+    Equivalent to the reference's FAISS top-20 → threshold → best-per-group
+    (build_embedding_linkage.py:496-538) — the top-20 stage is an ANN
+    efficiency device, not a semantic one, since the best match is always
+    in the top 20; here exact scoring feeds the same threshold+best filter.
 
     Scale: left (queries) broadcasts; right streams — no corpus shuffle.
     """
@@ -164,11 +165,9 @@ def knn_embedding_join(
         )
         .filter(F.col("similarity") >= threshold)
     )
-    topk = top1_per_key(
+    return top1_per_key(
         scored, keys=["left_id"], order=[F.desc("similarity"), F.asc("right_id")]
     )
-    del k  # top-1 after threshold ≡ reference's best-per-group over top-k
-    return topk
 
 
 #: xref database-name aliases, normalized before the bridge join
