@@ -1,0 +1,52 @@
+"""Encode→ANN loop: documents → deterministic embeddings → cosine top-k →
+near-dup detection. The full text-side similarity pipeline end-to-end."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from science_datalake_spark.catalog import table
+from science_datalake_spark.operators.embedding import embed
+from science_datalake_spark.operators.similarity import cosine_topk
+
+
+def test_embedding_deterministic_and_normalized(spark, sf_oracle):
+    d = table(spark, sf_oracle, "documents").limit(40)
+    e1 = embed(d, "text").select("doc_id", "embedding")
+    e2 = embed(d, "text").select("doc_id", "embedding")
+    rows1 = {r["doc_id"]: r["embedding"] for r in e1.collect()}
+    rows2 = {r["doc_id"]: r["embedding"] for r in e2.collect()}
+    assert rows1 == rows2  # deterministic
+    norm = sum(v * v for v in rows1[next(iter(rows1))])
+    assert abs(norm - 1.0) < 1e-5  # L2-normalized
+
+
+def test_encode_then_ann_finds_planted_near_dup(spark):
+    """A near-duplicate document (one word changed) must be its source's
+    nearest neighbor after encode→ANN."""
+    base = "spark table merge scan filter join window sort group value " * 5
+    near = base.replace("filter", "select", 1)
+    other = "completely different vocabulary entirely unrelated words here " * 5
+    docs = spark.createDataFrame(
+        [(0, base), (1, near), (2, other), (3, "short text"), (4, base + " extra tail")],
+        "doc_id LONG, text STRING",
+    )
+    vecs = embed(docs, "text")
+    top = cosine_topk(vecs, vecs.filter(F.col("doc_id") == 0), "doc_id", "embedding", k=2)
+    got = [(r["cand_id"], r["sim"]) for r in top.orderBy("rank").collect()]
+    assert got[0][0] in (1, 4) and got[1][0] in (1, 4)  # the two near-dups
+    assert got[0][1] > 0.95
+    # the unrelated doc is NOT in the top-2
+    assert 2 not in {c for c, _ in got}
+
+
+def test_encode_ann_on_corpus(spark, sf_oracle):
+    """Full corpus path: embed all documents, top-3 neighbors for 5 query
+    docs — shapes and determinism, no model dependency."""
+    d = table(spark, sf_oracle, "documents")
+    vecs = embed(d, "text").select("doc_id", "embedding")
+    q = vecs.filter(F.col("doc_id") < 5)
+    top = cosine_topk(vecs, q, "doc_id", "embedding", k=3)
+    assert top.count() == 15
+    again = cosine_topk(vecs, q, "doc_id", "embedding", k=3)
+    assert top.exceptAll(again).count() == 0
