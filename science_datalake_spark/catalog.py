@@ -65,10 +65,24 @@ def register_views(
             continue
         df = table(spark, sf_dir, name)
         if database is not None:
-            spark.sql(
-                f"CREATE OR REPLACE VIEW {database}.{name} "
-                f"AS SELECT * FROM parquet.`{path}`"
-            )
+            if name == "events":
+                # events is TIMESTAMP(NANOS) parquet: bake the same
+                # nanos→micros conversion table() applies into the view so
+                # both registration modes agree. The view still requires
+                # spark.sql.legacy.parquet.nanosAsLong=true in the reading
+                # session (table()/register_views set it; fresh sessions
+                # must too — documented limitation of nanos parquet).
+                cols = ", ".join(c for c in df.columns if c != "ts")
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {database}.{name} AS "
+                    f"SELECT {cols}, timestamp_micros(ts DIV 1000) AS ts "
+                    f"FROM parquet.`{path}`"
+                )
+            else:
+                spark.sql(
+                    f"CREATE OR REPLACE VIEW {database}.{name} "
+                    f"AS SELECT * FROM parquet.`{path}`"
+                )
         else:
             df.createOrReplaceTempView(name)
         out[name] = df
@@ -104,7 +118,7 @@ def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
         )
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -120,7 +134,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     legacy conf, then convert with integer division (``DIV`` — a double
     roundtrip would lose sub-microsecond precision on epoch-nanos values).
     """
-    key = (id(spark), sf_dir, name)
+    # applicationId (not id(spark)): CPython recycles object addresses, so
+    # a dead session's cache entries could alias a new session's key
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached

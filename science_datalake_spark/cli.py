@@ -25,7 +25,9 @@ _BLOCKLIST = re.compile(
     r"pragma|install|load|call|set|reset|grant|revoke|truncate|merge|vacuum)\b",
     re.IGNORECASE,
 )
-_LIMIT_RE = re.compile(r"\blimit\s+\d+", re.IGNORECASE)
+# only a TRAILING top-level LIMIT counts — a LIMIT inside a subquery must
+# not disable the outer row cap
+_LIMIT_RE = re.compile(r"\blimit\s+\d+\s*$", re.IGNORECASE)
 
 
 class UnsafeSQLError(ValueError):

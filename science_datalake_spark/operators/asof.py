@@ -40,19 +40,27 @@ def asof_join(
     matches are visible to the left row.
     """
     lcols = left.columns
+    # The matched right row is carried as ONE struct so the result is always
+    # a genuine right row — carrying columns independently with
+    # last(ignorenulls) could stitch values from DIFFERENT right rows when
+    # some right columns are null. Null right timestamps never match
+    # (DuckDB ASOF inequality semantics), so they are filtered out.
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    tagged_r = r_clean.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
+    )
     tagged_l = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_value_cols],
-    )
-    tagged_r = right.select(
-        F.col(key).alias("__k"),
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(tagged_l.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.lit(None).cast(tagged_r.schema["__r"].dataType).alias("__r"),
     )
     unioned = tagged_l.unionByName(tagged_r)
     w = (
@@ -60,16 +68,10 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__match_{c}")
-            for c in right_value_cols
-        ],
-    )
+    carried = unioned.select("*", F.last("__r", ignorenulls=True).over(w).alias("__match"))
     out = carried.filter(F.col("__side") == 1).select(
         F.col("__l.*"),
-        *[F.col(f"__match_{c}").alias(f"right_{c}") for c in right_value_cols],
+        *[F.col(f"__match.{c}").alias(f"right_{c}") for c in right_value_cols],
     )
     return out
 
@@ -94,9 +96,13 @@ def asof_join_broadcast(
     joined = l.join(
         F.broadcast(r), (l[key] == F.col("__rk")) & (F.col("__rts") <= l[left_ts]), "left"
     )
+    # right value columns appended to the order as tie-breaks: equal
+    # timestamps must resolve deterministically (total order requirement
+    # of top1_per_key)
     best = top1_per_key(
         joined,
         keys=["__lid"],
-        order=[F.desc_nulls_last("__rts")],
+        order=[F.desc_nulls_last("__rts")]
+        + [F.asc_nulls_last(f"right_{c}") for c in right_value_cols],
     )
     return best.select(*lcols, *[f"right_{c}" for c in right_value_cols])

@@ -161,10 +161,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     candidate VERIFICATION: at scale, feed it the LSH candidate subset, not
     a whole corpus — the shared-shingle join is quadratic in bucket size.
     """
+    # persisted: the shingle relation feeds both self-join sides AND the
+    # sizes aggregate — without materialization the explode+distinct
+    # pipeline runs three times (same discipline as lsh_candidate_pairs)
     shingles = (
         with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
         .select(id_col, F.explode("ng").alias("__ng"))
         .distinct()
+        .persist()
     )
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = shingles.alias("a")

@@ -56,12 +56,12 @@ def alpha_ratio(text: Column) -> Column:
 
 
 def quality_score(text: Column) -> Column:
-    """Composite document-quality score in [0,1]: alpha ratio, stopword
-    presence, and a length term (≥30 tokens saturates)."""
+    """Composite document-quality score clamped to [0,1]: alpha ratio,
+    stopword presence (saturating), and a length term (≥30 tokens
+    saturates)."""
     length_term = F.least(token_count(text) / F.lit(30.0), F.lit(1.0))
-    return F.round(
-        0.4 * alpha_ratio(text) + 0.3 * stopword_ratio(text) * 5.0 + 0.3 * length_term, 4
-    )
+    raw = 0.4 * alpha_ratio(text) + 0.3 * stopword_ratio(text) * 5.0 + 0.3 * length_term
+    return F.round(F.least(raw, F.lit(1.0)), 4)
 
 
 def predict_lang(text: Column, threshold: float = 0.10) -> Column:

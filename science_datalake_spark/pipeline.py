@@ -65,11 +65,14 @@ def run_pipeline(
             schema=schemas.get(name),
         )
         os.makedirs(os.path.dirname(ing.checkpoint_path), exist_ok=True)
-        ing.run()
+        ingest_result = ing.run()
         if compact_after:
-            for shard in sorted(os.listdir(out)):
-                if shard.endswith(".parquet"):
-                    compact(spark, os.path.join(out, shard), target_files=1)
+            # only NEWLY converted shards — re-compacting unchanged shards
+            # would turn an incremental no-op run into a full-data rewrite
+            for fname in ingest_result.converted:
+                shard = os.path.join(out, ing._shard_name(fname))
+                if os.path.isdir(shard):
+                    compact(spark, shard, target_files=1)
         df = ing.read_all()
         tables[name] = df
         result.ingested_rows[name] = df.count()

@@ -495,8 +495,8 @@ _STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
            CAST(n_tokens AS INTEGER) AS n_tokens,
            CAST(round(alpha, 4) AS DOUBLE) AS alpha_ratio,
            CAST(round(stop, 4) AS DOUBLE) AS stop_ratio,
-           CAST(round(0.4 * alpha + 0.3 * stop * 5.0 +
-                      0.3 * least(n_tokens / 30.0, 1.0), 4) AS DOUBLE) AS quality
+           CAST(round(least(0.4 * alpha + 0.3 * stop * 5.0 +
+                            0.3 * least(n_tokens / 30.0, 1.0), 1.0), 4) AS DOUBLE) AS quality
     FROM base
     ORDER BY doc_id
     """,

@@ -80,7 +80,9 @@ def prepare_sciscinet(metrics: DataFrame) -> DataFrame:
             F.col("paperid").alias("sci_paperid"),
             F.col("doi").alias("raw_doi"),
             F.col("citation_count").alias("sci_citation_count"),
-            F.col("disruption"),
+            # tolerant cast: the raw column carries junk like 'inf'
+            # (reference models it as DOUBLE, materialize_unified_papers.py:337)
+            F.expr("try_cast(disruption AS DOUBLE)").alias("disruption"),
         ),
         "raw_doi",
     ).drop("raw_doi")
@@ -158,7 +160,13 @@ def build_unified_papers(
         F.col("sci_paperid").isNotNull().alias("has_sciscinet"),
         F.coalesce(F.col("pwc_hit"), F.lit(False)).alias("has_pwc"),
         F.coalesce(F.col("rw_hit"), F.lit(False)).alias("has_retraction"),
-        F.coalesce("oa_is_retracted", F.col("rw_hit"), F.lit(False)).alias("is_retracted"),
+        # OR of both signals: an OpenAlex false must not mask a Retraction
+        # Watch hit (OA lags RW), or is_retracted would contradict
+        # has_retraction on the same row
+        (
+            F.coalesce("oa_is_retracted", F.lit(False))
+            | F.coalesce(F.col("rw_hit"), F.lit(False))
+        ).alias("is_retracted"),
     )
 
 

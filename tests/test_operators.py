@@ -88,3 +88,20 @@ def test_top1_deterministic_on_ties(spark):
     )
     best = top1_per_key(df, ["key"], [F.desc("score"), F.asc("id")]).collect()
     assert len(best) == 1 and best[0]["id"] == "a"
+
+
+def test_asof_join_null_right_values_no_frankenrow(spark):
+    """A matched right row with NULL value columns must come through as-is,
+    not stitched with values from an older right row; null right
+    timestamps never match (DuckDB ASOF semantics)."""
+    from science_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3, "L")], "k LONG, ts LONG, tag STRING")
+    right = spark.createDataFrame(
+        [(1, 1, 5), (1, 2, None), (1, None, 99)], "k LONG, ts LONG, v INT"
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="ts",
+                    right_value_cols=["ts", "v"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["right_ts"] == 2 and r["right_v"] is None  # the real ts=2 row
