@@ -21,26 +21,123 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Diagnostics and redundant-coverage queries: oracle-checked by the local
+# parity suite (tests/test_oracle_parity.py) but NOT exported to the driver.
+# The driver records at most 50 CORRECTNESS rows (round-1 evidence: exactly
+# the first 50 registry entries got rows; entries 51-59 were silently
+# skipped), so the driver registry is capped at DRIVER_QUERY_CAP curated
+# entries and everything else lives here.
+AUX_QUERIES: dict[str, QueryFn] = {}
+AUX_ORACLE: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and its DuckDB oracle) under ``name``."""
+DRIVER_QUERY_CAP = 50
+
+
+def query(
+    name: str, oracle: str | None = None, aux: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and its DuckDB oracle) under ``name``.
+
+    ``aux=True`` registers into the local-only registry (parity-tested but
+    not shipped to the 50-row driver harness).
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        (AUX_QUERIES if aux else QUERIES)[name] = fn
         if oracle is not None:
-            ORACLE[name] = oracle.strip()
+            (AUX_ORACLE if aux else ORACLE)[name] = oracle.strip()
         return fn
 
     return deco
 
 
-def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Import all query modules and return the merged registries."""
+# Driver-facing order. Queries the round-1 driver never checked (rows 51-59
+# of the old registry: the TPC-H flagships and the text suite) come first so
+# they are guaranteed CORRECTNESS rows; the rest keep their round-1 order
+# (all were green in CORRECTNESS_r01.json).
+DRIVER_ORDER: list[str] = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_local_supplier_volume",
+    "top_customers_flagged",
+    "text_bm25_search",
+    "text_token_stats",
+    "text_quality_langid",
+    "ontology_skos_khop",
+    "proj_computed_columns",
+    "proj_struct_strings",
+    "filter_predicates",
+    "union_null_padded",
+    "doi_normalize",
+    "case_coalesce",
+    "date_try_cast",
+    "json_extract",
+    "array_explode_pos",
+    "join_expression_key",
+    "join_anti_semi",
+    "join_left_coverage_flags",
+    "multi_hop_rollup",
+    "join_cooccurrence",
+    "agg_filtered_distinct",
+    "agg_stats_profile",
+    "agg_upset_flags",
+    "agg_having",
+    "agg_conditional_rates",
+    "distinct_projection",
+    "window_dedup_top1",
+    "window_topk_per_group",
+    "topk_global",
+    "sample_deterministic",
+    "inverted_index_reconstruct",
+    "agg_pivot_status",
+    "events_hourly_gapfill",
+    "events_windows",
+    "agg_rollup",
+    "events_sessionize",
+    "join_asof",
+    "events_user_stats",
+    "linkage_fuzzy_jw",
+    "linkage_knn_best_match",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_knn_label_vote",
+    "dedup_embedding_cosine",
+    "sim_ann_bucketed",
+]
+
+
+def _import_all() -> None:
     from science_datalake_spark.queries import (  # noqa: F401
         analytics,
         linkage_q,
         llm_pipeline,
+        ontology_q,
         tpch,
     )
 
-    return QUERIES, ORACLE
+
+def load_all() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Import all query modules; return the driver registries in the curated
+    order (exactly ``DRIVER_QUERY_CAP`` entries, asserted)."""
+    _import_all()
+    missing = [n for n in DRIVER_ORDER if n not in QUERIES]
+    extra = [n for n in QUERIES if n not in DRIVER_ORDER]
+    if missing or extra:
+        raise RuntimeError(f"driver registry drift: missing={missing} extra={extra}")
+    if len(DRIVER_ORDER) != DRIVER_QUERY_CAP:
+        raise RuntimeError(
+            f"driver registry must hold exactly {DRIVER_QUERY_CAP} queries, "
+            f"got {len(DRIVER_ORDER)}"
+        )
+    ordered_q = {n: QUERIES[n] for n in DRIVER_ORDER}
+    ordered_o = {n: ORACLE[n] for n in DRIVER_ORDER if n in ORACLE}
+    return ordered_q, ordered_o
+
+
+def load_aux() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    """Local-only (parity-tested, not driver-shipped) registries."""
+    _import_all()
+    return AUX_QUERIES, AUX_ORACLE

@@ -55,23 +55,33 @@ def proj_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "proj_struct_fields",
+    "proj_struct_strings",
     oracle="""
-    SELECT (s).cname AS cust_name, (s).seg AS segment, (s).bal AS balance
+    SELECT (s).cname AS cust_name,
+           (s).seg   AS segment,
+           (s).bal   AS balance,
+           lower((s).cname)                    AS name_lc,
+           replace((s).cname, 'Customer#', '') AS name_id,
+           length((s).cname)                   AS name_len,
+           (s).cname LIKE 'Customer#0000000%'  AS is_low_id,
+           trim(' ' || (s).seg || ' ')         AS seg_trimmed,
+           substr((s).cname, 10, 4)            AS id_prefix
     FROM (
         SELECT struct_pack(cname := c_name, seg := c_mktsegment, bal := c_acctbal) AS s
-        FROM customer WHERE c_custkey < 200
+        FROM customer WHERE c_custkey < 150
     )
     ORDER BY cust_name
     """,
 )
-def proj_struct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1: struct build + dotted-field projection, the reference's
-    ``externalids.DOI AS doi`` / ``journal.name`` pattern
-    (create_unified_db.py:81-90). Testdata is flat, so the struct is built
-    then immediately projected — Catalyst collapses this to a plain
+def proj_struct_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 + §2.8 string class in one plan: struct build + dotted-field
+    projection (the reference's ``externalids.DOI AS doi`` /
+    ``journal.name`` pattern, create_unified_db.py:81-90) feeding
+    LOWER/REPLACE/LENGTH/LIKE/TRIM/SUBSTR over the projected fields
+    (create_unified_db.py:531-539). Testdata is flat, so the struct is
+    built then immediately projected — Catalyst collapses this to a plain
     projection (CollapseProject), proving struct access is free."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
     nested = c.select(
         F.struct(
             F.col("c_name").alias("cname"),
@@ -83,44 +93,13 @@ def proj_struct_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.cname").alias("cust_name"),
         F.col("s.seg").alias("segment"),
         F.col("s.bal").alias("balance"),
+        F.lower("s.cname").alias("name_lc"),
+        F.regexp_replace(F.col("s.cname"), "Customer#", "").alias("name_id"),
+        F.length("s.cname").alias("name_len"),
+        F.col("s.cname").like("Customer#0000000%").alias("is_low_id"),
+        F.trim(F.concat(F.lit(" "), F.col("s.seg"), F.lit(" "))).alias("seg_trimmed"),
+        F.substring(F.col("s.cname"), 10, 4).alias("id_prefix"),
     ).orderBy("cust_name")
-
-
-@query(
-    "try_cast_tolerant",
-    oracle="""
-    SELECT
-        count(*) AS n_rows,
-        count(TRY_CAST(datestr AS DATE)) AS n_valid_dates,
-        count(TRY_CAST(numstr AS INTEGER)) AS n_valid_nums
-    FROM (
-        SELECT
-            CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
-                 ELSE strftime(o_orderdate, '%Y-%m-%d') END AS datestr,
-            CASE WHEN o_orderkey % 7 = 0 THEN 'NaN?'
-                 ELSE CAST(o_orderkey AS VARCHAR) END AS numstr
-        FROM orders
-    )
-    """,
-)
-def try_cast_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2: TRY_CAST tolerance — the reference wraps every OpenAlex column in
-    TRY_CAST (convert_openalex.py:155-388). Spark equivalent: try_cast /
-    null-on-failure casts (ANSI off)."""
-    o = table(spark, sf_dir, "orders")
-    mixed = o.select(
-        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
-        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
-        .alias("datestr"),
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit("NaN?"))
-        .otherwise(F.col("o_orderkey").cast("string"))
-        .alias("numstr"),
-    )
-    return mixed.agg(
-        F.count("*").alias("n_rows"),
-        F.count(F.expr("try_cast(datestr AS DATE)")).alias("n_valid_dates"),
-        F.count(F.expr("try_cast(numstr AS INT)")).alias("n_valid_nums"),
-    )
 
 
 @query(
@@ -233,36 +212,6 @@ def doi_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "string_functions",
-    oracle="""
-    SELECT c_custkey,
-           lower(c_name)                       AS name_lc,
-           replace(c_name, 'Customer#', '')    AS name_id,
-           length(c_name)                      AS name_len,
-           c_name LIKE 'Customer#0000000%'     AS is_low_id,
-           trim(' ' || c_mktsegment || ' ')    AS seg_trimmed,
-           substr(c_name, 10, 4)               AS id_prefix
-    FROM customer
-    WHERE c_custkey < 150
-    ORDER BY c_custkey
-    """,
-)
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 string class: LOWER/REPLACE/LENGTH/LIKE/TRIM/SUBSTR
-    (create_unified_db.py:531-539)."""
-    c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
-    return c.select(
-        "c_custkey",
-        F.lower("c_name").alias("name_lc"),
-        F.regexp_replace("c_name", "Customer#", "").alias("name_id"),
-        F.length("c_name").alias("name_len"),
-        F.col("c_name").like("Customer#0000000%").alias("is_low_id"),
-        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
-        F.substring("c_name", 10, 4).alias("id_prefix"),
-    ).orderBy("c_custkey")
-
-
-@query(
     "case_coalesce",
     oracle="""
     SELECT
@@ -308,25 +257,48 @@ def case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_functions",
+    "date_try_cast",
     oracle="""
+    WITH mixed AS (
+        SELECT o_orderdate, o_totalprice,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'not-a-date'
+                    ELSE strftime(o_orderdate, '%Y-%m-%d') END AS datestr,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'NaN?'
+                    ELSE CAST(o_orderkey AS VARCHAR) END AS numstr
+        FROM orders
+    )
     SELECT
         CAST(year(o_orderdate) AS INTEGER)  AS order_year,
         CAST(month(o_orderdate) AS INTEGER) AS order_month,
         date_trunc('month', o_orderdate)    AS month_start,
         count(*)                            AS n_orders,
-        CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monthly_total
-    FROM orders
+        CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS monthly_total,
+        count(TRY_CAST(datestr AS DATE))    AS n_valid_dates,
+        count(TRY_CAST(numstr AS INTEGER))  AS n_valid_nums
+    FROM mixed
     GROUP BY 1, 2, 3
     ORDER BY 1, 2
     """,
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8 date class: year/month extraction + date_trunc grouping
-    (create_unified_db.py:76 TRY_CAST-to-DATE; vignette year arithmetic)."""
+def date_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date class + P2 TRY_CAST tolerance in one plan: year/month
+    extraction + date_trunc grouping (create_unified_db.py:76) over a
+    deliberately dirty projection — the reference wraps every OpenAlex
+    column in TRY_CAST (convert_openalex.py:155-388); Spark's try_cast
+    nulls the bad 10%/14% instead of failing (ANSI off)."""
     o = table(spark, sf_dir, "orders")
+    mixed = o.select(
+        "o_orderdate",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .alias("datestr"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("NaN?"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("numstr"),
+    )
     return (
-        o.groupBy(
+        mixed.groupBy(
             F.year("o_orderdate").alias("order_year"),
             F.month("o_orderdate").alias("order_month"),
             F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
@@ -334,6 +306,8 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("monthly_total"),
+            F.count(F.expr("try_cast(datestr AS DATE)")).alias("n_valid_dates"),
+            F.count(F.expr("try_cast(numstr AS INT)")).alias("n_valid_nums"),
         )
         .orderBy("order_year", "order_month")
     )
@@ -430,50 +404,58 @@ def join_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_anti_orphans",
+    "join_anti_semi",
     oracle="""
-    SELECT p.p_partkey, p.p_name
-    FROM part p
-    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
-    ORDER BY p.p_partkey
-    """,
-)
-def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J11: orphan detection as a left-anti join — the reference writes it
-    as LEFT JOIN ... WHERE right.id IS NULL (sanity_checks cell 6); Spark's
-    explicit left_anti is the same plan without the null-filter hack."""
-    p = table(spark, sf_dir, "part")
-    li = table(spark, sf_dir, "lineitem").select("l_partkey")
-    return (
-        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
-        .select("p_partkey", "p_name")
-        .orderBy("p_partkey")
+    WITH act AS (
+        SELECT n.n_name, count(*) AS n_active
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n.n_name
+    ),
+    inact AS (
+        SELECT n.n_name, count(*) AS n_inactive
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n.n_name
     )
-
-
-@query(
-    "join_semi_active",
-    oracle="""
-    SELECT n.n_name, count(*) AS n_active_customers
-    FROM customer c
-    JOIN nation n ON n.n_nationkey = c.c_nationkey
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    GROUP BY n.n_name
-    ORDER BY n.n_name
+    SELECT coalesce(a.n_name, i.n_name)  AS n_name,
+           coalesce(a.n_active, 0)       AS n_active_customers,
+           coalesce(i.n_inactive, 0)     AS n_inactive_customers
+    FROM act a FULL JOIN inact i ON a.n_name = i.n_name
+    ORDER BY n_name
     """,
 )
-def join_semi_active(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3-as-semi: existence check via left_semi (the reference's
-    ``x.col IS NOT NULL AS has_x`` flags are semi-join markers,
-    materialize_unified_papers.py:361-396)."""
+def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (anti) + J3-as-semi in one plan: per nation, customers WITH
+    orders via left_semi and customers WITHOUT via left_anti, recombined
+    with a full-outer join. The reference writes the anti side as
+    LEFT JOIN ... WHERE right.id IS NULL (sanity_checks cell 6) and the
+    semi side as ``x.col IS NOT NULL AS has_x`` flags
+    (materialize_unified_papers.py:361-396); Spark's explicit left_anti /
+    left_semi are the same plans without the null-filter hack."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").select("o_custkey")
     n = table(spark, sf_dir, "nation")
+
+    def per_nation(join_type: str, out: str) -> DataFrame:
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, join_type)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias(out))
+        )
+
+    act = per_nation("left_semi", "n_active")
+    inact = per_nation("left_anti", "n_inactive")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("n_name")
-        .agg(F.count("*").alias("n_active_customers"))
+        act.join(inact, "n_name", "full")
+        .select(
+            "n_name",
+            F.coalesce(F.col("n_active"), F.lit(0)).alias("n_active_customers"),
+            F.coalesce(F.col("n_inactive"), F.lit(0)).alias("n_inactive_customers"),
+        )
         .orderBy("n_name")
     )
 
@@ -595,31 +577,11 @@ def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_count_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           count(*) AS n_orders,
-           count(DISTINCT o_custkey) AS n_customers
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-)
-def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: COUNT(DISTINCT) (materialize_fulltext.py:148-155)."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), F.countDistinct("o_custkey").alias("n_customers"))
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
-    "agg_filtered",
+    "agg_filtered_distinct",
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            count(*) AS n,
+           count(DISTINCT o_custkey) AS n_customers,
            count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
            count(*) FILTER (WHERE o_totalprice > 200000) AS n_large
     FROM orders
@@ -627,14 +589,16 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1
     """,
 )
-def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: filtered aggregates — ``COUNT(*) FILTER (WHERE ...)``
-    (materialize_fulltext.py:150-163) as count(when(...))."""
+def agg_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 + A3 in one plan: COUNT(DISTINCT) (materialize_fulltext.py:148-155)
+    next to ``COUNT(*) FILTER (WHERE ...)`` (materialize_fulltext.py:150-163,
+    as count(when(...))) under the same grouping."""
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
             F.count("*").alias("n"),
+            F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
         )
@@ -643,61 +607,51 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_stats_median",
+    "agg_stats_profile",
     oracle="""
     SELECT l_returnflag,
+           count(*) AS n,
            CAST(round(avg(l_extendedprice), 2) AS DOUBLE)    AS avg_price,
            CAST(min(l_extendedprice) AS DOUBLE)              AS min_price,
            CAST(max(l_extendedprice) AS DOUBLE)              AS max_price,
            CAST(round(median(l_extendedprice), 2) AS DOUBLE) AS median_price,
-           CAST(round(sum(l_quantity), 2) AS DOUBLE)         AS sum_qty
+           CAST(round(sum(l_quantity), 2) AS DOUBLE)         AS sum_qty,
+           CAST(round(quantile_cont(l_extendedprice, 0.25), 2) AS DOUBLE) AS p25,
+           CAST(round(quantile_cont(l_extendedprice, 0.75), 2) AS DOUBLE) AS p75,
+           CAST(round(quantile_cont(l_extendedprice, 0.95), 2) AS DOUBLE) AS p95,
+           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
+           CAST(round(corr(l_discount, l_tax), 6) AS DOUBLE)           AS corr_disc_tax
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
     """,
 )
-def agg_stats_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4+A5: AVG/MIN/MAX/SUM + exact MEDIAN (vignette_1 cell 2;
-    materialize_fulltext.py:158-164). Spark's ``median`` is exact like
-    DuckDB's; at 100 TB swap to percentile_approx — same plan shape."""
+def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5+A6 in one plan: AVG/MIN/MAX/SUM + exact MEDIAN (vignette_1
+    cell 2; materialize_fulltext.py:158-164), exact interpolated quantiles
+    (Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics), and Pearson correlation — the
+    reference's cross-source citation-count consistency check over 121M
+    rows (sanity_checks cell 8). Exact percentile buffers per-group value
+    arrays; at 100 TB use operators.stats.approx_stats_profile
+    (percentile_approx) — same plan shape, bounded memory."""
     li = table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
+            F.count("*").alias("n"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
             F.min("l_extendedprice").alias("min_price"),
             F.max("l_extendedprice").alias("max_price"),
             F.round(F.median("l_extendedprice"), 2).alias("median_price"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query(
-    "agg_corr",
-    oracle="""
-    SELECT l_linestatus,
-           CAST(round(corr(l_quantity, l_extendedprice), 6) AS DOUBLE) AS corr_qty_price,
-           CAST(round(corr(l_discount, l_tax), 6) AS DOUBLE)           AS corr_disc_tax,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_linestatus
-    ORDER BY l_linestatus
-    """,
-)
-def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: Pearson correlation — the reference's cross-source citation-count
-    consistency check over 121M rows (sanity_checks cell 8)."""
-    li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_linestatus")
-        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
             F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
             F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
-            F.count("*").alias("n"),
         )
-        .orderBy("l_linestatus")
+        .orderBy("l_returnflag")
     )
 
 
@@ -990,36 +944,6 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_quantiles",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(round(quantile_cont(o_totalprice, 0.25), 2) AS DOUBLE) AS p25,
-           CAST(round(quantile_cont(o_totalprice, 0.50), 2) AS DOUBLE) AS p50,
-           CAST(round(quantile_cont(o_totalprice, 0.75), 2) AS DOUBLE) AS p75,
-           CAST(round(quantile_cont(o_totalprice, 0.95), 2) AS DOUBLE) AS p95
-    FROM orders
-    GROUP BY o_orderstatus
-    ORDER BY o_orderstatus
-    """,
-)
-def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (A5 generalized). Spark ``percentile``
-    and DuckDB ``quantile_cont`` share linear-interpolation semantics. At
-    100 TB swap to percentile_approx — identical plan shape."""
-    o = table(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderstatus")
-        .agg(
-            *[
-                F.round(F.expr(f"percentile(o_totalprice, {q})"), 2).alias(name)
-                for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.95, "p95")]
-            ]
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@query(
     "events_hourly_gapfill",
     oracle="""
     WITH bounds AS (
@@ -1077,24 +1001,39 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_hourly_window",
+    "events_windows",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start,
+    SELECT 'tumbling' AS win_kind,
+           date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
            CAST(round(sum(value), 2) AS DOUBLE) AS total_value
     FROM events
-    GROUP BY 1, 2
-    ORDER BY 1, 2
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS win_kind,
+           make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800 * i) AS BIGINT) * 1000000)
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+    FROM events, unnest([0, 1]) AS t(i)
+    GROUP BY 2, 3
+    ORDER BY win_kind, window_start, event_type
     """,
 )
-def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (batch form). The same plan runs as
-    Structured Streaming with a watermark in streaming/events.py — this
-    batch twin is the oracle-checkable version (SURVEY §2.10)."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) + sliding (1h length / 30min slide) window aggregation
+    in one UNION ALL plan (batch form). Every event lands in exactly 2
+    overlapping sliding windows; Spark's window() expands rows natively
+    while the oracle reconstructs the same epoch-aligned starts. The same
+    plans run as Structured Streaming with a watermark in
+    streaming/events.py — these batch twins are the oracle-checkable
+    versions (SURVEY §2.10)."""
     e = table(spark, sf_dir, "events")
-    return (
+    tumbling = (
         e.groupBy(
             F.date_trunc("hour", F.col("ts")).alias("window_start"),
             F.col("event_type"),
@@ -1104,38 +1043,25 @@ def events_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("window_start", "event_type")
+        .select(F.lit("tumbling").alias("win_kind"), "*")
     )
-
-
-@query(
-    "events_sliding_window",
-    oracle="""
-    SELECT make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - 1800 * i) AS BIGINT) * 1000000)
-               AS window_start,
-           event_type,
-           count(*) AS n_events,
-           CAST(round(sum(value), 2) AS DOUBLE) AS total_value
-    FROM events, unnest([0, 1]) AS t(i)
-    GROUP BY 1, 2
-    ORDER BY 1, 2
-    """,
-)
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding windows (1h length / 30min slide) in batch: every event
-    lands in exactly 2 overlapping windows. Spark's window() expands rows
-    natively; the oracle reconstructs the same epoch-aligned starts. The
-    streaming twin is streaming/events.sliding_user_activity."""
-    e = table(spark, sf_dir, "events")
-    return (
+    sliding = (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
-        .orderBy("window_start", "event_type")
+        .select(
+            F.lit("sliding").alias("win_kind"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
     )
+    return tumbling.unionByName(sliding).orderBy("win_kind", "window_start", "event_type")
 
 
 @query(

@@ -319,6 +319,7 @@ def _bucket_sql(col: str) -> str:
 
 @query(
     "sim_lsh_bucket_stats",
+    aux=True,
     oracle=f"""
     SELECT {_bucket_sql('embedding')} AS bucket,
            count(*) AS n_vecs,
@@ -428,14 +429,20 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_docs,
            CAST(round(avg(len({_WORDS})), 2) AS DOUBLE) AS avg_tokens,
            CAST(max(len({_WORDS})) AS INTEGER) AS max_tokens,
-           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars
+           CAST(round(avg(n_chars), 2) AS DOUBLE) AS avg_chars,
+           CAST(sum(list_sum(list_transform({_WORDS},
+                w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))) AS BIGINT) AS est_bpe_tokens,
+           CAST(sum(len({_WORDS})) AS BIGINT) AS word_tokens
     FROM documents
     GROUP BY source
     ORDER BY source
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per source (whitespace tokenizer) — corpus budgeting."""
+    """Token counting per source (whitespace tokenizer) + BPE-ish token
+    estimation (≈4 chars/piece) in one per-source aggregation — corpus /
+    LLM-context budgeting without a tokenizer dependency; pure codegen
+    arithmetic, no UDFs."""
     d = table(spark, sf_dir, "documents")
     nt = T.token_count(F.col("text"))
     return (
@@ -445,32 +452,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(nt), 2).alias("avg_tokens"),
             F.max(nt).alias("max_tokens"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-        )
-        .orderBy("source")
-    )
-
-
-@query(
-    "text_bpe_token_estimate",
-    oracle=f"""
-    SELECT source,
-           CAST(sum(list_sum(list_transform({_WORDS},
-                w -> CAST(ceil(length(w) / 4.0) AS INTEGER)))) AS BIGINT) AS est_bpe_tokens,
-           CAST(sum(len({_WORDS})) AS BIGINT) AS word_tokens
-    FROM documents
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token estimation (≈4 chars/piece) — LLM context budgeting
-    without a tokenizer dependency; pure codegen arithmetic."""
-    d = table(spark, sf_dir, "documents")
-    return (
-        d.groupBy("source")
-        .agg(
             F.sum(T.bpe_ish_token_count(F.col("text"))).cast("long").alias("est_bpe_tokens"),
-            F.sum(T.token_count(F.col("text"))).cast("long").alias("word_tokens"),
+            F.sum(nt).cast("long").alias("word_tokens"),
         )
         .orderBy("source")
     )
@@ -480,10 +463,10 @@ _STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
 
 
 @query(
-    "text_quality_scores",
+    "text_quality_langid",
     oracle=f"""
     WITH base AS (
-        SELECT doc_id,
+        SELECT doc_id, lang,
                len({_WORDS}) AS n_tokens,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1) AS alpha,
@@ -492,6 +475,8 @@ _STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
         FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
+           lang,
+           CASE WHEN stop >= 0.10 THEN 'en' ELSE 'other' END AS predicted_lang,
            CAST(n_tokens AS INTEGER) AS n_tokens,
            CAST(round(alpha, 4) AS DOUBLE) AS alpha_ratio,
            CAST(round(stop, 4) AS DOUBLE) AS stop_ratio,
@@ -501,49 +486,19 @@ _STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
     ORDER BY doc_id
     """,
 )
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring: alpha ratio, stopword density, length
-    term — the reference's is_readable_text generalized to a score
-    (convert_openalex.py:120-136)."""
+def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring (alpha ratio, stopword density, length
+    term — the reference's is_readable_text generalized to a score,
+    convert_openalex.py:120-136) plus the language-ID heuristic
+    (function-word density, the langdetect-UDF replacement,
+    convert_fulltext.py:78-87) next to the labeled lang column."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id",
+        "lang",
+        T.predict_lang(F.col("text"), threshold=0.10).alias("predicted_lang"),
         T.token_count(F.col("text")).alias("n_tokens"),
         F.round(T.alpha_ratio(F.col("text")), 4).alias("alpha_ratio"),
         F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
         T.quality_score(F.col("text")).alias("quality"),
     ).orderBy("doc_id")
-
-
-@query(
-    "text_langid_agreement",
-    oracle=f"""
-    WITH scored AS (
-        SELECT lang,
-               CASE WHEN CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
-                         / greatest(len({_WORDS}), 1) >= 0.10
-                    THEN 'en' ELSE 'other' END AS predicted
-        FROM documents
-    )
-    SELECT lang,
-           count(*) AS n,
-           CAST(sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
-    FROM scored
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic (function-word density) vs the labeled lang
-    column — the langdetect-UDF replacement (convert_fulltext.py:78-87)."""
-    d = table(spark, sf_dir, "documents")
-    pred = T.predict_lang(F.col("text"), threshold=0.10)
-    return (
-        d.select("lang", pred.alias("predicted"))
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(F.col("predicted") == "en", 1).otherwise(0)).cast("long").alias("n_pred_en"),
-        )
-        .orderBy("lang")
-    )

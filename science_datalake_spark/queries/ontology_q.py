@@ -1,0 +1,133 @@
+"""Ontology query: SKOS thesaurus → hierarchy k-hop rollup (SURVEY §2.1
+S8 + §2.9 ontology walkers as a driver-checked query).
+
+The input is an embedded SKOS **Turtle** document — exercising the
+sources/ontology.py Turtle parser (reference: convert_ontologies.py:
+327-439 parses PhySH/AGROVOC/UNESCO/STW SKOS via rdflib; here the same
+walk runs on a dependency-free parser). Parsing is driver-side (ontology
+files are small); the traversal itself is distributed DataFrame
+self-joins — the identical plan shape used on real hierarchies by
+operators/graph.k_hop.
+
+The DuckDB oracle replicates the *expected parse output* as VALUES and
+the same 2-hop traversal relationally, so a parser regression (dropped
+edge, wrong label language preference) shows up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from science_datalake_spark.queries import query
+
+_C = "https://ex.org/concepts/"
+
+#: SKOS Turtle fixture: prefixed names, `a`, `;`/`,` lists, language
+#: tags (de labels must lose to en), altLabel, broader, narrower,
+#: exactMatch — the predicate subset of convert_ontologies.py:352-439.
+_TTL_FIXTURE = """
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix c: <https://ex.org/concepts/> .
+
+c:science a skos:Concept ;
+    skos:prefLabel "Science"@en ;
+    skos:definition "Systematic knowledge of the world"@en .
+
+c:physics a skos:Concept ;
+    skos:prefLabel "Physik"@de , "Physics"@en ;
+    skos:altLabel "physical sciences"@en ;
+    skos:broader c:science .
+
+c:quantum a skos:Concept ;
+    skos:prefLabel "Quantum mechanics"@en ;
+    skos:broader c:physics ;
+    skos:exactMatch <https://www.wikidata.org/entity/Q944> .
+
+c:optics a skos:Concept ;
+    skos:prefLabel "Optics"@en ;
+    skos:broader c:physics .
+
+c:qft a skos:Concept ;
+    skos:prefLabel "Quantum field theory"@en ;
+    skos:broader c:quantum .
+
+c:chemistry a skos:Concept ;
+    skos:prefLabel "Chemistry"@en ;
+    skos:broader c:science .
+
+c:biology a skos:Concept ;
+    skos:prefLabel "Biology"@en ;
+    skos:broader c:science ;
+    skos:narrower c:genetics .
+
+c:genetics a skos:Concept ;
+    skos:prefLabel "Genetics"@en .
+"""
+
+
+@query(
+    "ontology_skos_khop",
+    oracle=f"""
+    WITH edges(parent_id, child_id) AS (VALUES
+        ('{_C}science',  '{_C}physics'),
+        ('{_C}physics',  '{_C}quantum'),
+        ('{_C}physics',  '{_C}optics'),
+        ('{_C}quantum',  '{_C}qft'),
+        ('{_C}science',  '{_C}chemistry'),
+        ('{_C}science',  '{_C}biology'),
+        ('{_C}biology',  '{_C}genetics')
+    ),
+    terms(id, label) AS (VALUES
+        ('{_C}science',   'Science'),
+        ('{_C}physics',   'Physics'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology'),
+        ('{_C}genetics',  'Genetics')
+    ),
+    d1 AS (
+        SELECT child_id AS id, 1 AS depth FROM edges
+        WHERE parent_id = '{_C}science'
+    ),
+    d2 AS (
+        SELECT e.child_id AS id, 2 AS depth
+        FROM d1 JOIN edges e ON e.parent_id = d1.id
+    ),
+    reach AS (
+        SELECT id, CAST(min(depth) AS INTEGER) AS depth
+        FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        GROUP BY id
+    )
+    SELECT r.id AS concept_id, t.label AS label, r.depth AS depth
+    FROM reach r JOIN terms t ON t.id = r.id
+    ORDER BY depth, concept_id
+    """,
+)
+def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the SKOS Turtle fixture and return every concept within two
+    hops below ``c:science`` with its English label and min depth.
+
+    Plan shape (the one that scales to a 42k-term AGROVOC or a full MeSH):
+    hierarchy self-join per hop (shuffle on parent_id), min-depth groupBy,
+    then a label join — no driver-side traversal, no collect()."""
+    from science_datalake_spark.sources.ontology import skos_to_tables
+
+    t = skos_to_tables(spark, _TTL_FIXTURE, fmt="ttl")
+    edges = t.hierarchy.select("parent_id", "child_id")
+    root = _C + "science"
+    d1 = edges.filter(F.col("parent_id") == root).select(
+        F.col("child_id").alias("id"), F.lit(1).alias("depth")
+    )
+    d2 = d1.join(edges, d1["id"] == edges["parent_id"]).select(
+        F.col("child_id").alias("id"), F.lit(2).alias("depth")
+    )
+    reach = d1.unionAll(d2).groupBy("id").agg(F.min("depth").alias("depth"))
+    labels = t.terms.select(F.col("id"), F.col("label"))
+    return (
+        reach.join(labels, "id")
+        .select(F.col("id").alias("concept_id"), "label", "depth")
+        .orderBy("depth", "concept_id")
+    )

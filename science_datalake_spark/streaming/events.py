@@ -46,7 +46,7 @@ def read_event_stream(spark: SparkSession, input_dir: str, fmt: str = "json") ->
 
 def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windows with late-data watermark: the streaming twin
-    of the batch ``events_hourly_window`` query (same logical result on a
+    of the batch ``events_windows`` query (tumbling half) (same logical result on a
     closed input set)."""
     return (
         stream.withWatermark("ts", watermark)

@@ -13,7 +13,13 @@ from science_datalake_spark.operators.graph import (
     transitive_closure,
 )
 from science_datalake_spark.operators.linkage import fuzzy_label_join
-from science_datalake_spark.sources.ontology import ntriples_to_tables, obo_to_tables
+from science_datalake_spark.sources.ontology import (
+    ntriples_to_tables,
+    obo_to_tables,
+    parse_rdf_xml,
+    parse_turtle,
+    skos_to_tables,
+)
 
 OBO_SAMPLE = """format-version: 1.2
 ontology: toy
@@ -86,6 +92,96 @@ def test_ntriples_parser_tables(spark):
         ("http://ex.org/t1", "http://ex.org/t2")
     ]
     assert t.xrefs.count() == 1
+
+
+TTL_SAMPLE = """
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix ex: <http://ex.org/> .
+
+# comment line
+ex:t1 a skos:Concept ;
+    skos:prefLabel "apprentissage"@fr , "machine learning"@en ;
+    skos:altLabel "ML"@en ;
+    skos:definition "Learning from data"@en .
+
+ex:t2 a skos:Concept ;
+    skos:prefLabel "deep learning"@en ;
+    skos:broader ex:t1 ;
+    skos:narrower ex:t3 ;
+    skos:exactMatch <http://umls.org/C4264611> ;
+    skos:related [ skos:prefLabel "anon"@en ] .
+
+ex:t3 skos:prefLabel "convnets"@en .
+"""
+
+RDFXML_SAMPLE = """<?xml version="1.0" encoding="UTF-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:skos="http://www.w3.org/2004/02/skos/core#">
+  <skos:Concept rdf:about="http://ex.org/t1">
+    <skos:prefLabel xml:lang="fr">apprentissage</skos:prefLabel>
+    <skos:prefLabel xml:lang="en">machine learning</skos:prefLabel>
+    <skos:altLabel xml:lang="en">ML</skos:altLabel>
+  </skos:Concept>
+  <rdf:Description rdf:about="http://ex.org/t2">
+    <rdf:type rdf:resource="http://www.w3.org/2004/02/skos/core#Concept"/>
+    <skos:prefLabel xml:lang="en">deep learning</skos:prefLabel>
+    <skos:broader rdf:resource="http://ex.org/t1"/>
+    <skos:exactMatch rdf:resource="http://umls.org/C4264611"/>
+    <skos:narrower>
+      <skos:Concept rdf:about="http://ex.org/t3">
+        <skos:prefLabel xml:lang="en">convnets</skos:prefLabel>
+      </skos:Concept>
+    </skos:narrower>
+  </rdf:Description>
+</rdf:RDF>
+"""
+
+
+def _assert_skos_tables(t):
+    """Shared assertions: all three serializations must walk identically."""
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert terms["http://ex.org/t1"]["label"] == "machine learning"  # @en beats @fr
+    assert terms["http://ex.org/t1"]["synonyms"] == ["ML"]
+    hier = {(r["parent_id"], r["child_id"], r["relation"]) for r in t.hierarchy.collect()}
+    assert ("http://ex.org/t1", "http://ex.org/t2", "broader") in hier
+    assert ("http://ex.org/t2", "http://ex.org/t3", "narrower") in hier
+    xr = {(r["term_id"], r["xref_db"], r["xref_id"]) for r in t.xrefs.collect()}
+    assert ("http://ex.org/t2", "exactMatch", "http://umls.org/C4264611") in xr
+
+
+def test_skos_turtle_tables(spark):
+    t = skos_to_tables(spark, TTL_SAMPLE, fmt="ttl")
+    _assert_skos_tables(t)
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert terms["http://ex.org/t1"]["definition"] == "Learning from data"
+    assert not any(i.startswith("_:") for i in terms)  # bnodes excluded
+
+
+def test_skos_rdfxml_tables(spark):
+    t = skos_to_tables(spark, RDFXML_SAMPLE, fmt="rdf")
+    _assert_skos_tables(t)
+
+
+def test_turtle_parser_quads():
+    quads = parse_turtle(TTL_SAMPLE)
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    skos_concept = "http://www.w3.org/2004/02/skos/core#Concept"
+    assert ("http://ex.org/t1", rdf_type, skos_concept, None) in quads
+    # comma-list fans out to two prefLabel quads with distinct lang tags
+    pls = [q for q in quads if q[0] == "http://ex.org/t1" and q[1].endswith("prefLabel")]
+    assert {(q[2], q[3]) for q in pls} == {
+        ("apprentissage", "fr"),
+        ("machine learning", "en"),
+    }
+
+
+def test_rdfxml_parser_nested_nodes():
+    quads = parse_rdf_xml(RDFXML_SAMPLE)
+    # nested node element contributes both the link quad and its own labels
+    assert ("http://ex.org/t2", "http://www.w3.org/2004/02/skos/core#narrower",
+            "http://ex.org/t3", None) in quads
+    assert ("http://ex.org/t3", "http://www.w3.org/2004/02/skos/core#prefLabel",
+            "convnets", "en") in quads
 
 
 def test_hierarchy_traversal(spark):

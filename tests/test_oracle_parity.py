@@ -6,9 +6,12 @@ from __future__ import annotations
 import pytest
 
 from science_datalake_spark.oracle import check_parity, duckdb_connection
-from science_datalake_spark.queries import load_all
+from science_datalake_spark.queries import load_all, load_aux
 
 QUERIES, ORACLE = load_all()
+_AUX_Q, _AUX_O = load_aux()
+QUERIES.update(_AUX_Q)  # aux queries get the same local parity gate
+ORACLE.update(_AUX_O)
 
 
 @pytest.fixture(scope="module")

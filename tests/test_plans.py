@@ -64,7 +64,7 @@ def test_codegen_active(spark, sf_oracle):
 
 
 def test_anti_join_no_cross(spark, sf_oracle):
-    plan = plans.physical_plan(QUERIES["join_anti_orphans"](spark, sf_oracle))
+    plan = plans.physical_plan(QUERIES["join_anti_semi"](spark, sf_oracle))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
 
@@ -78,7 +78,7 @@ def test_expression_join_stays_hash(spark, sf_oracle):
 def test_struct_projection_collapses(spark, sf_oracle):
     """P1: build-struct-then-project must not materialize the struct —
     the scan reads only the 3 referenced columns."""
-    df = QUERIES["proj_struct_fields"](spark, sf_oracle)
+    df = QUERIES["proj_struct_strings"](spark, sf_oracle)
     cols = set(plans.scan_columns(df))
     assert cols <= {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}, cols
 
