@@ -26,6 +26,24 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _materialize_release(out: DataFrame, *inputs: DataFrame) -> DataFrame:
+    """Eagerly materialize ``out`` (persist + count), then unpersist the
+    ``inputs`` it consumed.
+
+    This is the cache-lifetime contract for the self-join operators below:
+    the big intermediate (signatures / shingle relation) is cached only for
+    the duration of the join, and the *small* result (candidate pairs,
+    near-linear in corpus size) is returned persisted. Callers in
+    long-lived sessions (CLI shell, pipeline orchestrator) own the returned
+    handle and should ``unpersist()`` it when done — repeated calls no
+    longer accumulate the large intermediates (round-1 verdict finding)."""
+    out = out.persist()
+    out.count()
+    for df in inputs:
+        df.unpersist()
+    return out
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Repartition by id before explode-amplification.
 
@@ -104,7 +122,9 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
     reference it, and without materialization Spark recomputes the whole
     shingle+hash pipeline twice (observed 9.8s → 1.1s at sf0.1). This is
     the reference's materialize-once/extract-many discipline
-    (convert_openalex.py:1095-1175) applied to a self-join input.
+    (convert_openalex.py:1095-1175) applied to a self-join input. The
+    signature cache is released before returning; the returned pair set is
+    persisted and owned by the caller (see _materialize_release).
     """
     signatures = signatures.persist()
     stack_args = ", ".join(f"'{b}', mh{b}" for b in range(num_hashes))
@@ -113,7 +133,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -123,6 +143,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+    return _materialize_release(pairs, signatures)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -163,7 +184,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     """
     # persisted: the shingle relation feeds both self-join sides AND the
     # sizes aggregate — without materialization the explode+distinct
-    # pipeline runs three times (same discipline as lsh_candidate_pairs)
+    # pipeline runs three times (same discipline as lsh_candidate_pairs);
+    # released before returning via _materialize_release
     shingles = (
         with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
         .select(id_col, F.explode("ng").alias("__ng"))
@@ -180,7 +202,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"))
-    return (
+    scored = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -188,3 +210,4 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
         )
     )
+    return _materialize_release(scored, shingles)

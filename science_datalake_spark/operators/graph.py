@@ -69,12 +69,32 @@ def transitive_closure(
 
 
 def cooccurrence(
-    memberships: DataFrame, group_col: str, item_col: str, min_count: int = 1
+    memberships: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 1,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Item pairs sharing a group (papers sharing a topic, parts sharing an
     order), with co-occurrence counts. The self-join key is the group —
-    bucket sizes bound the quadratic term exactly like LSH bands."""
+    bucket sizes bound the quadratic term exactly like LSH bands.
+
+    ``max_group_size`` is the skew guard (round-1 verdict finding): one
+    degenerate group — a mega-venue with 100k papers — emits O(n²) pairs
+    from a single join key, all in one task. Groups above the cap are
+    dropped *before* the self-join via a broadcast of the (tiny) oversized-
+    group list; co-occurrence inside such groups is near-meaningless
+    anyway (everything co-occurs with everything). Same design as the
+    fuzzy-join guard and the LSH bucket-cap prescription (dedup.py)."""
     m = memberships.select(group_col, item_col).distinct()
+    if max_group_size is not None:
+        oversized = (
+            m.groupBy(group_col)
+            .agg(F.count("*").alias("__gsz"))
+            .filter(F.col("__gsz") > max_group_size)
+            .select(group_col)
+        )
+        m = m.join(F.broadcast(oversized), group_col, "left_anti")
     a = m.alias("a")
     b = m.alias("b")
     return (

@@ -9,10 +9,14 @@ Reference parallels:
   (evaluate_ontology_alignment.py:49-177) → ``stratified_sample``.
 
 Determinism: rand(seed) is deterministic per row ONLY for a fixed
-partitioning, so both operators repartition deterministically by a key
-column first — same seed + same data ⇒ same sample, under any input
-partitioning. That is what makes a sampled gold set reproducible
-(record once, annotate once, evaluate forever).
+partitioning, so neither operator uses it. Both instead order rows by a
+seeded ``xxhash64`` of ``key_col`` — a pure function of the row's key, so
+same seed + same data ⇒ same sample under ANY input partitioning. This
+requires ``key_col`` values to be unique (a duplicated key hashes to a
+tie, broken by the secondary key_col sort, which is then also tied —
+sample membership at the boundary becomes arbitrary). That is what makes
+a sampled gold set reproducible (record once, annotate once, evaluate
+forever).
 
 Scale: one shuffle + one window; the window partitions by stratum so no
 single task sees more than a stratum.

@@ -1,0 +1,71 @@
+"""Scale-safe statistical profiling: approximate quantiles as the
+exported operator, exact only for oracle parity.
+
+Exact ``percentile``/``median`` buffer the full per-group value array in
+executor memory (OpenHashMap of every value) — the round-1 bench's two
+slowest aggregations, and an OOM hazard on a 100 TB group. Spark's
+``percentile_approx`` (Greenwald-Khanna sketch, fixed memory ∝ accuracy,
+mergeable partials → map-side combine works) is the right default at
+scale; the relative-error bound is 1/accuracy.
+
+The driver-checked query ``agg_stats_profile`` keeps exact percentiles —
+DuckDB's ``quantile_cont`` is exact, so parity demands it — and its
+docstring points here, mirroring the reference's own exact-median usage
+at small scale (materialize_fulltext.py:158-164).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group quantile sketch: one shuffle, map-side-mergeable partials,
+    memory bounded by ``accuracy`` (relative rank error ≤ 1/accuracy)
+    regardless of group size. Output columns: ``p25``/``p50``/... derived
+    from the quantile fractions."""
+    qarr = "array(" + ", ".join(f"{q}D" for q in quantiles) + ")"
+    sketched = df.groupBy(*keys).agg(
+        F.expr(f"percentile_approx({value_col}, {qarr}, {accuracy})").alias("__qs")
+    )
+    cols = [F.col("__qs")[i].alias(f"p{int(round(q * 100))}") for i, q in enumerate(quantiles)]
+    return sketched.select(*keys, *cols)
+
+
+def approx_stats_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The agg_stats_profile shape with bounded memory: count/avg/min/max
+    (algebraic, exact) + sketched median and p25/p75/p95. Same single
+    shuffle, no per-group value buffering — safe for degenerate groups."""
+    qarr = "array(0.25D, 0.5D, 0.75D, 0.95D)"
+    profiled = df.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(value_col), 2).alias("avg"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+        F.expr(f"percentile_approx({value_col}, {qarr}, {accuracy})").alias("__qs"),
+    )
+    return profiled.select(
+        *keys,
+        "n",
+        "avg",
+        "min",
+        "max",
+        F.round(F.col("__qs")[0], 2).alias("p25"),
+        F.round(F.col("__qs")[1], 2).alias("median"),
+        F.round(F.col("__qs")[2], 2).alias("p75"),
+        F.round(F.col("__qs")[3], 2).alias("p95"),
+    )

@@ -95,13 +95,32 @@ def compact(
     compression: str = "zstd",
 ) -> int:
     """Merge a shard directory in place: count → write compacted copy →
-    verify count → atomic swap; orphaned tmp dirs from a crash are removed
-    first (the reference's recovery path, convert_openalex.py:1537-1552).
-    Refuses to swap on count mismatch."""
+    verify count → atomic swap; orphaned tmp dirs from a crash are
+    recovered or removed first (the reference's recovery path,
+    convert_openalex.py:1536-1552). Refuses to swap on count mismatch.
+
+    Crash windows: a crash between the two swap renames leaves NO
+    shard_dir — the data survives only in ``__old-*`` (the original) or
+    ``__compact-*`` (the verified copy). Recovery must therefore rename an
+    orphan back into place BEFORE deleting orphans; unconditionally
+    deleting them first would destroy the only copies."""
     parent = os.path.dirname(shard_dir.rstrip("/"))
     base = os.path.basename(shard_dir.rstrip("/"))
     # tmp/backup names must NOT start with '.' — Spark's hidden-path filter
     # refuses to read dot-prefixed directories even as the read root
+    if not os.path.exists(shard_dir):
+        # prefer the original (__old-*) — it is always complete; a
+        # __compact-* orphan may predate its count verification
+        candidates = sorted(
+            s for s in os.listdir(parent or ".") if s.startswith(f"{base}__old-")
+        ) or sorted(
+            s for s in os.listdir(parent or ".") if s.startswith(f"{base}__compact-")
+        )
+        if not candidates:
+            raise FileNotFoundError(
+                f"{shard_dir} missing and no __old-/__compact- orphan to recover"
+            )
+        os.rename(os.path.join(parent, candidates[0]), shard_dir)
     for stale in os.listdir(parent or "."):
         if stale.startswith(f"{base}__compact-") or stale.startswith(f"{base}__old-"):
             shutil.rmtree(os.path.join(parent, stale), ignore_errors=True)

@@ -69,6 +69,97 @@ def test_fuzzy_join_guard_degrades_to_exact(spark):
     assert {(r["name"], r["label"]) for r in got} == {("alpha", "alpha"), ("alpha", "ALPHA")}
 
 
+def test_fuzzy_join_guard_precomputed_count(spark):
+    """right_count bypasses the probe job and still drives the guard."""
+    left = spark.createDataFrame([("alpha",)], "name STRING")
+    right = spark.createDataFrame([("alpha",), ("alphaa",), ("gamma",)], "label STRING")
+    # claimed-over-cap → exact fallback without any count job on `right`
+    guarded = fuzzy_label_join(
+        left, right, "name", "label", threshold=0.9, max_right_rows=2, right_count=3
+    )
+    assert all(r["similarity"] == 1.0 for r in guarded.collect())
+    # claimed-under-cap → fuzzy path
+    fuzzy = fuzzy_label_join(
+        left, right, "name", "label", threshold=0.9, max_right_rows=5, right_count=3
+    )
+    assert {r["label"] for r in fuzzy.collect()} == {"alpha", "alphaa"}
+
+
+def test_dedup_selfjoins_release_input_cache(spark):
+    """lsh_candidate_pairs / ngram_jaccard_pairs must not leak the large
+    signature/shingle caches (round-1 verdict #1): after the call only the
+    small returned pair-set is cached, and the caller can release it."""
+    from science_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(30)],
+        "doc_id INT, text STRING",
+    )
+
+    def n_cached() -> int:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return jmap.size()
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    assert pairs.count() > 0
+    assert n_cached() == 1  # only the returned pair-set
+    pairs.unpersist()
+    assert n_cached() == 0
+
+    scored = ngram_jaccard_pairs(docs, "doc_id", "text")
+    assert scored.count() > 0
+    assert n_cached() == 1
+    scored.unpersist()
+    assert n_cached() == 0
+
+
+def test_cooccurrence_skew_cap(spark):
+    """max_group_size drops degenerate groups before the self-join."""
+    from science_datalake_spark.operators.graph import cooccurrence
+
+    rows = [("mega", f"i{k}") for k in range(50)] + [("small", "a"), ("small", "b")]
+    m = spark.createDataFrame(rows, "grp STRING, item STRING")
+    capped = cooccurrence(m, "grp", "item", max_group_size=10)
+    got = {(r["item_a"], r["item_b"]) for r in capped.collect()}
+    assert got == {("a", "b")}  # mega's 1225 pairs suppressed
+    uncapped = cooccurrence(m, "grp", "item")
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
+def test_approx_stats_profile_matches_exact(spark, sf_oracle):
+    """Sketch-based profile ≈ exact on real data (rank error ≤ 1/accuracy)."""
+    from science_datalake_spark.operators.stats import approx_quantiles, approx_stats_profile
+
+    li = table(spark, sf_oracle, "lineitem")
+    approx = {
+        r["l_returnflag"]: r
+        for r in approx_stats_profile(li, ["l_returnflag"], "l_extendedprice").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert a["n"] == e["n"]
+        assert abs(a["median"] - e["median"]) / e["median"] < 0.01
+        assert abs(a["p95"] - e["p95"]) / e["p95"] < 0.01
+    q = approx_quantiles(li, ["l_returnflag"], "l_extendedprice").collect()
+    assert {c for c in q[0].asDict()} == {"l_returnflag", "p25", "p50", "p75", "p95"}
+
+
 def test_xref_bridge_normalizes_aliases(spark):
     xa = spark.createDataFrame(
         [("a1", "UMLS_CUI", "C001"), ("a2", "MSH", "D01"), ("a3", "FOO", "X")],

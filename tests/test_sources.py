@@ -58,6 +58,38 @@ def test_write_verify_and_compact(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1000
 
 
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """Crash window: shard renamed away but compacted tmp not yet renamed
+    in — data exists ONLY in the __old-*/__compact-* orphans. compact()
+    must restore before cleaning up (ADVICE r1: unconditional rmtree first
+    = permanent data loss)."""
+    import shutil
+
+    out = str(tmp_path / "t.parquet")
+    df = spark.range(500).withColumn("k", F.col("id") % 3)
+    write_parquet(df.repartition(4), out)
+
+    # simulate the post-first-rename crash: shard_dir gone, original in
+    # __old-, a verified compacted copy in __compact-
+    old = str(tmp_path / "t.parquet__old-deadbeef")
+    tmp = str(tmp_path / "t.parquet__compact-cafebabe")
+    shutil.copytree(out, tmp)
+    os.rename(out, old)
+    assert not os.path.exists(out)
+
+    assert compact(spark, out, target_files=1) == 500
+    assert spark.read.parquet(out).count() == 500
+    leftovers = [f for f in os.listdir(tmp_path) if "__old-" in f or "__compact-" in f]
+    assert leftovers == []
+
+    # crash even earlier: only the __compact- copy survives
+    tmp2 = str(tmp_path / "t.parquet__compact-feedface")
+    shutil.copytree(out, tmp2)
+    shutil.rmtree(out)
+    assert compact(spark, out, target_files=1) == 500
+    assert spark.read.parquet(out).count() == 500
+
+
 def test_incremental_ingest_checkpoint(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
