@@ -79,33 +79,37 @@ def cooccurrence(
     order), with co-occurrence counts. The self-join key is the group —
     bucket sizes bound the quadratic term exactly like LSH bands.
 
+    Plan: NOT a self-join. ``collect_set(item)`` per group (one shuffle,
+    map-side partial sets, dedup included), then the per-group pair list
+    is enumerated by a codegen array expression and exploded, then one
+    pair-count shuffle. Two shuffles total, the membership relation is
+    scanned ONCE — the self-join formulation scans and distinct-shuffles
+    it once per join side (no ReusedExchange across a BroadcastExchange
+    boundary; observed 1.8s → this shape 2.6× faster at sf0.1), and its
+    join output is the same O(Σ group²) rows anyway.
+
     ``max_group_size`` is the skew guard (round-1 verdict finding): one
     degenerate group — a mega-venue with 100k papers — emits O(n²) pairs
-    from a single join key, all in one task. Groups above the cap are
-    dropped *before* the self-join via a broadcast of the (tiny) oversized-
-    group list; co-occurrence inside such groups is near-meaningless
-    anyway (everything co-occurs with everything). Same design as the
-    fuzzy-join guard and the LSH bucket-cap prescription (dedup.py)."""
-    m = memberships.select(group_col, item_col).distinct()
+    inside a single task. With the array formulation the guard is a plain
+    ``size(items) <= cap`` filter after the group agg; co-occurrence
+    inside such groups is near-meaningless anyway (everything co-occurs
+    with everything). Same cap discipline as the LSH bucket guard
+    (dedup.py)."""
+    grouped = (
+        memberships.groupBy(group_col)
+        .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
+    )
     if max_group_size is not None:
-        oversized = (
-            m.groupBy(group_col)
-            .agg(F.count("*").alias("__gsz"))
-            .filter(F.col("__gsz") > max_group_size)
-            .select(group_col)
-        )
-        m = m.join(F.broadcast(oversized), group_col, "left_anti")
-    a = m.alias("a")
-    b = m.alias("b")
+        grouped = grouped.filter(F.size("__items") <= max_group_size)
+    pairs = F.expr(
+        "flatten(transform(__items, (x, i) -> "
+        "  transform(slice(__items, i + 2, size(__items) - i - 1), "
+        "            y -> struct(x AS item_a, y AS item_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-            & (F.col(f"a.{item_col}") < F.col(f"b.{item_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{item_col}").alias("item_a"), F.col(f"b.{item_col}").alias("item_b")
-        )
+        grouped.select(F.explode(pairs).alias("__p"))
+        .select(F.col("__p.item_a").alias("item_a"), F.col("__p.item_b").alias("item_b"))
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -39,6 +39,55 @@ def approx_quantiles(
     )
     cols = [F.col("__qs")[i].alias(f"p{int(round(q * 100))}") for i, q in enumerate(quantiles)]
     return sketched.select(*keys, *cols)
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """EXACT linearly-interpolated per-group quantiles WITHOUT per-group
+    value buffering — the distributed replacement for Spark's
+    ``percentile``/``median`` aggregate (which holds every group value in
+    an executor-side map: the round-1 bench's slowest aggregation and an
+    OOM at degenerate groups).
+
+    Algorithm (all codegen, no UDF, no buffering):
+      1. rank non-null values per group (one hash-partition + sort —
+         Spark's external sort spills, so any group size is safe)
+      2. broadcast-join per-group counts
+      3. each quantile q needs only rows at rank floor(p) / floor(p)+1
+         where p=(n-1)·q; everything else contributes zero weight, and a
+         conditional-sum aggregate interpolates:  v_lo·(1-frac)+v_hi·frac
+    The final groupBy reuses the window's hash partitioning — no extra
+    shuffle. Matches Spark ``percentile`` and DuckDB ``quantile_cont``
+    semantics exactly (both linear interpolation).
+    """
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100))}" for q in quantiles]
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy("__v")
+    ranked = (
+        df.select(*keys, F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .withColumn("__idx", F.row_number().over(w) - 1)
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(F.count("*").alias("__n"))
+    )
+    r = ranked.join(F.broadcast(counts), keys)
+    aggs = []
+    for q, name in zip(quantiles, out_names):
+        pos = (F.col("__n") - 1) * F.lit(float(q))
+        lo = F.floor(pos)
+        frac = pos - lo
+        contrib = F.when(F.col("__idx") == lo, F.col("__v") * (F.lit(1.0) - frac)).when(
+            (F.col("__idx") == lo + 1) & (frac > 0), F.col("__v") * frac
+        )
+        aggs.append(F.sum(contrib).alias(name))
+    return r.groupBy(*keys).agg(*aggs)
 
 
 def approx_stats_profile(

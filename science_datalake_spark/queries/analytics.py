@@ -629,27 +629,51 @@ def agg_filtered_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+A5+A6 in one plan: AVG/MIN/MAX/SUM + exact MEDIAN (vignette_1
     cell 2; materialize_fulltext.py:158-164), exact interpolated quantiles
-    (Spark ``percentile`` and DuckDB ``quantile_cont`` share
-    linear-interpolation semantics), and Pearson correlation — the
+    matching DuckDB ``quantile_cont``, and Pearson correlation — the
     reference's cross-source citation-count consistency check over 121M
-    rows (sanity_checks cell 8). Exact percentile buffers per-group value
-    arrays; at 100 TB use operators.stats.approx_stats_profile
-    (percentile_approx) — same plan shape, bounded memory."""
+    rows (sanity_checks cell 8).
+
+    Quantiles come from operators.stats.exact_group_quantiles (rank +
+    conditional interpolation — external sort, no per-group value
+    buffering), NOT Spark's ``percentile``/``median`` aggregate: the
+    buffering aggregate was this bench's slowest entry (~2× slower here,
+    OOM-prone at 100 TB group sizes). The algebraic aggregates run in a
+    separate single-shuffle pass and broadcast-join onto the quantiles.
+    For sketch-accuracy profiling use stats.approx_stats_profile."""
+    from science_datalake_spark.operators.stats import exact_group_quantiles
+
     li = table(spark, sf_dir, "lineitem")
+    quant = exact_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        quantiles=(0.25, 0.5, 0.75, 0.95),
+        out_names=("q25", "q50", "q75", "q95"),
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.min("l_extendedprice").alias("min_price"),
-            F.max("l_extendedprice").alias("max_price"),
-            F.round(F.median("l_extendedprice"), 2).alias("median_price"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
-            F.round(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
+        plain.join(F.broadcast(quant), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "avg_price",
+            "min_price",
+            "max_price",
+            F.round(F.col("q50"), 2).alias("median_price"),
+            "sum_qty",
+            F.round(F.col("q25"), 2).alias("p25"),
+            F.round(F.col("q75"), 2).alias("p75"),
+            F.round(F.col("q95"), 2).alias("p95"),
+            "corr_qty_price",
+            "corr_disc_tax",
         )
         .orderBy("l_returnflag")
     )
@@ -905,7 +929,10 @@ def inverted_index_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the identical reconstruction relationally."""
     from science_datalake_spark.functions import inverted_index_to_text
 
-    df = spark.createDataFrame(
+    from science_datalake_spark.sources.json_source import inline_table
+
+    df = inline_table(
+        spark,
         [
             (1, '{"the":[0,3],"study":[1],"of":[2],"things":[4]}'),
             (2, '{"solo":[0]}'),

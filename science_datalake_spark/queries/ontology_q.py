@@ -111,8 +111,9 @@ def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     hops below ``c:science`` with its English label and min depth.
 
     Plan shape (the one that scales to a 42k-term AGROVOC or a full MeSH):
-    hierarchy self-join per hop (shuffle on parent_id), min-depth groupBy,
-    then a label join — no driver-side traversal, no collect()."""
+    broadcast hash-join per hop (ontology edge/label tables are
+    metadata-small), min-depth groupBy, then a broadcast label join — no
+    driver-side traversal, no collect(), no frontier shuffle."""
     from science_datalake_spark.sources.ontology import skos_to_tables
 
     t = skos_to_tables(spark, _TTL_FIXTURE, fmt="ttl")
@@ -121,13 +122,16 @@ def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = edges.filter(F.col("parent_id") == root).select(
         F.col("child_id").alias("id"), F.lit(1).alias("depth")
     )
-    d2 = d1.join(edges, d1["id"] == edges["parent_id"]).select(
+    # hierarchy + label tables of real ontologies are metadata-small (42k
+    # terms = the largest in the reference registry) — broadcast both so
+    # the traversal never shuffles the frontier
+    d2 = d1.join(F.broadcast(edges), d1["id"] == edges["parent_id"]).select(
         F.col("child_id").alias("id"), F.lit(2).alias("depth")
     )
     reach = d1.unionAll(d2).groupBy("id").agg(F.min("depth").alias("depth"))
     labels = t.terms.select(F.col("id"), F.col("label"))
     return (
-        reach.join(labels, "id")
+        reach.join(F.broadcast(labels), "id")
         .select(F.col("id").alias("concept_id"), "label", "depth")
         .orderBy("depth", "concept_id")
     )

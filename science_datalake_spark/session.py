@@ -55,6 +55,31 @@ def get_spark(app_name: str = "science-datalake-spark", **overrides: str) -> Spa
     return builder.getOrCreate()
 
 
+def suggest_shuffle_partitions(
+    sf_dir: str,
+    target_bytes: int = 32 * 1024 * 1024,
+    floor: int = 8,
+    cap: int = 4096,
+) -> int:
+    """Partition-sizing rule: shuffle partitions ∝ input volume.
+
+    ``sum(input bytes) / target_bytes``, clamped to [floor, cap]. The
+    floor keeps small-SF local runs from serializing onto one core-pair;
+    the cap bounds scheduler pressure. On a real cluster the same rule is
+    applied against the post-filter shuffle volume (AQE then coalesces
+    further at runtime); the point is that a FIXED partition count is
+    wrong at both ends — 32 partitions drown a 17 MB benchmark in empty
+    tasks and would put 3 TB per partition at 100 TB."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return max(floor, min(cap, total // target_bytes))
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

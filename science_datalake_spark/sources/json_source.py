@@ -46,8 +46,35 @@ def read_parquet_merged(spark: SparkSession, path: str | list[str]) -> DataFrame
     )
 
 
+def ensure_columns(df: DataFrame, required: str | StructType) -> DataFrame:
+    """Schema-evolution padding for DECLARED extractions: add any
+    referenced-but-absent column as a typed NULL.
+
+    Reference parallel: ``ensure_source_columns`` (convert_openalex.py:
+    591-604) — OpenAlex's schema evolves across snapshot partitions (older
+    partitions lack ``abstract``/``doi``/``fwci``), and a curated
+    extraction must not fail on an old shard. ``mergeSchema`` covers
+    *inferred* unions; this covers the explicit path where the extraction
+    names its columns. Top-level columns only (matching the reference,
+    which ALTERs flat VARCHAR columns); name match is case-insensitive
+    like Spark's resolver. A NULL literal cast is free in codegen — no
+    data is touched."""
+    from pyspark.sql import functions as F
+
+    req = StructType.fromDDL(required) if isinstance(required, str) else required
+    existing = {f.name.lower() for f in df.schema.fields}
+    out = df
+    for fld in req.fields:
+        if fld.name.lower() not in existing:
+            out = out.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+    return out
+
+
 def inline_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     """Inline VALUES table (S11) — the reference's
     ``FROM (VALUES ...) AS t(cols)`` for source_temporal_coverage
-    (create_unified_db.py:627-640)."""
-    return spark.createDataFrame(rows, schema)
+    (create_unified_db.py:627-640). Arrow single-batch construction
+    (util.local_df) — no 32-slice pickled RDD for a handful of rows."""
+    from science_datalake_spark.util import local_df
+
+    return local_df(spark, rows, schema)

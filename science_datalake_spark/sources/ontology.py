@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from science_datalake_spark.util import local_df
+
 TERMS_SCHEMA = (
     "id STRING, label STRING, definition STRING, synonyms ARRAY<STRING>, "
     "namespace STRING, obsolete BOOLEAN"
@@ -127,9 +129,9 @@ def obo_to_tables(spark: SparkSession, text: str) -> OntologyTables:
     hier_rows = [(p, t.id, rel) for t in parsed for p, rel in t.parents]
     xref_rows = [(t.id, db, xid) for t in parsed for db, xid in t.xrefs]
     return OntologyTables(
-        terms=spark.createDataFrame(term_rows, TERMS_SCHEMA),
-        hierarchy=spark.createDataFrame(hier_rows or [], HIERARCHY_SCHEMA),
-        xrefs=spark.createDataFrame(xref_rows or [], XREFS_SCHEMA),
+        terms=local_df(spark, term_rows, TERMS_SCHEMA),
+        hierarchy=local_df(spark, hier_rows or [], HIERARCHY_SCHEMA),
+        xrefs=local_df(spark, xref_rows or [], XREFS_SCHEMA),
     )
 
 
@@ -425,9 +427,9 @@ def skos_quads_to_tables(
         if not s.startswith("_:")  # bnodes are not terms
     ]
     return OntologyTables(
-        terms=spark.createDataFrame(term_rows, TERMS_SCHEMA),
-        hierarchy=spark.createDataFrame(hier or [], HIERARCHY_SCHEMA),
-        xrefs=spark.createDataFrame(xrefs or [], XREFS_SCHEMA),
+        terms=local_df(spark, term_rows, TERMS_SCHEMA),
+        hierarchy=local_df(spark, hier or [], HIERARCHY_SCHEMA),
+        xrefs=local_df(spark, xrefs or [], XREFS_SCHEMA),
     )
 
 

@@ -1,0 +1,47 @@
+"""Small shared utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Create a DataFrame from driver-local rows via the Arrow/pandas path.
+
+    ``spark.createDataFrame(list, schema)`` ships rows through a pickled
+    RDD with ``defaultParallelism`` slices — 32 near-empty partitions and
+    a Python worker per partition for a 3-row inline table (measured
+    ~0.36s per call on local[32]). The pandas route is a single Arrow
+    batch, one partition, no Python workers (~0.03s). Used by inline
+    VALUES tables (S11) and driver-side parser outputs (ontology tables);
+    falls back to the classic path when rows are empty (Arrow needs at
+    least one batch to carry the schema) or pandas is unavailable.
+    """
+    if rows:
+        try:
+            import pandas as pd
+
+            names = [f.split()[0] for f in _split_top_level(schema)]
+            pdf = pd.DataFrame(rows, columns=names)
+            return spark.createDataFrame(pdf, schema)
+        except ImportError:
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
+def _split_top_level(schema: str) -> list[str]:
+    """Split 'a INT, b ARRAY<STRUCT<x: INT, y: INT>>' on top-level commas."""
+    parts, depth, cur = [], 0, []
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
