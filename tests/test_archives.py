@@ -13,9 +13,12 @@ ARTICLE_TMPL = """<?xml version="1.0"?>
 <article>
   <front>
     <article-meta>
-      <article-id pub-id-type="doi">10.{n}/jats.{n}</article-id>
+      <article-id pub-id-type="doi">https://doi.org/10.{n}/JATS.{n}</article-id>
+      <article-id pub-id-type="pmc">{n}00</article-id>
       <title-group><article-title>Article <italic>number</italic> {n}</article-title></title-group>
       <abstract><p>Abstract for {n}.</p></abstract>
+      <permissions><license xlink:href="https://creativecommons.org/licenses/by/4.0/"
+        xmlns:xlink="http://www.w3.org/1999/xlink"/></permissions>
       <pub-date><year>{year}</year></pub-date>
     </article-meta>
   </front>
@@ -43,24 +46,51 @@ def test_jats_archive_extraction(spark, tmp_path):
     df = read_jats_archives(spark, str(tmp_path)).cache()
     assert df.count() == 8  # README.txt skipped
     row = df.filter(F.col("member") == "articles/art-0.xml").first()
-    assert row["doi"] == "10.0/jats.0"
-    assert row["title"] == "Article number 0"  # inner tags stripped
+    assert row["doi"] == "10.0/jats.0"  # resolver prefix stripped, lowercased
+    assert row["title"] == "Article number 0"  # inner tags flattened via itertext
     assert row["abstract"] == "Abstract for 0."
-    assert row["body"] == "First paragraph 0. Second bold paragraph."
+    assert row["body"] == "First paragraph 0.\n\nSecond bold paragraph."
+    assert row["license"] == "https://creativecommons.org/licenses/by/4.0/"
     assert row["year"] == 2000
+    assert row["source_id"] == "PMC000"
     # both archives contributed
     assert df.select("archive").distinct().count() == 2
 
 
 def test_jats_archive_malformed_members(spark, tmp_path):
+    """A truncated member is salvaged by the regex fallback when it still
+    carries front-matter, and dropped when it carries nothing — either
+    way the job survives (reference: None on XMLSyntaxError)."""
     with tarfile.open(str(tmp_path / "bad.tar.gz"), "w:gz") as tf:
-        bad = b"<article><front>truncated"
-        info = tarfile.TarInfo(name="bad.xml")
-        info.size = len(bad)
-        tf.addfile(info, io.BytesIO(bad))
-        ok = ARTICLE_TMPL.format(n=7, year=2010).encode()
-        info = tarfile.TarInfo(name="ok.xml")
-        info.size = len(ok)
-        tf.addfile(info, io.BytesIO(ok))
-    df = read_jats_archives(spark, str(tmp_path))
-    assert df.count() == 1  # malformed member dropped, job survives
+        for name, payload in [
+            ("bad.xml", b"<article><front>truncated"),
+            (
+                "salvage.xml",
+                b'<article><article-id pub-id-type="doi">10.9/x</article-id>'
+                b"<article-title>Salvaged</article-title><p>unclosed",
+            ),
+            ("ok.xml", ARTICLE_TMPL.format(n=7, year=2010).encode()),
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    df = read_jats_archives(spark, str(tmp_path)).cache()
+    assert df.count() == 2  # bad.xml dropped, salvage.xml + ok.xml kept
+    salvaged = df.filter(F.col("member") == "salvage.xml").first()
+    assert salvaged["doi"] == "10.9/x" and salvaged["title"] == "Salvaged"
+
+
+def test_jats_namespaced_article(spark, tmp_path):
+    """Default-namespace JATS (the reference's ns_prefix path,
+    convert_fulltext.py:355-373) parses identically."""
+    xml = ARTICLE_TMPL.format(n=3, year=2015).replace(
+        "<article>", '<article xmlns="https://jats.nlm.nih.gov">'
+    ).encode()
+    with tarfile.open(str(tmp_path / "ns.tar.gz"), "w:gz") as tf:
+        info = tarfile.TarInfo(name="ns.xml")
+        info.size = len(xml)
+        tf.addfile(info, io.BytesIO(xml))
+    row = read_jats_archives(spark, str(tmp_path)).first()
+    assert row["doi"] == "10.3/jats.3"
+    assert row["body"] == "First paragraph 3.\n\nSecond bold paragraph."
+    assert row["year"] == 2015

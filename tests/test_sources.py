@@ -58,6 +58,33 @@ def test_write_verify_and_compact(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1000
 
 
+def test_ensure_columns_pads_drifted_shards(spark, tmp_path):
+    """Declared extraction over shards with drifted schemas: the old shard
+    lacks columns the extraction references; ensure_columns pads them as
+    typed nulls so the same SELECT runs over every shard vintage
+    (reference ensure_source_columns, convert_openalex.py:591-604)."""
+    from science_datalake_spark.sources.json_source import ensure_columns
+
+    old_shard = tmp_path / "old.jsonl"
+    new_shard = tmp_path / "new.jsonl"
+    _write_ndjson(str(old_shard), [{"id": 1, "title": "a"}])
+    _write_ndjson(str(new_shard), [{"id": 2, "title": "b", "doi": "10.1/x", "fwci": 1.5}])
+
+    required = "doi STRING, fwci DOUBLE, abstract STRING"
+    parts = []
+    for shard in (old_shard, new_shard):
+        df = ensure_columns(read_ndjson(spark, str(shard)), required)
+        parts.append(df.select("id", "title", "doi", "fwci", "abstract"))
+    unioned = parts[0].unionByName(parts[1])
+    rows = {r["id"]: r for r in unioned.collect()}
+    assert rows[1]["doi"] is None and rows[1]["fwci"] is None
+    assert rows[2]["doi"] == "10.1/x" and rows[2]["fwci"] == 1.5
+    assert dict(unioned.dtypes)["fwci"] == "double"
+    # existing columns are never overwritten (case-insensitive match)
+    again = ensure_columns(unioned, "DOI STRING, id BIGINT")
+    assert again.columns == unioned.columns
+
+
 def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
     """Crash window: shard renamed away but compacted tmp not yet renamed
     in — data exists ONLY in the __old-*/__compact-* orphans. compact()
