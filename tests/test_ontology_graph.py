@@ -184,6 +184,96 @@ def test_rdfxml_parser_nested_nodes():
             "convnets", "en") in quads
 
 
+MSC_SAMPLE = "\t".join(["Code", "Label", "Description"]) + "\n" + "\n".join(
+    [
+        "68\tComputer science\tGeneral CS",
+        "68T\tArtificial intelligence\t",
+        "68T05\tLearning and adaptive systems\tML proper",
+        "68T07\tArtificial neural networks\t",
+        "03\tMathematical logic\t",
+    ]
+)
+
+CSO_SAMPLE = "\n".join(
+    [
+        '<https://cso.kmi.open.ac.uk/topics/machine_learning>,<http://www.w3.org/2000/01/rdf-schema#label>,"machine learning@en"',
+        "<https://cso.kmi.open.ac.uk/topics/machine_learning>,<http://cso.kmi.open.ac.uk/schema/cso#superTopicOf>,<https://cso.kmi.open.ac.uk/topics/deep_learning>",
+        "<https://cso.kmi.open.ac.uk/topics/neural_nets>,<http://cso.kmi.open.ac.uk/schema/cso#contributesTo>,<https://cso.kmi.open.ac.uk/topics/deep_learning>",
+        "<https://cso.kmi.open.ac.uk/topics/machine_learning>,<http://cso.kmi.open.ac.uk/schema/cso#relatedEquivalent>,<https://cso.kmi.open.ac.uk/topics/ml%20systems>",
+        "<https://cso.kmi.open.ac.uk/topics/machine_learning>,<http://schema.org/relatedLink>,<https://www.wikidata.org/entity/Q2539>",
+        "<https://cso.kmi.open.ac.uk/topics/machine_learning>,<http://www.w3.org/2002/07/owl#sameAs>,<http://dbpedia.org/resource/Machine_learning>",
+        "malformed row",
+    ]
+)
+
+
+def test_msc_csv_prefix_hierarchy(spark):
+    """MSC code-structure hierarchy: 5-char -> 3-char -> 2-char prefixes
+    (convert_ontologies.py:578-590)."""
+    from science_datalake_spark.sources.ontology_csv import msc_csv_to_tables
+
+    t = msc_csv_to_tables(spark, MSC_SAMPLE)
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert terms["MSC:68T05"]["label"] == "Learning and adaptive systems"
+    assert terms["MSC:68T05"]["definition"] == "ML proper"
+    assert terms["MSC:68T05"]["namespace"] == "level_5"
+    assert terms["MSC:68"]["namespace"] == "level_2"
+    hier = {(r["parent_id"], r["child_id"]) for r in t.hierarchy.collect()}
+    assert ("MSC:68T", "MSC:68T05") in hier
+    assert ("MSC:68T", "MSC:68T07") in hier
+    assert ("MSC:68", "MSC:68T") in hier
+    assert not any(c == "MSC:68" for _, c in hier)  # top level has no parent
+
+
+def test_cso_csv_triples(spark):
+    from science_datalake_spark.sources.ontology_csv import cso_csv_to_tables
+
+    t = cso_csv_to_tables(spark, CSO_SAMPLE)
+    ml = "https://cso.kmi.open.ac.uk/topics/machine_learning"
+    terms = {r["id"]: r for r in t.terms.collect()}
+    assert terms[ml]["label"] == "machine learning"  # @en tag stripped
+    # synonym label falls back to URI tail, percent-decoded
+    assert terms[ml]["synonyms"] == ["ml systems"]
+    # un-labelled topics get URI-tail labels
+    assert terms["https://cso.kmi.open.ac.uk/topics/deep_learning"]["label"] == "deep learning"
+    hier = {(r["parent_id"], r["child_id"], r["relation"]) for r in t.hierarchy.collect()}
+    assert (ml, "https://cso.kmi.open.ac.uk/topics/deep_learning", "superTopicOf") in hier
+    # contributesTo is inverted: target becomes parent
+    assert (
+        "https://cso.kmi.open.ac.uk/topics/deep_learning",
+        "https://cso.kmi.open.ac.uk/topics/neural_nets",
+        "contributesTo",
+    ) in hier
+    xr = {(r["xref_db"], r["xref_id"]) for r in t.xrefs.collect()}
+    assert ("wikidata", "https://www.wikidata.org/entity/Q2539") in xr
+    assert ("sameAs", "http://dbpedia.org/resource/Machine_learning") in xr
+
+
+def test_registry_dispatch(spark):
+    """Every registry entry routes to a working parser; spot-check one of
+    each parser kind end-to-end."""
+    from science_datalake_spark.sources.ontology_registry import (
+        ALL_ONTOLOGY_NAMES,
+        ONTOLOGIES,
+        convert,
+    )
+
+    assert len(ALL_ONTOLOGY_NAMES) == 13
+    assert {s.parser for s in ONTOLOGIES.values()} == {"obo", "skos", "msc_csv", "cso_csv"}
+
+    assert convert(spark, "go", OBO_SAMPLE).terms.count() == 4
+    assert convert(spark, "mesh", NT_SAMPLE).terms.count() >= 2  # nt → skos walk
+    assert convert(spark, "physh", TTL_SAMPLE).terms.count() == 3  # ttl → skos walk
+    assert convert(spark, "unesco", RDFXML_SAMPLE).terms.count() == 3  # rdf → skos walk
+    assert convert(spark, "msc2020", MSC_SAMPLE).terms.count() == 5
+    assert convert(spark, "cso", CSO_SAMPLE).hierarchy.count() == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown ontology"):
+        convert(spark, "nope", "")
+
+
 def test_hierarchy_traversal(spark):
     t = obo_to_tables(spark, OBO_SAMPLE)
     edges = t.hierarchy.select(
