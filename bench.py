@@ -90,6 +90,39 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
 
+    # Pipeline benchmark: the unify flagship over skewed synthetic sources
+    # sized to the SF (30% null keys + a 10%-of-corpus hot DOI — the
+    # adversarial shape, not the easy one). Reported separately from the
+    # driver-checked queries{} so the schema of that dict stays stable.
+    pipeline: dict[str, float] = {}
+    try:
+        from science_datalake_spark.synth import (
+            synth_code_links,
+            synth_openalex,
+            synth_retractions,
+            synth_s2ag,
+            synth_sciscinet,
+        )
+        from science_datalake_spark.unify import build_unified_papers
+
+        sf_num = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        scale = float(sf_num) if sf_num.replace(".", "").isdigit() else 0.01
+        n = max(int(2_000_000 * scale), 10_000)
+
+        def run_unify() -> None:
+            build_unified_papers(
+                synth_openalex(spark, n),
+                synth_s2ag(spark, (n * 3) // 4),
+                synth_sciscinet(spark, n // 2),
+                retractions=synth_retractions(spark, 1000),
+                code_links=synth_code_links(spark, 1000),
+            ).count()
+
+        pipeline["unify_skewed"] = round(_time_best_of(run_unify), 3)
+        pipeline["unify_rows"] = float(n)
+    except Exception as e:
+        print(f"# pipeline bench error: {e}", file=sys.stderr)
+
     oracle_timings: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
         try:
@@ -127,6 +160,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     out["floor_seconds"] = floor
+    if pipeline:
+        out["pipeline"] = pipeline
     if oracle_timings:
         out["oracle_seconds"] = oracle_timings
         out["oracle_total"] = oracle_total
