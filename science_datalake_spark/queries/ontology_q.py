@@ -67,6 +67,49 @@ c:genetics a skos:Concept ;
 
 
 @query(
+    "sparql_bgp_children",
+    aux=True,
+    oracle=f"""
+    WITH triples(s, p, o) AS (VALUES
+        ('{_C}physics',   'http://www.w3.org/2004/02/skos/core#broader', '{_C}science'),
+        ('{_C}quantum',   'http://www.w3.org/2004/02/skos/core#broader', '{_C}physics'),
+        ('{_C}optics',    'http://www.w3.org/2004/02/skos/core#broader', '{_C}physics'),
+        ('{_C}qft',       'http://www.w3.org/2004/02/skos/core#broader', '{_C}quantum'),
+        ('{_C}chemistry', 'http://www.w3.org/2004/02/skos/core#broader', '{_C}science'),
+        ('{_C}biology',   'http://www.w3.org/2004/02/skos/core#broader', '{_C}science'),
+        ('{_C}physics',   'http://www.w3.org/2004/02/skos/core#prefLabel', 'Physics'),
+        ('{_C}quantum',   'http://www.w3.org/2004/02/skos/core#prefLabel', 'Quantum mechanics'),
+        ('{_C}optics',    'http://www.w3.org/2004/02/skos/core#prefLabel', 'Optics')
+    )
+    SELECT b.s AS concept, l.o AS label
+    FROM triples b
+    JOIN triples l ON l.s = b.s
+          AND l.p = 'http://www.w3.org/2004/02/skos/core#prefLabel'
+    WHERE b.p = 'http://www.w3.org/2004/02/skos/core#broader'
+      AND b.o = '{_C}physics'
+    ORDER BY concept
+    """,
+)
+def sparql_bgp_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-BGP surface check: the same 2-pattern join the oracle writes
+    relationally, expressed as SPARQL over the fixture's parsed quads and
+    translated to DataFrame joins by science_datalake_spark.sparql."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX c: <https://ex.org/concepts/>
+    SELECT ?concept ?label WHERE {
+        ?concept skos:broader c:physics ;
+                 skos:prefLabel ?label .
+    }
+    """
+    return sparql_select(triples, q).orderBy("concept")
+
+
+@query(
     "ontology_skos_khop",
     oracle=f"""
     WITH edges(parent_id, child_id) AS (VALUES

@@ -1,0 +1,112 @@
+"""SPARQL-BGP translator: patterns → joins, constants → pushed filters,
+error surface, and end-to-end over parser-produced quads."""
+
+from __future__ import annotations
+
+import pytest
+
+from science_datalake_spark import plans
+from science_datalake_spark.sources.ontology import parse_turtle
+from science_datalake_spark.sparql import (
+    SparqlError,
+    quads_to_triples_df,
+    sparql_select,
+)
+
+TTL = """
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix ex: <http://ex.org/> .
+
+ex:ml a skos:Concept ; skos:prefLabel "machine learning"@en ;
+      skos:prefLabel "apprentissage"@fr .
+ex:dl a skos:Concept ; skos:prefLabel "deep learning"@en ; skos:broader ex:ml .
+ex:cv a skos:Concept ; skos:prefLabel "computer vision"@en ; skos:broader ex:ml .
+ex:cnn a skos:Concept ; skos:prefLabel "convnets"@en ; skos:broader ex:dl .
+"""
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return quads_to_triples_df(spark, parse_turtle(TTL)).cache()
+
+
+def test_single_pattern_with_constant_predicate(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?parent WHERE { ?c skos:broader ?parent . }
+    """
+    got = {(r["c"], r["parent"]) for r in sparql_select(triples, q).collect()}
+    assert got == {
+        ("http://ex.org/dl", "http://ex.org/ml"),
+        ("http://ex.org/cv", "http://ex.org/ml"),
+        ("http://ex.org/cnn", "http://ex.org/dl"),
+    }
+
+
+def test_multi_pattern_join_with_lang_literal(spark, triples):
+    """Children of ex:ml with their English labels — a 2-hop BGP."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?label WHERE {
+        ?c skos:broader ex:ml ;
+           skos:prefLabel ?label .
+    }
+    """
+    labels = {r["label"] for r in sparql_select(triples, q).collect()}
+    assert labels == {"deep learning", "computer vision"}
+
+
+def test_two_hop_chain_and_type_keyword(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT DISTINCT ?g WHERE {
+        ?g skos:broader ?mid .
+        ?mid skos:broader ex:ml .
+        ?g a skos:Concept .
+    }
+    """
+    got = [r["g"] for r in sparql_select(triples, q).collect()]
+    assert got == ["http://ex.org/cnn"]
+
+
+def test_literal_object_filter(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c skos:prefLabel "machine learning"@en . }
+    """
+    assert [r["c"] for r in sparql_select(triples, q).collect()] == ["http://ex.org/ml"]
+
+
+def test_select_star_and_limit(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT * WHERE { ?c skos:broader ?p . } LIMIT 2
+    """
+    rows = sparql_select(triples, q).collect()
+    assert len(rows) == 2
+    assert set(rows[0].asDict()) == {"c", "p"}
+
+
+def test_constant_predicate_is_pushed_to_scan(spark, triples):
+    """The predicate constant must reach the scan as a filter, not linger
+    above the join — that is what makes predicate-partitioned triples
+    prune at scale."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?p WHERE { ?c skos:broader ?p . }
+    """
+    plan = plans.physical_plan(sparql_select(triples, q))
+    assert "broader" in plan  # the literal shows up as a pushed predicate filter
+
+
+def test_errors(spark, triples):
+    for bad, msg in [
+        ("SELECT ?x WHERE { ?x }", "truncated"),
+        ("SELECT ?x { ?x ?p ?o }", "unexpected token in SELECT"),
+        ("PREFIX skos: <x> SELECT ?y WHERE { ?x skos:broader ?z . }", "not bound"),
+        ("SELECT ?x WHERE { ?x unknown:pfx ?o . }", "unknown prefix"),
+    ]:
+        with pytest.raises(SparqlError, match=msg):
+            sparql_select(triples, bad)
