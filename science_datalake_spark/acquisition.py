@@ -158,8 +158,10 @@ class ManifestAcquirer:
                 self.fetcher(item.url, part)
             except Exception as e:
                 last_error = f"fetch: {e}"
-                if os.path.exists(part) and attempt == self.max_attempts:
-                    os.remove(part)
+                # the .part file is deliberately KEPT on fetch failure —
+                # a later attempt or a whole new run hands it back to the
+                # fetcher, which may resume it (HTTP Range). Only a
+                # failed VERIFICATION invalidates the bytes (below).
                 if self.backoff_seconds:
                     time.sleep(self.backoff_seconds * attempt)
                 continue
@@ -175,9 +177,16 @@ class ManifestAcquirer:
 
 
 def ontology_manifest() -> list[ManifestItem]:
-    """The 13-ontology manifest derived from the declarative registry —
-    what a deployment feeds ManifestAcquirer (sizes/checksums unknown
-    upstream, so entries verify by existence only)."""
+    """The fetchable-ontology manifest derived from the declarative
+    registry's ``download_url`` (the direct data-file URL — NOT the
+    homepage ``source_url``). Manual-download entries (CSO: portal login)
+    are excluded; sizes/checksums are unknown upstream, so these items
+    verify by existence only — pass size/sha per item when a deployment
+    pins versions."""
     from science_datalake_spark.sources.ontology_registry import ONTOLOGIES
 
-    return [ManifestItem(url=s.source_url, filename=s.filename) for s in ONTOLOGIES.values()]
+    return [
+        ManifestItem(url=s.download_url, filename=s.filename)
+        for s in ONTOLOGIES.values()
+        if s.download_url
+    ]

@@ -26,21 +26,34 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _materialize_release(out: DataFrame, *inputs: DataFrame) -> DataFrame:
-    """Eagerly materialize ``out`` (persist + count), then unpersist the
-    ``inputs`` it consumed.
+#: last persisted result per operator slot — released on the next call
+_LIVE_HANDLES: dict[str, DataFrame] = {}
 
-    This is the cache-lifetime contract for the self-join operators below:
-    the big intermediate (signatures / shingle relation) is cached only for
-    the duration of the join, and the *small* result (candidate pairs,
-    near-linear in corpus size) is returned persisted. Callers in
-    long-lived sessions (CLI shell, pipeline orchestrator) own the returned
-    handle and should ``unpersist()`` it when done — repeated calls no
-    longer accumulate the large intermediates (round-1 verdict finding)."""
+
+def _materialize_release(out: DataFrame, *inputs: DataFrame, slot: str) -> DataFrame:
+    """Eagerly materialize ``out`` (persist + count), then unpersist the
+    ``inputs`` it consumed — and the PREVIOUS call's result for the same
+    ``slot``.
+
+    Cache-lifetime contract for the self-join operators below: the big
+    intermediate (signatures / shingle relation) is cached only for the
+    duration of the join; the *small* result (candidate pairs, near-linear
+    in corpus size) is returned persisted so downstream actions don't
+    recompute the join. Query wrappers typically return a DERIVED frame
+    and drop this handle, so the slot registry keeps at most ONE result
+    cached per operator across repeated calls (bench loops, the CLI
+    shell, the driver harness) — total cache growth is bounded instead of
+    linear in call count (round-1 verdict finding + round-2 review).
+    Callers wanting the cache gone immediately still ``unpersist()`` the
+    returned handle themselves."""
+    prev = _LIVE_HANDLES.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
     out = out.persist()
     out.count()
     for df in inputs:
         df.unpersist()
+    _LIVE_HANDLES[slot] = out
     return out
 
 
@@ -143,7 +156,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _materialize_release(pairs, signatures)
+    return _materialize_release(pairs, signatures, slot="lsh_candidate_pairs")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
@@ -210,4 +223,4 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
         )
     )
-    return _materialize_release(scored, shingles)
+    return _materialize_release(scored, shingles, slot="ngram_jaccard_pairs")

@@ -80,35 +80,37 @@ def cooccurrence(
     bucket sizes bound the quadratic term exactly like LSH bands.
 
     Plan: NOT a self-join. ``collect_set(item)`` per group (one shuffle,
-    map-side partial sets, dedup included), then the per-group pair list
-    is enumerated by a codegen array expression and exploded, then one
-    pair-count shuffle. Two shuffles total, the membership relation is
-    scanned ONCE — the self-join formulation scans and distinct-shuffles
-    it once per join side (no ReusedExchange across a BroadcastExchange
-    boundary; observed 1.8s → this shape 2.6× faster at sf0.1), and its
-    join output is the same O(Σ group²) rows anyway.
+    map-side partial sets, dedup included), then pairs are enumerated by
+    TWO chained generators: posexplode the item array (one row per item,
+    carrying the array), then explode each item's slice of LATER items.
+    Both generators stream row-at-a-time through codegen, so the largest
+    single value ever materialized is one group's O(n) item array (the
+    same array collect_set already built) — never an O(n²) pair array.
+    One more pair-count shuffle and done: two shuffles total, membership
+    scanned ONCE. The self-join formulation scans and distinct-shuffles
+    the relation once per join side (no ReusedExchange across a
+    BroadcastExchange boundary; observed 1.8s → this shape ~1.5× faster
+    at sf0.1) and streams the same O(Σ group²) pair rows anyway.
 
     ``max_group_size`` is the skew guard (round-1 verdict finding): one
-    degenerate group — a mega-venue with 100k papers — emits O(n²) pairs
-    inside a single task. With the array formulation the guard is a plain
-    ``size(items) <= cap`` filter after the group agg; co-occurrence
-    inside such groups is near-meaningless anyway (everything co-occurs
-    with everything). Same cap discipline as the LSH bucket guard
-    (dedup.py)."""
+    degenerate group — a mega-venue with 100k papers — still streams
+    O(n²) pair ROWS from a single generator input; the guard is a plain
+    ``size(items) <= cap`` filter after the group agg. Co-occurrence
+    inside such groups is near-meaningless (everything co-occurs with
+    everything), so cap when corpus skew is unknown. Same cap discipline
+    as the LSH bucket guard (dedup.py)."""
     grouped = (
         memberships.groupBy(group_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
     )
     if max_group_size is not None:
         grouped = grouped.filter(F.size("__items") <= max_group_size)
-    pairs = F.expr(
-        "flatten(transform(__items, (x, i) -> "
-        "  transform(slice(__items, i + 2, size(__items) - i - 1), "
-        "            y -> struct(x AS item_a, y AS item_b))))"
+    exploded = grouped.select(
+        F.col("__items"), F.posexplode("__items").alias("__i", "item_a")
     )
+    later = F.expr("slice(__items, __i + 2, size(__items) - __i - 1)")
     return (
-        grouped.select(F.explode(pairs).alias("__p"))
-        .select(F.col("__p.item_a").alias("item_a"), F.col("__p.item_b").alias("item_b"))
+        exploded.select(F.col("item_a"), F.explode(later).alias("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)

@@ -64,6 +64,11 @@ def exact_group_quantiles(
     The final groupBy reuses the window's hash partitioning — no extra
     shuffle. Matches Spark ``percentile`` and DuckDB ``quantile_cont``
     semantics exactly (both linear interpolation).
+
+    Groups whose values are ALL NULL have no ranked rows and are absent
+    from the output (SQL aggregate semantics would return them with NULL
+    quantiles) — LEFT-join the result from your dimension relation when
+    those groups must survive, as agg_stats_profile does.
     """
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]

@@ -660,7 +660,11 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
     return (
-        plain.join(F.broadcast(quant), "l_returnflag")
+        # LEFT join: a group whose values are all NULL has no quantile row
+        # (exact_group_quantiles ranks non-null values only) but must keep
+        # its count/min/max row with NULL quantiles, like DuckDB's
+        # quantile_cont
+        plain.join(F.broadcast(quant), "l_returnflag", "left")
         .select(
             "l_returnflag",
             "n",

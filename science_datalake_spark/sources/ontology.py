@@ -190,7 +190,10 @@ _TTL_TOKEN = re.compile(
   | (?P<langtag>@[a-zA-Z][a-zA-Z0-9-]*)
   | (?P<dtype>\^\^)
   | (?P<punct>[;,.\[\]])
-  | (?P<pname>[A-Za-z_][\w.-]*?:[\w.%-]*|:[\w.%-]*)
+  # PN_LOCAL may contain dots only INTERNALLY — a trailing '.' is the
+  # statement terminator ('c:physics.' = IRI c:physics + '.'), so the
+  # local part is dot-separated word runs that never end in a dot
+  | (?P<pname>(?:[A-Za-z_][\w-]*)?:(?:[\w%-]+(?:\.[\w%-]+)*)?)
   | (?P<kw_a>\ba\b)
   | (?P<bool>\btrue\b|\bfalse\b)
   | (?P<num>[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)
@@ -383,28 +386,31 @@ def skos_quads_to_tables(
 ) -> OntologyTables:
     """SKOS quads → 3-table model with reference semantics
     (convert_ontologies.py:352-439): prefLabel/rdfs:label → label
-    (``lang`` preferred over untagged over other-tagged), definition/
-    scopeNote → definition, altLabel → synonyms (``lang`` or untagged),
-    broader/broaderTransitive → hierarchy, narrower inverted, the three
-    *Match predicates → xrefs with the match relation as xref_db and the
-    full target IRI as xref_id."""
+    (``lang`` preferred over untagged over other-tagged — a concept with
+    ONLY foreign-tagged labels keeps one rather than NULL, matching the
+    reference's ``if lang == 'en' or not label`` fallback), definition/
+    scopeNote → definition (same preference), altLabel → synonyms
+    (``lang`` or untagged only, like the reference), broader/
+    broaderTransitive → hierarchy, narrower inverted, the three *Match
+    predicates → xrefs with the match relation as xref_db and the full
+    target IRI as xref_id."""
 
-    def prefer(store: dict[str, tuple[str, bool]], s: str, o: str, ol: str | None) -> None:
-        is_pref = ol == lang
-        if s not in store or (is_pref and not store[s][1]):
-            store[s] = (o, is_pref)
+    def prefer(store: dict[str, tuple[str, int]], s: str, o: str, ol: str | None) -> None:
+        rank = 2 if ol == lang else (1 if ol is None else 0)
+        if s not in store or rank > store[s][1]:
+            store[s] = (o, rank)
 
-    labels: dict[str, tuple[str, bool]] = {}
-    definitions: dict[str, tuple[str, bool]] = {}
+    labels: dict[str, tuple[str, int]] = {}
+    definitions: dict[str, tuple[str, int]] = {}
     synonyms: dict[str, list[str]] = {}
     hier: list[tuple[str, str, str]] = []
     xrefs: list[tuple[str, str, str]] = []
     subjects: set[str] = set()
     for s, p, o, ol in quads:
         subjects.add(s)
-        if p in _LABEL_PREDS and (ol is None or ol == lang):
+        if p in _LABEL_PREDS:
             prefer(labels, s, o, ol)
-        elif p in _DEFINITION_PREDS and (ol is None or ol == lang):
+        elif p in _DEFINITION_PREDS:
             prefer(definitions, s, o, ol)
         elif p in _SYNONYM_PREDS and (ol is None or ol == lang):
             synonyms.setdefault(s, []).append(o)

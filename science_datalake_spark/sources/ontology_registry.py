@@ -45,12 +45,16 @@ class OntologySpec:
     full_name: str
     domain: str
     license: str
-    source_url: str
+    source_url: str  # homepage (provenance/attribution, NOT fetchable data)
     filename: str
     format: str  # obo | nt | ttl | rdf | owl | csv | cso_csv
     parser: str  # obo | skos | msc_csv | cso_csv
     estimated_terms: int
     id_prefix: str
+    #: direct data-file URL the acquisition manifest fetches (the
+    #: reference registry's download.url); empty = manual download
+    #: (portal login), e.g. CSO
+    download_url: str = ""
 
 
 #: The reference's 13 ontologies (ontology_registry.py:13-225).
@@ -61,67 +65,80 @@ ONTOLOGIES: dict[str, OntologySpec] = {
             "mesh", "Medical Subject Headings", "Biomedical", "Public Domain",
             "https://www.nlm.nih.gov/mesh/", "mesh.nt.gz", "nt", "skos",
             30000, "http://id.nlm.nih.gov/mesh/",
+            download_url="https://nlmpubs.nlm.nih.gov/projects/mesh/rdf/mesh.nt.gz",
         ),
         OntologySpec(
             "go", "Gene Ontology", "Biology", "CC BY 4.0",
             "http://geneontology.org/", "go-basic.obo", "obo", "obo",
             45000, "GO:",
+            download_url="https://purl.obolibrary.org/obo/go/go-basic.obo",
         ),
         OntologySpec(
             "doid", "Disease Ontology", "Disease", "CC0",
             "https://disease-ontology.org/", "doid.obo", "obo", "obo",
             12000, "DOID:",
+            download_url="http://purl.obolibrary.org/obo/doid.obo",
         ),
         OntologySpec(
             "chebi", "Chemical Entities of Biological Interest", "Chemistry",
             "CC BY 4.0", "https://www.ebi.ac.uk/chebi/", "chebi.obo", "obo",
             "obo", 195000, "CHEBI:",
+            download_url="http://purl.obolibrary.org/obo/chebi.obo",
         ),
         OntologySpec(
             "hpo", "Human Phenotype Ontology", "Phenotypes",
             "Custom (free for research)", "https://hpo.jax.org/", "hp.obo",
             "obo", "obo", 18000, "HP:",
+            download_url="http://purl.obolibrary.org/obo/hp.obo",
         ),
         OntologySpec(
             "ncit", "NCI Thesaurus", "Cancer/Biomedical", "CC BY 4.0",
             "https://ncithesaurus.nci.nih.gov/", "ncit.obo", "obo", "obo",
             160000, "NCIT:",
+            download_url="http://purl.obolibrary.org/obo/ncit.obo",
         ),
         OntologySpec(
             "edam", "EDAM Ontology", "Bioinformatics", "CC BY 4.0",
             "https://edamontology.org/", "EDAM.owl", "owl", "skos",
             3000, "http://edamontology.org/",
+            download_url="http://edamontology.org/EDAM.owl",
         ),
         OntologySpec(
             "physh", "Physics Subject Headings", "Physics", "CC BY 4.0",
             "https://physh.org/", "physh.ttl", "ttl", "skos",
             3500, "https://physh.org/concepts/",
+            download_url="https://raw.githubusercontent.com/physh-org/PhySH/master/physh.ttl",
         ),
         OntologySpec(
             "msc2020", "Mathematics Subject Classification 2020", "Mathematics",
             "CC BY-NC-SA 4.0", "https://msc2020.org/", "MSC_2020.csv", "csv",
             "msc_csv", 6500, "MSC:",
+            download_url="https://msc2020.org/MSC_2020.csv",
         ),
         OntologySpec(
             "agrovoc", "AGROVOC Multilingual Thesaurus", "Agriculture",
             "CC BY 3.0 IGO", "https://agrovoc.fao.org/", "agrovoc_core.nt",
             "nt", "skos", 42000, "http://aims.fao.org/aos/agrovoc/",
+            download_url="https://agrovoc.fao.org/latestAgrovoc/agrovoc_core.nt.zip",
         ),
         OntologySpec(
             "unesco", "UNESCO Thesaurus", "General Science / Education",
             "CC BY-SA 3.0 IGO", "https://vocabularies.unesco.org/",
             "unesco-thesaurus.rdf", "rdf", "skos",
             4400, "http://vocabularies.unesco.org/thesaurus/",
+            download_url="https://vocabularies.unesco.org/exports/thesaurus/latest/unesco-thesaurus.rdf",
         ),
         OntologySpec(
             "stw", "STW Thesaurus for Economics", "Economics", "CC BY 4.0",
             "https://zbw.eu/stw/", "stw.rdf", "rdf", "skos",
             6000, "http://zbw.eu/stw/descriptor/",
+            download_url="https://zbw.eu/stw/version/latest/download/stw.rdf.zip",
         ),
         OntologySpec(
             "cso", "Computer Science Ontology", "Computer Science", "CC BY 4.0",
             "https://cso.kmi.open.ac.uk/", "CSO.3.5.csv", "cso_csv", "cso_csv",
             14000, "https://cso.kmi.open.ac.uk/topics/",
+            download_url="",
         ),
     ]
 }

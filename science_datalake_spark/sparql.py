@@ -165,6 +165,8 @@ def _parse(query: str):
     i += 1
     limit = None
     if i < len(toks) and toks[i][1].upper() == "LIMIT":
+        if i + 1 >= len(toks) or not toks[i + 1][1].isdigit():
+            raise SparqlError("LIMIT requires a non-negative integer")
         limit = int(toks[i + 1][1])
         i += 2
     if i != len(toks):

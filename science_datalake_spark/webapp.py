@@ -167,9 +167,15 @@ function runQuery(){
     document.getElementById('error').textContent=res.error||'';
     const div=document.getElementById('result');div.innerHTML='';
     if(!res.columns||!res.columns.length)return;
+    // DOM construction with textContent — result cells are arbitrary
+    // corpus text and must never be parsed as HTML
     const tbl=document.createElement('table');
-    tbl.innerHTML='<tr>'+res.columns.map(c=>'<th>'+c+'</th>').join('')+'</tr>'
-      +res.rows.map(r=>'<tr>'+r.map(v=>'<td>'+(v===null?'∅':String(v))+'</td>').join('')+'</tr>').join('');
+    const hr=tbl.insertRow();
+    for(const c of res.columns){const th=document.createElement('th');th.textContent=c;hr.appendChild(th);}
+    for(const r of res.rows){
+      const tr=tbl.insertRow();
+      for(const v of r){tr.insertCell().textContent=(v===null?'∅':String(v));}
+    }
     div.appendChild(tbl);
   });
 }

@@ -111,8 +111,38 @@ def test_corrupt_existing_dest_is_refetched(tmp_path):
     assert (dest / "a.obo").read_bytes() == files["a.obo"]
 
 
+def test_part_file_survives_fetch_failure_for_cross_run_resume(tmp_path):
+    """A fetch failure keeps the .part bytes; a new run's fetcher receives
+    the same path and may append (HTTP Range semantics). Only VERIFY
+    failures invalidate the partial file."""
+    dest = tmp_path / "local"
+    payload = b"0123456789" * 10
+
+    def first_half_then_die(url, part_path):
+        with open(part_path, "wb") as f:
+            f.write(payload[:50])
+        raise OSError("connection reset")
+
+    items = [ManifestItem("a.obo", "a.obo", expected_size=len(payload))]
+    rep = ManifestAcquirer(str(dest), first_half_then_die, max_attempts=1).run(items)
+    assert rep.failed == ["a.obo"]
+    assert (dest / "a.obo.part").read_bytes() == payload[:50]  # kept
+
+    def resume_rest(url, part_path):
+        with open(part_path, "ab") as f:  # append = Range resume
+            f.write(payload[os.path.getsize(part_path):])
+
+    rep2 = ManifestAcquirer(str(dest), resume_rest).run(items)
+    assert rep2.done == ["a.obo"]
+    assert (dest / "a.obo").read_bytes() == payload
+
+
 def test_ontology_manifest_covers_registry():
     m = ontology_manifest()
-    assert len(m) == 13
+    # 12 fetchable (CSO is manual-download and excluded), urls are the
+    # DIRECT data-file urls, never homepages
+    assert len(m) == 12
     assert {i.filename for i in m} >= {"go-basic.obo", "MSC_2020.csv", "physh.ttl"}
+    assert all(i.url.startswith("http") for i in m)
+    assert not any(i.url.rstrip("/").endswith((".gov", ".org", ".eu")) for i in m)
     assert isinstance(AcquisitionReport().ok, bool)

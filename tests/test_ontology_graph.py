@@ -162,6 +162,43 @@ def test_skos_rdfxml_tables(spark):
     _assert_skos_tables(t)
 
 
+def test_turtle_dot_terminator_without_space():
+    """'c:physics.' — PN_LOCAL cannot end with '.', so the trailing dot
+    terminates the statement (round-2 review: the tokenizer used to
+    swallow it into the IRI and merge statements)."""
+    quads = parse_turtle(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:quantum skos:broader ex:physics.\n"
+        "ex:optics skos:broader ex:physics.\n"
+    )
+    broader = [(s, o) for s, p, o, _ in quads if p.endswith("broader")]
+    assert broader == [
+        ("http://ex.org/quantum", "http://ex.org/physics"),
+        ("http://ex.org/optics", "http://ex.org/physics"),
+    ]
+    # internal dots in locals still belong to the name
+    quads2 = parse_turtle(
+        "@prefix ex: <http://ex.org/> .\n"
+        "ex:v1.2 <http://ex.org/p> ex:v1.3 .\n"
+    )
+    assert ("http://ex.org/v1.2", "http://ex.org/p", "http://ex.org/v1.3", None) in quads2
+
+
+def test_skos_foreign_only_label_fallback(spark):
+    """A concept with ONLY foreign-tagged labels keeps one (reference's
+    'if lang == en or not label' fallback) instead of NULL."""
+    t = ntriples_to_tables(
+        spark,
+        '<http://ex.org/x> <http://www.w3.org/2004/02/skos/core#prefLabel> "seulement"@fr .\n'
+        '<http://ex.org/y> <http://www.w3.org/2004/02/skos/core#prefLabel> "nur"@de .\n'
+        '<http://ex.org/y> <http://www.w3.org/2004/02/skos/core#prefLabel> "english"@en .\n',
+    )
+    terms = {r["id"]: r["label"] for r in t.terms.collect()}
+    assert terms["http://ex.org/x"] == "seulement"  # fallback, not NULL
+    assert terms["http://ex.org/y"] == "english"  # en still wins
+
+
 def test_turtle_parser_quads():
     quads = parse_turtle(TTL_SAMPLE)
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"

@@ -108,7 +108,14 @@ def test_dedup_selfjoins_release_input_cache(spark):
     pairs = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
     assert pairs.count() > 0
     assert n_cached() == 1  # only the returned pair-set
-    pairs.unpersist()
+
+    # repeated calls stay BOUNDED: the slot registry releases the previous
+    # result, so query wrappers that drop the handle can't accumulate
+    # (round-2 review finding)
+    pairs2 = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    assert pairs2.count() > 0
+    assert n_cached() == 1
+    pairs2.unpersist()
     assert n_cached() == 0
 
     scored = ngram_jaccard_pairs(docs, "doc_id", "text")

@@ -107,6 +107,8 @@ def test_errors(spark, triples):
         ("SELECT ?x { ?x ?p ?o }", "unexpected token in SELECT"),
         ("PREFIX skos: <x> SELECT ?y WHERE { ?x skos:broader ?z . }", "not bound"),
         ("SELECT ?x WHERE { ?x unknown:pfx ?o . }", "unknown prefix"),
+        ("SELECT ?x WHERE { ?x <p> ?o . } LIMIT", "LIMIT requires"),
+        ("SELECT ?x WHERE { ?x <p> ?o . } LIMIT abc", "LIMIT requires"),
     ]:
         with pytest.raises(SparqlError, match=msg):
             sparql_select(triples, bad)
