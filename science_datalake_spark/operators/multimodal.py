@@ -3,27 +3,36 @@ by Arrow-batched mapInPandas (BASELINE.json north star).
 
 Design: image/audio/video bytes live in a BINARY column next to a typed
 metadata struct; decode / feature-extract / resize run as mapInPandas so
-each Arrow batch is processed vectorized in Python. The real decoders
-(PIL/ffmpeg/torchaudio) are NOT in this container, so decode is stubbed:
-``fake=True`` produces deterministic md5-derived features (the Spark-side
-plumbing — schema, batch shape, partition flow — is real and tested);
-``fake=False`` raises NotImplementedError where the library call belongs.
+each Arrow batch is processed vectorized in Python.
 
-Scale: binary payloads make wide rows — the operators keep payloads out of
-shuffles (features are computed in a map-only stage, then the bytes are
-dropped before any wide transformation), and the asset table would be
-written with small row groups like the reference's fat-text tables
+Decode is REAL for the uncompressed formats this container can handle
+without native libraries — PPM/PGM images (numpy header+raster parse)
+and RIFF/WAV audio (stdlib ``wave`` + numpy) — including an actual
+nearest-neighbor resize that re-encodes valid PNM bytes. Compressed
+formats (JPEG/PNG/MP3/video) need PIL/ffmpeg, which are not in this
+container: payloads that sniff as anything else raise
+``NotImplementedError`` naming the plug-in point. ``fake=True`` keeps
+the deterministic md5-derived features for format-agnostic plumbing
+tests.
+
+Scale: binary payloads make wide rows — the operators keep payloads out
+of shuffles (features are computed in a map-only stage, then the bytes
+are dropped before any wide transformation), and the asset table would
+be written with small row groups like the reference's fat-text tables
 (convert_s2ag.py:37-70).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -66,57 +75,209 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+# --- real decoders (dependency-free formats) --------------------------------
+
+
+def _read_pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
+    """(magic, width, height, maxval, raster_offset) for P5/P6."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            c = data[pos : pos + 1]
+            if c == b"#":
+                while pos < len(data) and data[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        return data[start:pos]
+
+    magic = token()
+    width, height, maxval = int(token()), int(token()), int(token())
+    pos += 1  # the single whitespace byte after maxval
+    return magic, width, height, maxval, pos
+
+
+def decode_image(data: bytes) -> np.ndarray | None:
+    """PPM (P6) → (H, W, 3) uint8; PGM (P5) → (H, W) uint8; None if the
+    payload is not a binary PNM."""
+    if not data[:2] in (b"P5", b"P6"):
+        return None
+    try:
+        magic, w, h, maxval, off = _read_pnm_header(data)
+        channels = 3 if magic == b"P6" else 1
+        if maxval > 255:
+            return None  # 16-bit PNM out of scope
+        raster = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=off)
+        return raster.reshape((h, w, 3)) if channels == 3 else raster.reshape((h, w))
+    except (ValueError, struct.error):
+        return None
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 → binary PNM bytes."""
+    if img.ndim == 3:
+        header = f"P6\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    else:
+        header = f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode()
+    return header + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample via index arrays (pure numpy)."""
+    rows = np.round(np.linspace(0, img.shape[0] - 1, height)).astype(int)
+    cols = np.round(np.linspace(0, img.shape[1] - 1, width)).astype(int)
+    return img[rows][:, cols]
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int] | None:
+    """RIFF/WAV → (mono float32 samples in [-1,1], sample_rate); None if
+    not a WAV or not 8/16-bit PCM."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(data)) as wf:
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            raw = wf.readframes(n)
+            width = wf.getsampwidth()
+            channels = wf.getnchannels()
+        if width == 2:
+            samples = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+        elif width == 1:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            return None
+        if channels > 1:
+            samples = samples.reshape(-1, channels).mean(axis=1)
+        return samples, rate
+    except (wave.Error, EOFError, ValueError):
+        return None
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """16 floats: mean RGB (3) + std RGB (3) + 8-bin luminance histogram
+    (normalized) + width/4096 + height/4096."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    px = img.reshape(-1, 3).astype(np.float32) / 255.0
+    lum = px.mean(axis=1)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 1.0))
+    hist = hist / max(lum.size, 1)
+    out = [
+        *px.mean(axis=0).tolist(),
+        *px.std(axis=0).tolist(),
+        *hist.tolist(),
+        img.shape[1] / 4096.0,
+        img.shape[0] / 4096.0,
+    ]
+    return [float(v) for v in out]
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """16 floats: duration_s/3600, rms, peak, zero-crossing rate + 12-bin
+    normalized magnitude spectrum."""
+    n = max(samples.size, 1)
+    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if samples.size > 1 else 0.0
+    spec = np.abs(np.fft.rfft(samples))
+    bins = np.array_split(spec, 12)
+    energies = np.array([b.mean() if b.size else 0.0 for b in bins])
+    total = energies.sum() or 1.0
+    return [
+        float(n / rate / 3600.0),
+        rms,
+        peak,
+        zcr,
+        *(energies / total).astype(float).tolist(),
+    ]
+
+
 def _fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a real encoder: FEATURE_DIM floats in
-    [-1, 1) derived from the md5 of the payload."""
+    """Deterministic md5-derived stand-in (format-agnostic plumbing path)."""
     digest = hashlib.md5(payload).digest()
     return [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
 
 
+def _real_features(payload: bytes) -> list[float]:
+    img = decode_image(payload)
+    if img is not None:
+        return image_features(img)
+    wav = decode_wav(payload)
+    if wav is not None:
+        return audio_features(*wav)
+    raise NotImplementedError(
+        "payload is neither binary PNM nor PCM WAV — compressed formats "
+        "(JPEG/PNG/MP3/video) need PIL/ffmpeg; plug the decoder in here"
+    )
+
+
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Decode + featurize binary assets via mapInPandas (map-only stage; no
-    shuffle of payload bytes; output drops the payload)."""
+    shuffle of payload bytes; output drops the payload).
+
+    ``fake=False`` runs the real decoders (PNM images, WAV audio) and
+    raises on formats that need external libraries."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        featurize = _fake_features if fake else _real_features
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real decoder (PIL/ffmpeg) not available in this environment; "
-                    "plug the library call here"
-                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
-                    "features": pdf["payload"].map(_fake_features),
+                    "features": pdf["payload"].map(lambda p: featurize(bytes(p))),
                 }
             )
 
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def resize_stub(assets: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Image resize plumbing: passes payload through mapInPandas and updates
-    the metadata struct; the pixel work is the stubbed library call."""
-
-    out_schema = ASSET_SCHEMA
+def resize_images(
+    assets: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Image resize through mapInPandas. ``fake=False`` decodes PNM
+    payloads, nearest-neighbor-resamples with numpy, re-encodes, and
+    updates the metadata struct; non-PNM payloads raise (the PIL plug-in
+    point). ``fake=True`` updates only the metadata (plumbing path)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError("real resize requires PIL; plug it in here")
             pdf = pdf.copy()
+            if not fake:
+
+                def do_resize(payload: bytes) -> bytes:
+                    img = decode_image(bytes(payload))
+                    if img is None:
+                        raise NotImplementedError(
+                            "non-PNM image resize needs PIL; plug it in here"
+                        )
+                    return encode_ppm(resize_nearest(img, width, height))
+
+                pdf["payload"] = pdf["payload"].map(do_resize)
             pdf["meta"] = pdf["meta"].map(
                 lambda m: {**(m or {}), "width": width, "height": height}
             )
             yield pdf
 
-    return assets.mapInPandas(batches, schema=out_schema)
+    return assets.mapInPandas(batches, schema=ASSET_SCHEMA)
+
+
+#: backwards-compatible alias (the round-1 name)
+resize_stub = resize_images
 
 
 def sample_assets(spark: SparkSession, n: int = 32) -> DataFrame:
-    """Deterministic binary fixture (payload = repeated md5 bytes)."""
+    """Deterministic binary fixture (payload = repeated md5 bytes —
+    exercises the fake/plumbing path)."""
     rows = []
     for i in range(n):
         payload = hashlib.md5(f"asset-{i}".encode()).digest() * (4 + i % 5)
@@ -124,4 +285,39 @@ def sample_assets(spark: SparkSession, n: int = 32) -> DataFrame:
         rows.append(
             (i, kind, bytearray(payload), ("application/octet-stream", 64, 64, 1000 + i))
         )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def sample_image_assets(spark: SparkSession, n: int = 8, size: int = 16) -> DataFrame:
+    """Real PPM fixture: deterministic per-asset color gradients."""
+    rows = []
+    for i in range(n):
+        y, x = np.mgrid[0:size, 0:size]
+        img = np.stack(
+            [
+                ((x * (i + 1) * 17) % 256),
+                ((y * (i + 3) * 11) % 256),
+                ((x + y + i * 29) % 256),
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append(
+            (i, "image", bytearray(encode_ppm(img)), ("image/x-portable-pixmap", size, size, None))
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def sample_wav_assets(spark: SparkSession, n: int = 4, rate: int = 8000) -> DataFrame:
+    """Real WAV fixture: deterministic sine tones at distinct frequencies."""
+    rows = []
+    for i in range(n):
+        t = np.arange(rate // 4) / rate  # 250 ms
+        tone = (np.sin(2 * np.pi * (220 * (i + 1)) * t) * 0.5 * 32767).astype(np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(tone.tobytes())
+        rows.append((i, "audio", bytearray(buf.getvalue()), ("audio/wav", None, None, 250)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)

@@ -36,12 +36,75 @@ def test_resize_updates_meta(spark):
     assert [(m["width"], m["height"]) for m in metas] == [(32, 32)]
 
 
-def test_real_decode_is_marked_unimplemented(spark):
+def test_unknown_format_real_decode_raises(spark):
+    """md5-junk payloads are neither PNM nor WAV → the real path names the
+    plug-in point instead of silently fabricating features."""
     with pytest.raises(Exception) as exc:
         extract_features(sample_assets(spark, n=2), fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_real_ppm_decode_features(spark):
+    """fake=False REALLY decodes PPM rasters: features carry channel
+    statistics, deterministic across runs."""
+    from science_datalake_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        sample_image_assets,
+    )
+    import numpy as np
+
+    feats = extract_features(sample_image_assets(spark, n=6), fake=False).cache()
+    assert feats.count() == 6
+    rows = {r["asset_id"]: r["features"] for r in feats.collect()}
+    assert all(len(v) == FEATURE_DIM for v in rows.values())
+    # cross-check asset 0 against a driver-side decode of the same bytes
+    from science_datalake_spark.operators.multimodal import image_features
+
+    size = 16
+    y, x = np.mgrid[0:size, 0:size]
+    img = np.stack(
+        [(x * 17) % 256, (y * 33) % 256, (x + y) % 256], axis=-1
+    ).astype(np.uint8)
+    roundtrip = decode_image(encode_ppm(img))
+    assert np.array_equal(roundtrip, img)  # encode→decode is lossless
+    expected = image_features(img)
+    got = rows[0]
+    assert got == pytest.approx(expected, abs=1e-6)
+
+
+def test_real_ppm_resize_changes_raster(spark):
+    from science_datalake_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+        sample_image_assets,
+    )
+
+    out = resize_images(sample_image_assets(spark, n=3, size=16), 8, 4, fake=False)
+    row = out.orderBy("asset_id").first()
+    img = decode_image(bytes(row["payload"]))
+    assert img.shape == (4, 8, 3)  # actually resampled, not just metadata
+    assert (row["meta"]["width"], row["meta"]["height"]) == (8, 4)
+
+
+def test_real_wav_decode_features(spark):
+    """Distinct sine frequencies must land energy in distinct spectrum
+    bins — proof the audio path computes real signal features."""
+    from science_datalake_spark.operators.multimodal import sample_wav_assets
+
+    feats = extract_features(sample_wav_assets(spark, n=3), fake=False)
+    rows = {r["asset_id"]: r["features"] for r in feats.collect()}
+    assert all(len(v) == FEATURE_DIM for v in rows.values())
+    for fid, f in rows.items():
+        assert f[1] == pytest.approx(0.3535, abs=0.01), fid  # sine RMS ≈ 0.5/√2
+    spectra = {fid: f[4:] for fid, f in rows.items()}
+    # higher tone → energy center in a later bin
+    centers = {
+        fid: sum(i * e for i, e in enumerate(s)) / sum(s) for fid, s in spectra.items()
+    }
+    assert centers[0] < centers[1] < centers[2]
 
 
 def test_knn_over_extracted_features(spark):
