@@ -30,7 +30,9 @@ def linkage_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     s = table(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 100)
     c = table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
-    joined = fuzzy_label_join(s, c, "s_name", "c_name", threshold=0.75)
+    # right_count: key-range filter bounds the right side by construction,
+    # so the guard's probe job is skipped (catalog-statistics pattern)
+    joined = fuzzy_label_join(s, c, "s_name", "c_name", threshold=0.75, right_count=99)
     return (
         joined.select("s_suppkey", "c_custkey", F.round("similarity", 6).alias("similarity"))
         .orderBy("s_suppkey", "c_custkey")

@@ -83,6 +83,29 @@ def test_struct_projection_collapses(spark, sf_oracle):
     assert cols <= {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}, cols
 
 
+def test_cooccurrence_is_joinless_generators(spark, sf_oracle):
+    """The cooccurrence plan must be collect_set + two streaming
+    generators — no self-join, no O(n²) array materialization."""
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators.graph import cooccurrence
+
+    li = table(spark, sf_oracle, "lineitem")
+    plan = plans.physical_plan(cooccurrence(li, "l_orderkey", "l_partkey", min_count=2))
+    assert "Join" not in plan, plan
+    # two generator stages (posexplode + slice explode); the formatted plan
+    # names each node in both the tree and the details section
+    assert plan.count("Generate") >= 2, plan
+
+
+def test_stats_profile_has_no_buffering_percentile(spark, sf_oracle):
+    """agg_stats_profile must use the sort-based quantile path (Window),
+    never Spark's value-buffering percentile aggregate."""
+    df = QUERIES["agg_stats_profile"](spark, sf_oracle)
+    plan = plans.physical_plan(df)
+    assert "percentile" not in plan, plan
+    assert "Window" in plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_oracle, tmp_path):
     """Bucketing both fact tables on the join key makes the join
     shuffle-free — the co-located-join strategy for repeated big joins at
