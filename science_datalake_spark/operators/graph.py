@@ -68,6 +68,53 @@ def transitive_closure(
     return closure
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(node, component) labels by iterative min-label propagation — the
+    stage that turns near-dup candidate PAIRS into duplicate CLUSTERS
+    (each component keeps min(node) as its canonical id).
+
+    Each iteration pushes every node's current label to its neighbors
+    (one join on the symmetrized edge list) and takes the min (one agg);
+    localCheckpoint truncates the growing lineage; stops at the fixpoint
+    (no label changed). Iterations needed = component diameter — small
+    for dedup clusters (near-dup graphs are dense blobs). At a 100 TB
+    scale with long chains, switch to the large-star/small-star
+    alternation (same primitive ops, O(log n) rounds); this direct
+    propagation keeps the plan simple and is exact either way."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iters):
+        pushed = (
+            labels.join(sym, labels["node"] == sym["a"])
+            .select(F.col("b").alias("node"), F.col("comp"))
+        )
+        new = (
+            labels.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .isEmpty()
+        )
+        labels = new
+        if converged:
+            break
+    return labels
+
+
 def cooccurrence(
     memberships: DataFrame,
     group_col: str,

@@ -93,6 +93,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+def _cluster_oracle() -> str:
+    """Recursive-CTE twin of lsh pairs → connected components → cluster
+    sizes (min reachable doc_id = cluster id)."""
+    pairs_body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_body}),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT DISTINCT a, a FROM sym
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    labels AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+    SELECT comp AS cluster_id, count(*) AS cluster_size
+    FROM labels
+    GROUP BY comp
+    ORDER BY cluster_size DESC, cluster_id
+    """
+
+
+@query("dedup_cluster_sizes", aux=True, oracle=_cluster_oracle())
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END-GAME: LSH candidate pairs → connected components →
+    duplicate clusters keyed by their canonical (min) doc_id. This is the
+    stage that decides which documents actually get dropped from a
+    training corpus; pairs alone don't (A~B, B~C must collapse to one
+    cluster {{A,B,C}} even when A~C was never a candidate). The DuckDB
+    oracle computes the identical clustering with a recursive CTE."""
+    from science_datalake_spark.operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
+    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), "cluster_id")
+    )
+
+
 def _simhash_oracle() -> str:
     hexes = "'0','1','2','3','4','5','6','7'"
     sums = ",\n               ".join(

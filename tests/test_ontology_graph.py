@@ -359,6 +359,23 @@ def test_alignment_end_to_end_with_eval(spark):
     assert m99.recall == 0.5  # the 'deep learnin' typo match (jw≈0.985) drops out
 
 
+def test_connected_components(spark):
+    """Two components + a 4-hop chain (propagation must run to the
+    diameter, not stop early)."""
+    from science_datalake_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t")],
+        "src STRING, dst STRING",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x",
+        "p": "p", "q": "p", "r": "p", "s": "p", "t": "p",
+    }
+
+
 def test_cooccurrence_basic(spark):
     m = spark.createDataFrame(
         [("g1", "a"), ("g1", "b"), ("g1", "c"), ("g2", "a"), ("g2", "b")],
