@@ -73,3 +73,86 @@ def test_clean_doi_idempotent_on_variants(variant):
     ).fetchone()[0]
     assert clean == base == clean2
     con.close()
+
+
+# --- RDF parser round-trips -------------------------------------------------
+
+_IRI = st.from_regex(r"http://ex\.org/[A-Za-z0-9_]{1,12}", fullmatch=True)
+_LANG = st.one_of(st.none(), st.sampled_from(["en", "fr", "de", "pt-BR"]))
+# literal alphabet: printable ASCII minus backslash — the dependency-free
+# parsers handle the common \" escape, not the full N-Triples escape
+# table, and spec-compliant serializers escape control characters anyway
+_LIT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, exclude_characters="\\"),
+    max_size=24,
+)
+_QUAD = st.one_of(
+    st.tuples(_IRI, _IRI, _IRI, st.none()),
+    st.tuples(_IRI, _IRI, _LIT, _LANG),
+)
+
+
+def _nt_serialize(quads) -> str:
+    lines = []
+    for s, p, o, lang in quads:
+        if lang is None and o.startswith("http://"):
+            obj = f"<{o}>"
+        else:
+            obj = '"' + o.replace('"', '\\"') + '"' + (f"@{lang}" if lang else "")
+        lines.append(f"<{s}> <{p}> {obj} .")
+    return "\n".join(lines)
+
+
+def _ttl_serialize(quads) -> str:
+    lines = []
+    for s, p, o, lang in quads:
+        if lang is None and o.startswith("http://"):
+            obj = f"<{o}>"
+        else:
+            obj = '"' + o.replace('"', '\\"') + '"' + (f"@{lang}" if lang else "")
+        lines.append(f"<{s}> <{p}> {obj} .")
+    return "\n".join(lines)
+
+
+@given(st.lists(_QUAD, max_size=15))
+@settings(max_examples=120, deadline=None)
+def test_ntriples_roundtrip(quads):
+    """serialize → parse recovers exactly the quads (IRI objects that are
+    not http IRIs serialize as literals, matching the parse side)."""
+    from science_datalake_spark.sources.ontology import parse_ntriples
+
+    assert parse_ntriples(_nt_serialize(quads)) == [
+        (s, p, o, lang) for s, p, o, lang in quads
+    ]
+
+
+@given(st.lists(_QUAD, max_size=15))
+@settings(max_examples=120, deadline=None)
+def test_turtle_roundtrip(quads):
+    from science_datalake_spark.sources.ontology import parse_turtle
+
+    assert parse_turtle(_ttl_serialize(quads)) == [
+        (s, p, o, lang) for s, p, o, lang in quads
+    ]
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=150, deadline=None)
+def test_turtle_parser_total(garbage):
+    """The tolerant Turtle parser never raises on arbitrary input."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+
+    parse_turtle(garbage)
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=150, deadline=None)
+def test_sparql_errors_are_typed(garbage):
+    """The SPARQL front-end either parses or raises SparqlError — never a
+    raw IndexError/ValueError (webapp/CLI catch the typed error)."""
+    from science_datalake_spark.sparql import SparqlError, _parse
+
+    try:
+        _parse(garbage)
+    except SparqlError:
+        pass
