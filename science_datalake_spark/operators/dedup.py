@@ -48,7 +48,13 @@ def _materialize_release(out: DataFrame, *inputs: DataFrame, slot: str) -> DataF
     returned handle themselves."""
     prev = _LIVE_HANDLES.pop(slot, None)
     if prev is not None:
-        prev.unpersist()
+        try:
+            prev.unpersist()
+        except Exception:
+            # the previous handle may belong to a stopped SparkSession
+            # (CLI restart); its cache died with the session — dropping
+            # the reference is all that is needed
+            pass
     out = out.persist()
     out.count()
     for df in inputs:

@@ -92,6 +92,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
+    converged = False
     for _ in range(max_iters):
         pushed = (
             labels.join(sym, labels["node"] == sym["a"])
@@ -112,6 +113,15 @@ def connected_components(
         labels = new
         if converged:
             break
+    if not converged:
+        # unconverged labels look exactly like converged ones — silently
+        # returning them would split true components (and desync the
+        # recursive-CTE oracle), so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations (component diameter exceeds max_iters); raise "
+            "max_iters or use star-contraction for long-chain graphs"
+        )
     return labels
 
 

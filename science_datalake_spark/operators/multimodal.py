@@ -100,7 +100,13 @@ def _read_pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
 
     magic = token()
     width, height, maxval = int(token()), int(token()), int(token())
-    pos += 1  # the single whitespace byte after maxval
+    # exactly one whitespace separator after maxval per spec; tolerate the
+    # common out-of-spec CRLF from Windows writers (a raster may begin
+    # with byte 0x0A, so never skip more than this)
+    if data[pos : pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     return magic, width, height, maxval, pos
 
 
@@ -112,8 +118,8 @@ def decode_image(data: bytes) -> np.ndarray | None:
     try:
         magic, w, h, maxval, off = _read_pnm_header(data)
         channels = 3 if magic == b"P6" else 1
-        if maxval > 255:
-            return None  # 16-bit PNM out of scope
+        if maxval > 255 or w <= 0 or h <= 0:
+            return None  # 16-bit or degenerate-dimension PNM rejected
         raster = np.frombuffer(data, dtype=np.uint8, count=w * h * channels, offset=off)
         return raster.reshape((h, w, 3)) if channels == 3 else raster.reshape((h, w))
     except (ValueError, struct.error):
@@ -182,17 +188,19 @@ def image_features(img: np.ndarray) -> list[float]:
 
 def audio_features(samples: np.ndarray, rate: int) -> list[float]:
     """16 floats: duration_s/3600, rms, peak, zero-crossing rate + 12-bin
-    normalized magnitude spectrum."""
-    n = max(samples.size, 1)
-    rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
-    peak = float(np.max(np.abs(samples))) if samples.size else 0.0
+    normalized magnitude spectrum. Degenerate-but-valid WAVs (zero frames,
+    zero rate) yield an all-zero vector instead of crashing the task."""
+    if samples.size == 0 or rate <= 0:
+        return [0.0] * FEATURE_DIM
+    rms = float(np.sqrt(np.mean(samples**2)))
+    peak = float(np.max(np.abs(samples)))
     zcr = float(np.mean(np.abs(np.diff(np.signbit(samples))))) if samples.size > 1 else 0.0
     spec = np.abs(np.fft.rfft(samples))
     bins = np.array_split(spec, 12)
     energies = np.array([b.mean() if b.size else 0.0 for b in bins])
     total = energies.sum() or 1.0
     return [
-        float(n / rate / 3600.0),
+        float(samples.size / rate / 3600.0),
         rms,
         peak,
         zcr,

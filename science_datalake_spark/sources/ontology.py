@@ -385,18 +385,18 @@ def skos_quads_to_tables(
     spark: SparkSession, quads: list[Quad], lang: str = "en"
 ) -> OntologyTables:
     """SKOS quads → 3-table model with reference semantics
-    (convert_ontologies.py:352-439): prefLabel/rdfs:label → label
-    (``lang`` preferred over untagged over other-tagged — a concept with
-    ONLY foreign-tagged labels keeps one rather than NULL, matching the
-    reference's ``if lang == 'en' or not label`` fallback), definition/
-    scopeNote → definition (same preference), altLabel → synonyms
-    (``lang`` or untagged only, like the reference), broader/
-    broaderTransitive → hierarchy, narrower inverted, the three *Match
-    predicates → xrefs with the match relation as xref_db and the full
-    target IRI as xref_id."""
+    (convert_ontologies.py:352-439): prefLabel/rdfs:label → label with
+    the reference's exact fallback rule ``if lang == 'en' or not label``
+    — a ``lang``-tagged value replaces anything, otherwise the FIRST
+    label seen wins (tagged or not), so a concept with only foreign
+    labels keeps one rather than NULL. definition/scopeNote → definition
+    (same rule), altLabel → synonyms (``lang`` or untagged only, like
+    the reference), broader/broaderTransitive → hierarchy, narrower
+    inverted, the three *Match predicates → xrefs with the match
+    relation as xref_db and the full target IRI as xref_id."""
 
     def prefer(store: dict[str, tuple[str, int]], s: str, o: str, ol: str | None) -> None:
-        rank = 2 if ol == lang else (1 if ol is None else 0)
+        rank = 1 if ol == lang else 0
         if s not in store or rank > store[s][1]:
             store[s] = (o, rank)
 

@@ -53,7 +53,10 @@ class OntologySpec:
     id_prefix: str
     #: direct data-file URL the acquisition manifest fetches (the
     #: reference registry's download.url); empty = manual download
-    #: (portal login), e.g. CSO
+    #: (portal login), e.g. CSO. ``filename`` is the AS-FETCHED name —
+    #: archive entries (.zip/.gz) keep their archive extension, and the
+    #: deployment's fetch pipeline extracts before convert() (the
+    #: reference's download 'extract' step)
     download_url: str = ""
 
 
@@ -117,7 +120,7 @@ ONTOLOGIES: dict[str, OntologySpec] = {
         ),
         OntologySpec(
             "agrovoc", "AGROVOC Multilingual Thesaurus", "Agriculture",
-            "CC BY 3.0 IGO", "https://agrovoc.fao.org/", "agrovoc_core.nt",
+            "CC BY 3.0 IGO", "https://agrovoc.fao.org/", "agrovoc_core.nt.zip",
             "nt", "skos", 42000, "http://aims.fao.org/aos/agrovoc/",
             download_url="https://agrovoc.fao.org/latestAgrovoc/agrovoc_core.nt.zip",
         ),
@@ -130,7 +133,7 @@ ONTOLOGIES: dict[str, OntologySpec] = {
         ),
         OntologySpec(
             "stw", "STW Thesaurus for Economics", "Economics", "CC BY 4.0",
-            "https://zbw.eu/stw/", "stw.rdf", "rdf", "skos",
+            "https://zbw.eu/stw/", "stw.rdf.zip", "rdf", "skos",
             6000, "http://zbw.eu/stw/descriptor/",
             download_url="https://zbw.eu/stw/version/latest/download/stw.rdf.zip",
         ),

@@ -89,6 +89,41 @@ def test_real_ppm_resize_changes_raster(spark):
     assert (row["meta"]["width"], row["meta"]["height"]) == (8, 4)
 
 
+def test_decoder_edge_cases():
+    """Degenerate payloads are rejected or zeroed, never NaN/crash."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from science_datalake_spark.operators.multimodal import (
+        FEATURE_DIM,
+        audio_features,
+        decode_image,
+        decode_wav,
+        encode_ppm,
+    )
+
+    # 0x0 PNM → rejected (None), not a NaN feature vector
+    assert decode_image(b"P5 0 0 255\n") is None
+    # CRLF after maxval (Windows writers) → raster not shifted
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    crlf = b"P6 2 2 255\r\n" + img.tobytes()
+    assert np.array_equal(decode_image(crlf), img)
+    # normal single-\n path still exact
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # zero-frame WAV → all-zero features, no FFT crash
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(b"")
+    samples, rate = decode_wav(buf.getvalue())
+    assert audio_features(samples, rate) == [0.0] * FEATURE_DIM
+    assert audio_features(np.array([0.5]), 0) == [0.0] * FEATURE_DIM
+
+
 def test_real_wav_decode_features(spark):
     """Distinct sine frequencies must land energy in distinct spectrum
     bins — proof the audio path computes real signal features."""

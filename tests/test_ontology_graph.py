@@ -186,17 +186,20 @@ def test_turtle_dot_terminator_without_space():
 
 
 def test_skos_foreign_only_label_fallback(spark):
-    """A concept with ONLY foreign-tagged labels keeps one (reference's
-    'if lang == en or not label' fallback) instead of NULL."""
+    """Exact reference rule ('if lang == en or not label'): en replaces
+    anything; otherwise the FIRST label seen wins, tagged or not."""
     t = ntriples_to_tables(
         spark,
         '<http://ex.org/x> <http://www.w3.org/2004/02/skos/core#prefLabel> "seulement"@fr .\n'
         '<http://ex.org/y> <http://www.w3.org/2004/02/skos/core#prefLabel> "nur"@de .\n'
-        '<http://ex.org/y> <http://www.w3.org/2004/02/skos/core#prefLabel> "english"@en .\n',
+        '<http://ex.org/y> <http://www.w3.org/2004/02/skos/core#prefLabel> "english"@en .\n'
+        '<http://ex.org/z> <http://www.w3.org/2004/02/skos/core#prefLabel> "erst"@de .\n'
+        '<http://ex.org/z> <http://www.w3.org/2004/02/skos/core#prefLabel> "untagged" .\n',
     )
     terms = {r["id"]: r["label"] for r in t.terms.collect()}
     assert terms["http://ex.org/x"] == "seulement"  # fallback, not NULL
     assert terms["http://ex.org/y"] == "english"  # en still wins
+    assert terms["http://ex.org/z"] == "erst"  # first-seen wins over untagged
 
 
 def test_turtle_parser_quads():
@@ -374,6 +377,22 @@ def test_connected_components(spark):
         "x": "x", "y": "x",
         "p": "p", "q": "p", "r": "p", "s": "p", "t": "p",
     }
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Unconverged labels are indistinguishable from converged ones, so
+    loop exhaustion must fail loudly, not return split components."""
+    import pytest as _pytest
+
+    from science_datalake_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)], "src STRING, dst STRING"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    ok = connected_components(chain, max_iters=10)
+    assert {r["comp"] for r in ok.collect()} == {"n0"}
 
 
 def test_cooccurrence_basic(spark):

@@ -103,15 +103,8 @@ def _nt_serialize(quads) -> str:
     return "\n".join(lines)
 
 
-def _ttl_serialize(quads) -> str:
-    lines = []
-    for s, p, o, lang in quads:
-        if lang is None and o.startswith("http://"):
-            obj = f"<{o}>"
-        else:
-            obj = '"' + o.replace('"', '\\"') + '"' + (f"@{lang}" if lang else "")
-        lines.append(f"<{s}> <{p}> {obj} .")
-    return "\n".join(lines)
+# every N-Triples document is valid Turtle — one serializer covers both
+_ttl_serialize = _nt_serialize
 
 
 @given(st.lists(_QUAD, max_size=15))
