@@ -1,12 +1,17 @@
 """Similarity search over embedding columns (ARRAY<FLOAT>).
 
-Two tiers (BASELINE.json north star):
+Three tiers (BASELINE.json north star):
 - brute-force cosine top-k: broadcast the (small) query set against the
   corpus — exact, linear in corpus size, the correctness baseline. This is
   the same plan as the reference's FAISS IndexFlatIP linkage
   (build_embedding_linkage.py:246-273) re-expressed as a broadcast join.
 - sign-LSH bucketed ANN: hyperplane-sign bucket key → co-partitioned join
-  on the bucket — the scale path: each query only scans its bucket.
+  on the bucket — each query only scans its bucket.
+- IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector
+  to its nearest centroid once (map-only, centroids broadcast); a query
+  probes only its ``n_probe`` nearest centroids' posting lists (join
+  keyed on bucket). This is the FAISS IVF design as a DataFrame plan —
+  recall tunable via n_probe, cost O(|C|·K) once + O(|Q|·probed lists).
 
 All vector math is native Spark SQL higher-order functions (zip_with +
 aggregate) over DOUBLE — JVM-side, no Python. For very hot paths a
@@ -77,6 +82,72 @@ def sign_bucket(vec: Column, dims: int = 6) -> Column:
         F.when(F.element_at(vec, i) > 0, "1").otherwise("0") for i in range(1, dims + 1)
     ]
     return F.concat(*chars)
+
+
+def exemplar_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Deterministic coarse-quantizer codebook: the ``k`` corpus vectors
+    with the smallest ids, as (cent_id, cent_vec).
+
+    Exemplar seeding (k-medoid-style, no iteration) keeps the codebook a
+    pure function of the data — reproducible across engines, so the
+    DuckDB oracle derives the identical codebook with ORDER BY id LIMIT k.
+    A production build would swap in Spark ML KMeans centroids (or a
+    hash-sampled exemplar set); every downstream plan is unchanged —
+    centroids are just a small broadcast relation."""
+    return (
+        corpus.select(F.col(id_col).alias("cent_id"), as_double_vec(vec_col).alias("cent_vec"))
+        .orderBy("cent_id")
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (highest cosine,
+    cent_id tie-break): the one-time IVF index build. Map-only — centroids
+    broadcast, no corpus shuffle; output (id, vec, bucket) would be
+    written bucketed/partitioned by ``bucket`` at scale so probes prune
+    files."""
+    c = corpus.select(F.col(id_col), as_double_vec(vec_col).alias("__v"))
+    # rounded before ranking so assignment ties break identically across
+    # engines (the DuckDB oracle ranks the same rounded score)
+    scored = c.join(F.broadcast(centroids), F.lit(True)).withColumn(
+        "__sim", F.round(cosine(F.col("__v"), F.col("cent_vec")), 6)
+    )
+    from science_datalake_spark.operators.windows import top1_per_key
+
+    best = top1_per_key(scored, keys=[id_col], order=[F.desc("__sim"), F.asc("cent_id")])
+    return best.select(id_col, F.col("__v").alias("vec"), F.col("cent_id").alias("bucket"))
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF search: each query ranks the centroids (broadcast), keeps its
+    ``n_probe`` nearest, then scans ONLY those buckets' posting lists
+    (join on bucket) and ranks candidates. Exact within probed buckets;
+    recall grows with n_probe (n_probe = K degenerates to brute force)."""
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv"))
+    probes = q.join(F.broadcast(centroids), F.lit(True)).withColumn(
+        "__csim", F.round(cosine(F.col("__qv"), F.col("cent_vec")), 6)
+    )
+    probed = top_k_per_key(
+        probes, keys=["query_id"], order=[F.desc("__csim"), F.asc("cent_id")], k=n_probe
+    ).select("query_id", "__qv", F.col("cent_id").alias("bucket"))
+    cands = probed.join(assigned, "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("cand_id"),
+        F.round(cosine(F.col("__qv"), F.col("vec")), 4).alias("sim"),
+    )
+    return top_k_per_key(scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k)
 
 
 def bucketed_ann_topk(

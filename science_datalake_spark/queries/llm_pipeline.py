@@ -355,6 +355,69 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b}))"
+)
+
+
+@query(
+    "sim_ivf_topk",
+    aux=True,
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cent_vec
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    asg AS (
+        SELECT c.vec_id, c.v, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round({_COS.format(a='c.v', b='ct.cent_vec')}, 6) DESC,
+                            ct.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents ct
+    ),
+    assigned AS (SELECT vec_id, v, cent_id AS bucket FROM asg WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 12),
+    pr AS (
+        SELECT q.query_id, q.qv, ct.cent_id AS bucket,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({_COS.format(a='q.qv', b='ct.cent_vec')}, 6) DESC,
+                            ct.cent_id) AS rn
+        FROM q CROSS JOIN cents ct
+    ),
+    probed AS (SELECT query_id, qv, bucket FROM pr WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               CAST(round({_COS.format(a='p.qv', b='a.v')}, 4) AS DOUBLE) AS sim
+        FROM probed p JOIN assigned a USING (bucket)
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, sim, rank FROM ranked
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: 8-exemplar coarse quantizer → per-vector bucket assignment
+    (map-only, centroids broadcast) → queries probe their 2 nearest
+    buckets' posting lists only. The FAISS-IVF design as a DataFrame plan
+    (operators/similarity.py); the DuckDB oracle replays the identical
+    quantize/probe/rank pipeline relationally."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = S.exemplar_centroids(e, "vec_id", "embedding", k=8)
+    assigned = S.ivf_assign(e, cents, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 12)
+    out = S.ivf_topk(assigned, cents, q, "vec_id", "embedding", k=5, n_probe=2)
+    return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
+
+
 def _bucket_sql(col: str) -> str:
     return " || ".join(
         f"(CASE WHEN {col}[{i}] > 0 THEN '1' ELSE '0' END)" for i in range(1, 7)

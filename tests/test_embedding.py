@@ -50,3 +50,39 @@ def test_encode_ann_on_corpus(spark, sf_oracle):
     assert top.count() == 15
     again = cosine_topk(vecs, q, "doc_id", "embedding", k=3)
     assert top.exceptAll(again).count() == 0
+
+
+def test_ivf_nprobe_full_probe_equals_brute_force(spark, sf_oracle):
+    """n_probe = K must recover exactly the brute-force top-k (IVF is
+    exact within probed buckets; probing all buckets probes everything),
+    and small n_probe is a subset-quality trade, never garbage."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators.similarity import (
+        cosine_topk,
+        exemplar_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    e = table(spark, sf_oracle, "embeddings")
+    cents = exemplar_centroids(e, "vec_id", "embedding", k=8)
+    assigned = ivf_assign(e, cents, "vec_id", "embedding").cache()
+    assert assigned.count() == e.count()  # every vector lands in a bucket
+    assert assigned.select("bucket").distinct().count() <= 8
+
+    q = e.filter(F.col("vec_id") < 6)
+    full = ivf_topk(assigned, cents, q, "vec_id", "embedding", k=4, n_probe=8)
+    brute = cosine_topk(e, q, "vec_id", "embedding", k=4)
+    f = {(r["query_id"], r["cand_id"], r["sim"]) for r in full.collect()}
+    b = {(r["query_id"], r["cand_id"], r["sim"]) for r in brute.collect()}
+    assert f == b
+
+    narrow = ivf_topk(assigned, cents, q, "vec_id", "embedding", k=4, n_probe=1)
+    n = {(r["query_id"], r["cand_id"]) for r in narrow.collect()}
+    assert n  # non-empty
+    assert len(n) <= len(b)
+    # every narrow result is a genuinely scored candidate (real similarity)
+    for r in narrow.collect():
+        assert -1.0 <= r["sim"] <= 1.0
