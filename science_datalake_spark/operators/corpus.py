@@ -1,0 +1,118 @@
+"""Corpus composition operators: token-budget mixing and eval-set
+decontamination — the two steps between "deduped documents" and "training
+corpus" (BASELINE.json north star; neither exists in the reference, both
+are first-class for a 100 TB training-data pipeline).
+
+- :func:`token_budget_mix` — build a training mix hitting per-source
+  token shares: documents are ordered deterministically (seeded hash of
+  the id, the gold-sample discipline from operators/sampling.py) and
+  taken per source while the running token total stays inside that
+  source's share of the budget. One window per source (single shuffle),
+  exact and reproducible under any partitioning.
+- :func:`decontaminate` — flag corpus documents that share too many word
+  n-grams with an evaluation set (train/test contamination). The eval
+  side is shingled and broadcast (eval sets are small by definition);
+  the corpus side streams through a shingle explode + semi-join-style
+  aggregation. No corpus self-join, no eval-side shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from science_datalake_spark.operators.dedup import _spread, with_word_ngrams
+from science_datalake_spark.operators.textops import token_count
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    id_col: str,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Select documents per source until each source's share of
+    ``budget_tokens`` is exhausted.
+
+    A document is kept while the PRIOR cumulative token count of its
+    source is below the share — so each source overshoots by at most one
+    document (the deterministic boundary rule; matching truncation
+    semantics are easy in any engine). Sources missing from ``weights``
+    get weight 0 (dropped). Output adds ``n_tokens`` and
+    ``cum_tokens_before``.
+
+    Ordering is by md5 of the seeded id — portable across engines (the
+    DuckDB oracle replays it exactly); swap for xxhash64 when oracle
+    parity is not needed and hash throughput matters."""
+    share = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    )
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_key, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = docs.withColumn("__nt", token_count(F.col(text_col)))
+    cum = toks.withColumn(
+        "__cum_before", F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    ).withColumn("__share", F.coalesce(share[F.col(source_col)], F.lit(0.0)))
+    return (
+        cum.filter(F.col("__cum_before") < F.col("__share") * F.lit(float(budget_tokens)))
+        .withColumn("n_tokens", F.col("__nt"))
+        .withColumn("cum_tokens_before", F.col("__cum_before"))
+        .drop("__nt", "__cum_before", "__share")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    max_overlap: float = 0.5,
+) -> DataFrame:
+    """Per corpus document: fraction of its distinct word n-grams that
+    appear ANYWHERE in the eval set, plus ``is_contaminated`` (fraction >
+    ``max_overlap``). Documents with no shingles (shorter than ``n``
+    words) have overlap 0.
+
+    Plan: distinct eval shingles broadcast into the corpus-side
+    aggregation (the eval set is small); corpus shingles stream through
+    one explode + one groupBy(id) — same cost profile as a MinHash pass,
+    zero joins on the corpus."""
+    eval_ng = (
+        with_word_ngrams(eval_docs.select(text_col), text_col, n)
+        .select(F.explode("ng").alias("__ng"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    corpus_ng = (
+        with_word_ngrams(_spread(corpus.select(id_col, text_col), id_col), text_col, n)
+        .select(id_col, F.explode("ng").alias("__ng"))
+        .distinct()
+    )
+    overlap = (
+        corpus_ng.join(F.broadcast(eval_ng), "__ng", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("__hit"), 1)).alias("n_shared"),
+        )
+        .withColumn("overlap", F.round(F.col("n_shared") / F.col("n_shingles"), 4))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.coalesce("overlap", F.lit(0.0)).alias("overlap"),
+            (F.coalesce("overlap", F.lit(0.0)) > max_overlap).alias("is_contaminated"),
+        )
+    )

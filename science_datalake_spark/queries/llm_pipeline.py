@@ -609,3 +609,101 @@ def text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(T.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
         T.quality_score(F.col("text")).alias("quality"),
     ).orderBy("doc_id")
+
+
+_TRIGRAMS = (
+    "list_transform(generate_series(1, len(words) - 2), "
+    "i -> array_to_string(list_slice(words, i, i + 2), ' '))"
+)
+
+
+@query(
+    "corpus_token_mix",
+    aux=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_WORDS}) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS ord
+        FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_tokens_before
+        FROM toks
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(cum_tokens_before AS BIGINT) AS cum_tokens_before
+    FROM cum
+    WHERE cum_tokens_before <
+          (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END) * 9000
+    ORDER BY source, doc_id
+    """,
+)
+def corpus_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus composition: a 9k-token training mix drawn
+    50/30/20 from three sources, documents chosen in seeded-hash order
+    (reproducible under any partitioning) until each source's token share
+    is exhausted — the step that turns deduped documents into a weighted
+    training corpus (operators/corpus.token_budget_mix)."""
+    from science_datalake_spark.operators.corpus import token_budget_mix
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2")
+    )
+    mix = token_budget_mix(
+        d,
+        "source",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        budget_tokens=9000,
+        id_col="doc_id",
+    )
+    return mix.select(
+        "doc_id", "source", "n_tokens", "cum_tokens_before"
+    ).orderBy("source", "doc_id")
+
+
+@query(
+    "corpus_decontaminate",
+    aux=True,
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    eval_ng AS (
+        SELECT DISTINCT unnest({_TRIGRAMS}) AS ng
+        FROM w WHERE doc_id % 25 = 0 AND len(words) >= 3
+    ),
+    corpus_ng AS (
+        SELECT DISTINCT doc_id, unnest({_TRIGRAMS}) AS ng
+        FROM w WHERE doc_id % 25 != 0 AND len(words) >= 3
+    ),
+    overlap AS (
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               count(e.ng) AS n_shared
+        FROM corpus_ng c LEFT JOIN eval_ng e USING (ng)
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(o.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(o.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(coalesce(round(o.n_shared / o.n_shingles, 4), 0.0) AS DOUBLE) AS overlap,
+           coalesce(round(o.n_shared / o.n_shingles, 4), 0.0) > 0.5 AS is_contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 25 != 0) d
+    LEFT JOIN overlap o USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: every 25th document plays the eval
+    set; the rest of the corpus is scored by the fraction of its distinct
+    trigram shingles that appear anywhere in the eval set, flagged above
+    50% overlap (operators/corpus.decontaminate — eval shingles
+    broadcast, corpus streams, no corpus join)."""
+    from science_datalake_spark.operators.corpus import decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0)
+    return decontaminate(corpus, eval_docs, "doc_id", max_overlap=0.5).orderBy("doc_id")

@@ -1,0 +1,67 @@
+"""Corpus composition: token-budget mixing semantics and decontamination
+edge cases."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from science_datalake_spark.operators.corpus import decontaminate, token_budget_mix
+
+
+def _docs(spark):
+    rows = []
+    for i in range(30):
+        src = f"s{i % 3}"
+        rows.append((i, src, " ".join(["tok"] * 10)))  # 10 tokens each
+    return spark.createDataFrame(rows, "doc_id INT, source STRING, text STRING")
+
+
+def test_token_budget_mix_respects_shares(spark):
+    d = _docs(spark)
+    mix = token_budget_mix(
+        d, "source", {"s0": 0.5, "s1": 0.5}, budget_tokens=60, id_col="doc_id"
+    ).cache()
+    per_src = {r["source"]: r for r in mix.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("n_tokens").alias("tok")).collect()}
+    # share = 30 tokens = 3 docs each; boundary rule allows the doc whose
+    # PRIOR cumsum is < share, so exactly 3 docs of 10 tokens fit
+    assert per_src["s0"]["n"] == 3 and per_src["s0"]["tok"] == 30
+    assert per_src["s1"]["n"] == 3 and per_src["s1"]["tok"] == 30
+    assert "s2" not in per_src  # unweighted source dropped
+
+
+def test_token_budget_mix_deterministic_across_partitionings(spark):
+    d = _docs(spark)
+    a = token_budget_mix(d, "source", {"s0": 0.4}, 100, "doc_id")
+    b = token_budget_mix(d.repartition(7), "source", {"s0": 0.4}, 100, "doc_id")
+    assert {r["doc_id"] for r in a.collect()} == {r["doc_id"] for r in b.collect()}
+
+
+def test_token_budget_mix_overshoot_bounded(spark):
+    """Budget not divisible by doc size: at most one overshooting doc."""
+    d = _docs(spark)
+    mix = token_budget_mix(d, "source", {"s0": 1.0}, budget_tokens=25, id_col="doc_id")
+    got = mix.agg(F.sum("n_tokens")).first()[0]
+    assert 25 <= got < 25 + 10  # last doc straddles the boundary
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # fully inside eval doc
+            (2, "zeta eta theta iota kappa"),  # disjoint from eval
+            (3, "alpha beta gamma unrelated words here now"),  # partial
+            (4, "xy"),  # too short for trigrams
+        ],
+        "doc_id INT, text STRING",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta-never")],
+        "doc_id INT, text STRING",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(corpus, eval_docs, "doc_id").collect()}
+    assert out[1]["is_contaminated"] and out[1]["overlap"] == 1.0
+    assert not out[2]["is_contaminated"] and out[2]["overlap"] == 0.0
+    assert 0.0 < out[3]["overlap"] < 1.0
+    assert out[4]["n_shingles"] == 0 and not out[4]["is_contaminated"]
+    assert set(out) == {1, 2, 3, 4}  # every corpus doc gets a row
