@@ -95,7 +95,17 @@ def test_dedup_selfjoins_release_input_cache(spark):
         ngram_jaccard_pairs,
     )
 
+    import gc
+    import time
+
     spark.catalog.clearCache()
+    # flush localCheckpoint blocks left by earlier tests (clearCache only
+    # empties the SQL cache manager; RDD-level blocks go via ContextCleaner
+    # on GC) so the persistent-RDD count below is delta-stable
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
+
     docs = spark.createDataFrame(
         [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(30)],
         "doc_id INT, text STRING",
@@ -105,24 +115,25 @@ def test_dedup_selfjoins_release_input_cache(spark):
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return jmap.size()
 
+    base = n_cached()
     pairs = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
     assert pairs.count() > 0
-    assert n_cached() == 1  # only the returned pair-set
+    assert n_cached() == base + 1  # only the returned pair-set added
 
     # repeated calls stay BOUNDED: the slot registry releases the previous
     # result, so query wrappers that drop the handle can't accumulate
     # (round-2 review finding)
     pairs2 = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
     assert pairs2.count() > 0
-    assert n_cached() == 1
+    assert n_cached() == base + 1
     pairs2.unpersist()
-    assert n_cached() == 0
+    assert n_cached() == base
 
     scored = ngram_jaccard_pairs(docs, "doc_id", "text")
     assert scored.count() > 0
-    assert n_cached() == 1
+    assert n_cached() == base + 1
     scored.unpersist()
-    assert n_cached() == 0
+    assert n_cached() == base
 
 
 def test_cooccurrence_skew_cap(spark):
