@@ -44,11 +44,20 @@ def token_budget_mix(
     get weight 0 (dropped). Output adds ``n_tokens`` and
     ``cum_tokens_before``.
 
-    Ordering is by md5 of the seeded id — portable across engines (the
-    DuckDB oracle replays it exactly); swap for xxhash64 when oracle
-    parity is not needed and hash throughput matters."""
-    share = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in (kv[0], float(kv[1]))]
+    The per-source threshold is resolved to an exact INTEGER token count
+    on the driver (``Decimal(weight) * budget``, floored) — never a
+    floating product inside the plan, where 0.07·100 = 7.000000000000001
+    would admit a document an exact-decimal engine excludes at the
+    boundary. Ordering is by md5 of the seeded id — portable across
+    engines (the DuckDB oracle replays it exactly); swap for xxhash64
+    when oracle parity is not needed and hash throughput matters."""
+    from decimal import Decimal
+
+    thresholds = {
+        src: int(Decimal(str(wt)) * budget_tokens) for src, wt in weights.items()
+    }
+    share_tokens = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in (kv[0], kv[1])]
     )
     order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
     w = (
@@ -59,9 +68,9 @@ def token_budget_mix(
     toks = docs.withColumn("__nt", token_count(F.col(text_col)))
     cum = toks.withColumn(
         "__cum_before", F.coalesce(F.sum("__nt").over(w), F.lit(0))
-    ).withColumn("__share", F.coalesce(share[F.col(source_col)], F.lit(0.0)))
+    ).withColumn("__share", F.coalesce(share_tokens[F.col(source_col)], F.lit(0)))
     return (
-        cum.filter(F.col("__cum_before") < F.col("__share") * F.lit(float(budget_tokens)))
+        cum.filter(F.col("__cum_before") < F.col("__share"))
         .withColumn("n_tokens", F.col("__nt"))
         .withColumn("cum_tokens_before", F.col("__cum_before"))
         .drop("__nt", "__cum_before", "__share")
@@ -82,9 +91,10 @@ def decontaminate(
     words) have overlap 0.
 
     Plan: distinct eval shingles broadcast into the corpus-side
-    aggregation (the eval set is small); corpus shingles stream through
-    one explode + one groupBy(id) — same cost profile as a MinHash pass,
-    zero joins on the corpus."""
+    aggregation (the eval set is small); the corpus is scanned ONCE —
+    per-document-distinct shingles via array_distinct, then explode_outer
+    so shingle-less documents keep a null row (and therefore a result
+    row) without a second corpus scan to restore them."""
     eval_ng = (
         with_word_ngrams(eval_docs.select(text_col), text_col, n)
         .select(F.explode("ng").alias("__ng"))
@@ -93,26 +103,24 @@ def decontaminate(
     )
     corpus_ng = (
         with_word_ngrams(_spread(corpus.select(id_col, text_col), id_col), text_col, n)
-        .select(id_col, F.explode("ng").alias("__ng"))
-        .distinct()
+        .select(id_col, F.explode_outer(F.array_distinct("ng")).alias("__ng"))
     )
-    overlap = (
+    return (
         corpus_ng.join(F.broadcast(eval_ng), "__ng", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_shingles"),
+            F.count("__ng").alias("n_shingles"),  # count() skips the null row
             F.count(F.when(F.col("__hit"), 1)).alias("n_shared"),
         )
-        .withColumn("overlap", F.round(F.col("n_shared") / F.col("n_shingles"), 4))
-    )
-    return (
-        corpus.select(id_col)
-        .join(overlap, id_col, "left")
+        .withColumn(
+            "overlap",
+            F.coalesce(F.round(F.col("n_shared") / F.col("n_shingles"), 4), F.lit(0.0)),
+        )
         .select(
             id_col,
-            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.coalesce("overlap", F.lit(0.0)).alias("overlap"),
-            (F.coalesce("overlap", F.lit(0.0)) > max_overlap).alias("is_contaminated"),
+            "n_shingles",
+            "n_shared",
+            "overlap",
+            (F.col("overlap") > max_overlap).alias("is_contaminated"),
         )
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from science_datalake_spark.operators.windows import top_k_per_key
+from science_datalake_spark.operators.windows import top1_per_key, top_k_per_key
 
 
 def as_double_vec(col: str | Column) -> Column:
@@ -84,7 +84,9 @@ def sign_bucket(vec: Column, dims: int = 6) -> Column:
     return F.concat(*chars)
 
 
-def exemplar_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+def exemplar_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int, materialize: bool = True
+) -> DataFrame:
     """Deterministic coarse-quantizer codebook: the ``k`` corpus vectors
     with the smallest ids, as (cent_id, cent_vec).
 
@@ -93,12 +95,23 @@ def exemplar_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> 
     DuckDB oracle derives the identical codebook with ORDER BY id LIMIT k.
     A production build would swap in Spark ML KMeans centroids (or a
     hash-sampled exemplar set); every downstream plan is unchanged —
-    centroids are just a small broadcast relation."""
-    return (
+    centroids are just a small broadcast relation.
+
+    ``materialize`` (default) collects the k rows and rebuilds them as a
+    driver-local relation: the codebook is consumed by TWO broadcasts
+    (assignment + probing), and left lazy each would re-run the
+    corpus-wide TakeOrdered scan."""
+    cents = (
         corpus.select(F.col(id_col).alias("cent_id"), as_double_vec(vec_col).alias("cent_vec"))
         .orderBy("cent_id")
         .limit(k)
     )
+    if not materialize:
+        return cents
+    from science_datalake_spark.util import local_df
+
+    rows = [(r["cent_id"], list(r["cent_vec"])) for r in cents.collect()]
+    return local_df(corpus.sparkSession, rows, cents.schema)
 
 
 def ivf_assign(
@@ -115,8 +128,6 @@ def ivf_assign(
     scored = c.join(F.broadcast(centroids), F.lit(True)).withColumn(
         "__sim", F.round(cosine(F.col("__v"), F.col("cent_vec")), 6)
     )
-    from science_datalake_spark.operators.windows import top1_per_key
-
     best = top1_per_key(scored, keys=[id_col], order=[F.desc("__sim"), F.asc("cent_id")])
     return best.select(id_col, F.col("__v").alias("vec"), F.col("cent_id").alias("bucket"))
 
@@ -141,7 +152,12 @@ def ivf_topk(
     probed = top_k_per_key(
         probes, keys=["query_id"], order=[F.desc("__csim"), F.asc("cent_id")], k=n_probe
     ).select("query_id", "__qv", F.col("cent_id").alias("bucket"))
-    cands = probed.join(assigned, "bucket").filter(F.col("query_id") != F.col(id_col))
+    # probed is |Q|·n_probe rows while `bucket` has ≤K distinct values —
+    # broadcasting it keeps the corpus posting lists un-shuffled (a
+    # bucket-keyed shuffle would funnel the corpus into ≤K partitions)
+    cands = F.broadcast(probed).join(assigned, "bucket").filter(
+        F.col("query_id") != F.col(id_col)
+    )
     scored = cands.select(
         "query_id",
         F.col(id_col).alias("cand_id"),

@@ -638,7 +638,9 @@ _TRIGRAMS = (
            CAST(cum_tokens_before AS BIGINT) AS cum_tokens_before
     FROM cum
     WHERE cum_tokens_before <
-          (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 ELSE 0.2 END) * 9000
+          -- exact integer thresholds (floor(weight * budget)), mirroring the
+          -- operator's driver-side Decimal resolution
+          (CASE source WHEN 'src0' THEN 4500 WHEN 'src1' THEN 2700 ELSE 1800 END)
     ORDER BY source, doc_id
     """,
 )

@@ -3,9 +3,10 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
-def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+def local_df(spark: SparkSession, rows: list[tuple], schema: str | StructType) -> DataFrame:
     """Create a DataFrame from driver-local rows via the Arrow/pandas path.
 
     ``spark.createDataFrame(list, schema)`` ships rows through a pickled
@@ -21,7 +22,11 @@ def local_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
         try:
             import pandas as pd
 
-            names = [f.split()[0] for f in _split_top_level(schema)]
+            names = (
+                list(schema.names)
+                if isinstance(schema, StructType)
+                else [f.split()[0] for f in _split_top_level(schema)]
+            )
             pdf = pd.DataFrame(rows, columns=names)
             return spark.createDataFrame(pdf, schema)
         except ImportError:
