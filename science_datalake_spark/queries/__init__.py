@@ -51,11 +51,22 @@ def query(
     return deco
 
 
-# Driver-facing order. Queries the round-1 driver never checked (rows 51-59
-# of the old registry: the TPC-H flagships and the text suite) come first so
-# they are guaranteed CORRECTNESS rows; the rest keep their round-1 order
-# (all were green in CORRECTNESS_r01.json).
+# Driver-facing order. Round-3 rotation (round-2 verdict "Next round" #2):
+# the six round-2 flagship additions that only had local-parity coverage
+# (dedup_cluster_sizes, sim_ivf_topk, corpus_token_mix, corpus_decontaminate,
+# sim_lsh_bucket_stats, sparql_bgp_children) come FIRST so they are
+# guaranteed driver CORRECTNESS rows; six redundant §2.8 scalar-function
+# rows (doi_normalize, case_coalesce, date_try_cast, json_extract,
+# array_explode_pos, distinct_projection — all driver-green in
+# CORRECTNESS_r02.json) rotated to the aux/local-parity registry to stay
+# under the driver's 50-row cap.
 DRIVER_ORDER: list[str] = [
+    "dedup_cluster_sizes",
+    "sim_ivf_topk",
+    "corpus_token_mix",
+    "corpus_decontaminate",
+    "sim_lsh_bucket_stats",
+    "sparql_bgp_children",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_local_supplier_volume",
@@ -68,11 +79,6 @@ DRIVER_ORDER: list[str] = [
     "proj_struct_strings",
     "filter_predicates",
     "union_null_padded",
-    "doi_normalize",
-    "case_coalesce",
-    "date_try_cast",
-    "json_extract",
-    "array_explode_pos",
     "join_expression_key",
     "join_anti_semi",
     "join_left_coverage_flags",
@@ -83,7 +89,6 @@ DRIVER_ORDER: list[str] = [
     "agg_upset_flags",
     "agg_having",
     "agg_conditional_rates",
-    "distinct_projection",
     "window_dedup_top1",
     "window_topk_per_group",
     "topk_global",

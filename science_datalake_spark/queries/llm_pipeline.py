@@ -116,7 +116,7 @@ def _cluster_oracle() -> str:
     """
 
 
-@query("dedup_cluster_sizes", aux=True, oracle=_cluster_oracle())
+@query("dedup_cluster_sizes", oracle=_cluster_oracle())
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END-GAME: LSH candidate pairs → connected components →
     duplicate clusters keyed by their canonical (min) doc_id. This is the
@@ -363,7 +363,6 @@ _COS = (
 
 @query(
     "sim_ivf_topk",
-    aux=True,
     oracle=f"""
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
@@ -426,7 +425,6 @@ def _bucket_sql(col: str) -> str:
 
 @query(
     "sim_lsh_bucket_stats",
-    aux=True,
     oracle=f"""
     SELECT {_bucket_sql('embedding')} AS bucket,
            count(*) AS n_vecs,
@@ -619,7 +617,6 @@ _TRIGRAMS = (
 
 @query(
     "corpus_token_mix",
-    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -669,7 +666,6 @@ def corpus_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_decontaminate",
-    aux=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     eval_ng AS (
