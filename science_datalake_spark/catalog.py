@@ -66,17 +66,25 @@ def register_views(
         df = table(spark, sf_dir, name)
         if database is not None:
             if name == "events":
-                # events is TIMESTAMP(NANOS) parquet: bake the same
-                # nanos→micros conversion table() applies into the view so
-                # both registration modes agree. The view still requires
-                # spark.sql.legacy.parquet.nanosAsLong=true in the reading
-                # session (table()/register_views set it; fresh sessions
-                # must too — documented limitation of nanos parquet).
-                cols = ", ".join(c for c in df.columns if c != "ts")
+                # Bake the same ts normalization table() applies into the
+                # view so both registration modes agree, whatever the
+                # physical shape the generator chose (see _events_ts_kind).
+                kind = _events_ts_kind(path)
+                if kind == "nanos":
+                    # Requires nanosAsLong=true in the reading session
+                    # (table() sets it when it sees this shape; fresh
+                    # sessions must too — documented nanos limitation).
+                    ts_expr = "timestamp_micros(ts DIV 1000)"
+                elif kind == "ntz":
+                    ts_expr = "CAST(ts AS TIMESTAMP)"
+                else:
+                    ts_expr = "ts"
+                sel = ", ".join(
+                    f"{ts_expr} AS ts" if c == "ts" else c for c in df.columns
+                )
                 spark.sql(
                     f"CREATE OR REPLACE VIEW {database}.{name} AS "
-                    f"SELECT {cols}, timestamp_micros(ts DIV 1000) AS ts "
-                    f"FROM parquet.`{path}`"
+                    f"SELECT {sel} FROM parquet.`{path}`"
                 )
             else:
                 spark.sql(
@@ -121,6 +129,41 @@ def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def _events_ts_kind(path: str) -> str:
+    """Classify the physical type of ``events.ts`` from the Parquet footer.
+
+    Driver-side metadata-only read (one footer, no data pages — cheap even
+    at 100 TB). Generators have shipped this column as three shapes across
+    rounds: TIMESTAMP(NANOS) (``'nanos'``), TIMESTAMP(MICROS) without UTC
+    adjustment — read by Spark as TIMESTAMP_NTZ (``'ntz'``) — and
+    UTC-adjusted micros (``'tz'``). ``'absent'`` = no such column / not a
+    timestamp; callers then leave the frame untouched.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return "absent"
+        probe = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return "absent"
+    if "ts" not in schema.names:
+        return "absent"
+    t = schema.field("ts").type
+    if not pa.types.is_timestamp(t):
+        return "absent"
+    if t.unit == "ns":
+        return "nanos"
+    return "tz" if t.tz is not None else "ntz"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Direct DataFrame accessor (no view registration needed).
 
@@ -128,11 +171,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     repeated queries skip file listing / footer reads — the same role the
     reference's persistent view catalog plays (create_unified_db.py:63-92).
 
-    ``events.ts`` is stored as Parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects. The schema-evolution-tolerant read (SURVEY
-    §1.3: TRY_CAST-everywhere tolerance) is: read nanos as long via the
-    legacy conf, then convert with integer division (``DIV`` — a double
-    roundtrip would lose sub-microsecond precision on epoch-nanos values).
+    ``events.ts`` is normalized to TIMESTAMP whatever the file's physical
+    shape (see ``_events_ts_kind``), so downstream timestamp math
+    (``unix_micros`` in sessionization, as-of joins) never sees NTZ or raw
+    nanos. The schema-evolution-tolerant read (SURVEY §1.3: TRY_CAST-
+    everywhere tolerance): nanos files are read as long via the legacy conf
+    — set ONLY when the footer proves that shape, so ordinary sessions
+    never carry the global mutation — then integer-divided (``DIV``; a
+    double roundtrip would lose sub-microsecond precision on epoch-nanos).
+    NTZ micros are cast to TIMESTAMP under the session's UTC zone, which
+    preserves the wall-clock value bit-for-bit.
     """
     # applicationId (not id(spark)): CPython recycles object addresses, so
     # a dead session's cache entries could alias a new session's key
@@ -141,12 +189,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name == "events" and _events_ts_kind(path) == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df

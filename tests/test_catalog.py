@@ -15,6 +15,94 @@ def test_temp_views_and_convenience(spark, sf_oracle):
     assert spark.sql("SELECT count(*) FROM documents_en").first()[0] == 218
 
 
+def _write_events(tmp_path, name, ts_type, ts_values):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(range(1, len(ts_values) + 1)), pa.int64()),
+            "ts": pa.array(ts_values, ts_type),
+            "user_id": pa.array([7] * len(ts_values), pa.int64()),
+        }
+    )
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+    return str(d)
+
+
+def test_events_ts_micros_ntz_normalized(spark, sf_oracle):
+    # The driver testdata ships ts as timestamp[us] without UTC adjustment
+    # (read as TIMESTAMP_NTZ). table() must hand back TIMESTAMP so
+    # unix_micros-shaped expressions (sessionize, as-of) resolve.
+    from science_datalake_spark.catalog import _events_ts_kind, table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    import os
+
+    assert _events_ts_kind(os.path.join(sf_oracle, "events.parquet")) == "ntz"
+    df = table(spark, sf_oracle, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.select(F.unix_micros("ts")).first()[0] is not None
+    # the micros shape must NOT flip the session-wide nanos legacy conf
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+    )
+
+
+def test_events_ts_nanos_normalized(spark, tmp_path):
+    import pyarrow as pa
+
+    from science_datalake_spark.catalog import _events_ts_kind, table
+
+    d = _write_events(
+        tmp_path,
+        "nanos_sf",
+        pa.timestamp("ns"),
+        [1_700_000_000_000_000_000, 1_700_000_001_500_000_000],
+    )
+    assert _events_ts_kind(d + "/events.parquet") == "nanos"
+    df = table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got == [1_700_000_000_000_000, 1_700_000_001_500_000]
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_events_ts_tz_passthrough(spark, tmp_path):
+    import pyarrow as pa
+
+    from science_datalake_spark.catalog import _events_ts_kind, table
+
+    d = _write_events(
+        tmp_path,
+        "tz_sf",
+        pa.timestamp("us", tz="UTC"),
+        [1_700_000_000_000_000, 1_700_000_001_500_000],
+    )
+    assert _events_ts_kind(d + "/events.parquet") == "tz"
+    df = table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert got == [1_700_000_000_000_000, 1_700_000_001_500_000]
+
+
+def test_nanos_conf_scoped_to_events(spark, sf_oracle, tmp_path):
+    # Reading micros-shaped events must leave a non-events nanos read in
+    # the same session at vanilla behavior (it raises, not bigint).
+    import pyarrow as pa
+    import pytest
+
+    from science_datalake_spark.catalog import table
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    table(spark, sf_oracle, "events").limit(1).collect()
+    d = _write_events(tmp_path, "other_sf", pa.timestamp("ns"), [1, 2])
+    with pytest.raises(Exception):
+        spark.read.parquet(d + "/events.parquet").collect()
+
+
 def test_database_namespace_views(spark, sf_oracle):
     spark.sql("DROP DATABASE IF EXISTS lake_sf001 CASCADE")
     register_views(spark, sf_oracle, database="lake_sf001")
