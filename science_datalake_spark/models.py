@@ -69,6 +69,27 @@ def apply_model(
     return df.withColumn(out_col, model_udf(factory, output_type)(col))
 
 
+_OPTIONAL_CACHE: dict[str, object] = {}
+
+
+def optional_import(name: str):
+    """``try: import`` upgrade probe — the reference's own pattern for
+    langdetect (convert_fulltext.py:78-87: import, degrade to a heuristic
+    when absent). Returns the module or None; never raises. The result is
+    cached per process so hot paths (per-payload decode) don't re-pay the
+    failed-import path scan."""
+    import importlib
+
+    if name in _OPTIONAL_CACHE:
+        return _OPTIONAL_CACHE[name]
+    try:
+        mod = importlib.import_module(name)
+    except Exception:
+        mod = None
+    _OPTIONAL_CACHE[name] = mod
+    return mod
+
+
 # --- built-in stand-in models ----------------------------------------------
 
 
@@ -106,3 +127,84 @@ class StopwordLangIDModel:
             return "en" if ratio >= self.threshold else "other"
 
         return batch.map(lang)
+
+
+# --- optional-dependency upgrades ------------------------------------------
+
+
+class LangDetectModel:
+    """Real language ID via the ``langdetect`` package (the library the
+    reference imports in convert_fulltext.py:78-87). Deterministic: the
+    detector's PRNG is seeded once per worker."""
+
+    output_type = StringType()
+
+    def __init__(self):
+        import langdetect
+
+        langdetect.DetectorFactory.seed = 0
+        self._detect = langdetect.detect
+        self._exc = langdetect.lang_detect_exception.LangDetectException
+
+    def predict_batch(self, batch: pd.Series) -> pd.Series:
+        def lang(text: str | None) -> str:
+            if not text or not text.strip():
+                return "other"
+            try:
+                return self._detect(text)
+            except self._exc:
+                return "other"
+
+        return batch.map(lang)
+
+
+class SentenceTransformerEncoderModel:
+    """Real sentence embeddings via ``sentence_transformers`` (the
+    reference's BGE encode, build_embedding_linkage.py:223-243). Loaded
+    once per Python worker by the model_udf factory contract."""
+
+    output_type = ArrayType(FloatType())
+
+    def __init__(self, model_name: str = "BAAI/bge-small-en-v1.5"):
+        from sentence_transformers import SentenceTransformer
+
+        self._model = SentenceTransformer(model_name)
+
+    def predict_batch(self, batch: pd.Series) -> pd.Series:
+        vecs = self._model.encode(
+            ["" if t is None else str(t) for t in batch],
+            normalize_embeddings=True,
+            show_progress_bar=False,
+        )
+        return pd.Series([v.astype("float32").tolist() for v in vecs])
+
+
+def auto_langid_factory(threshold: float = 0.10) -> Callable[[], BatchModel]:
+    """Factory that upgrades to ``langdetect`` when importable, else the
+    stopword stand-in. The probe runs INSIDE the factory — i.e. on each
+    executor's Python worker, where the library actually has to exist —
+    not at driver import time."""
+
+    def factory() -> BatchModel:
+        if optional_import("langdetect") is not None:
+            return LangDetectModel()
+        return StopwordLangIDModel(threshold)
+
+    return factory
+
+
+def auto_encoder_factory(
+    model_name: str = "BAAI/bge-small-en-v1.5",
+) -> Callable[[], BatchModel]:
+    """Factory that upgrades to a sentence-transformers encoder when
+    importable, else the deterministic hashed encoder. NOTE: the two
+    models emit different dimensionalities (the ST model's vs the
+    stand-in's 64) — downstream similarity operators are dim-agnostic,
+    but persisted embeddings must not mix encoders."""
+
+    def factory() -> BatchModel:
+        if optional_import("sentence_transformers") is not None:
+            return SentenceTransformerEncoderModel(model_name)
+        return HashedEncoderModel()
+
+    return factory

@@ -11,9 +11,15 @@ Four families (BASELINE.json north star):
   scale this runs AFTER LSH candidate generation, never on the cross
   product
 
-All hashing is md5-based so results are engine-portable (the DuckDB oracle
-computes the identical signatures). For raw throughput at 100 TB you would
-swap md5 for xxhash64 — the plan shape is unchanged.
+Hashing is pluggable (``hash_fn``): the default ``"md5"`` is
+engine-portable (the DuckDB oracle computes the identical signatures,
+which is what the correctness gate hash-checks), while ``"xxhash64"`` is
+the raw-throughput path for 100 TB runs — Spark's native 64-bit
+non-cryptographic hash, one codegen'd long per value instead of a 128-bit
+digest + hex string. The plan shape is identical either way; only the
+signature VALUES differ, so the two paths find the same exact-duplicate
+collisions but (by design of MinHash) independently-sampled near-dup
+candidates.
 
 Reference parallel: the reference dedups only by key priority
 (materialize_fulltext.py:96-120); content-based near-dup is the additive
@@ -120,10 +126,20 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """Per-document MinHash signature: num_hashes salted-md5 minima over
+    """Per-document MinHash signature: num_hashes salted-hash minima over
     word n-grams. Documents with fewer than n words drop out (no shingles).
+
+    ``hash_fn="md5"`` salts by string-prefixing the band index (oracle-
+    portable); ``hash_fn="xxhash64"`` salts by passing the band index as a
+    leading hash input — an 8-byte long min instead of a 32-char hex
+    string min, the fast path for corpora where no DuckDB twin is needed.
 
     Scale: explode is linear in corpus token count; the groupBy(id) agg is
     one shuffle with map-side partial min — no pairwise work.
@@ -132,10 +148,18 @@ def minhash_signatures(
         with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
         .select(id_col, F.explode("ng").alias("__ng"))
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("__ng")))).alias(f"mh{b}")
-        for b in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("__ng")))).alias(f"mh{b}")
+            for b in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(b), F.col("__ng"))).alias(f"mh{b}")
+            for b in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return ng.groupBy(id_col).agg(*aggs)
 
 
@@ -152,11 +176,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
     reference it, and without materialization Spark recomputes the whole
     shingle+hash pipeline twice (observed 9.8s → 1.1s at sf0.1). This is
     the reference's materialize-once/extract-many discipline
-    (convert_openalex.py:1095-1175) applied to a self-join input. The
-    signature cache is released before returning; the returned pair set is
-    persisted and owned by the caller (see _materialize_release).
+    (convert_openalex.py:1095-1175) applied to a self-join input. A cache
+    WE create is released before returning; a signature frame the caller
+    already persisted is left exactly as it arrived (their cache, their
+    lifetime). The returned pair set is persisted and owned by the caller
+    (see _materialize_release).
     """
-    signatures = signatures.persist()
+    lvl = signatures.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        signatures = signatures.persist()
     stack_args = ", ".join(f"'{b}', mh{b}" for b in range(num_hashes))
     bands = signatures.select(
         F.col(id_col), F.expr(f"stack({num_hashes}, {stack_args}) AS (band, mh)")
@@ -173,34 +202,50 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return _materialize_release(pairs, signatures, slot="lsh_candidate_pairs")
+    own_caches = () if caller_cached else (signatures,)
+    return _materialize_release(pairs, *own_caches, slot="lsh_candidate_pairs")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16, hash_fn: str = "md5"
+) -> DataFrame:
     """SimHash signature via hash-parity random hyperplanes: bit b is the
     sign of the sum over tokens of ±1, where the sign of each token's
-    contribution is the parity of the b-th hex digit of md5(token) — one
-    digest per token yields all ``bits`` (≤32) independent projections.
-    Near-identical token multisets get identical signatures; Hamming-close
-    docs are near-dups.
+    contribution is derived from one hash of the token — the b-th hex
+    digit's parity for md5 (≤32 independent projections), the b-th BIT for
+    xxhash64 (≤64, and the fast path: long bit-tests instead of substring
+    on a hex string). Near-identical token multisets get identical
+    signatures; Hamming-close docs are near-dups.
 
     Scale: one explode + one groupBy(id) with ``bits`` tiny aggregates —
     identical shuffle profile to minhash_signatures, 1 hash per token.
     """
-    if bits > 32:
-        raise ValueError("simhash derives bits from one md5 digest; max 32")
-    tokens = (
-        _spread(df.select(id_col, text_col), id_col)
-        .select(id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"))
-        .select(id_col, F.md5(F.col("__tok")).alias("__h"))
+    tokens = _spread(df.select(id_col, text_col), id_col).select(
+        id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok")
     )
-    contribs = [
-        F.sum(
-            F.when(F.substring(F.col("__h"), b + 1, 1).isin(*"01234567"), 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    summed = tokens.groupBy(id_col).agg(*contribs)
+    if hash_fn == "md5":
+        if bits > 32:
+            raise ValueError("simhash derives bits from one md5 digest; max 32")
+        hashed = tokens.select(id_col, F.md5(F.col("__tok")).alias("__h"))
+        contribs = [
+            F.sum(
+                F.when(F.substring(F.col("__h"), b + 1, 1).isin(*"01234567"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    elif hash_fn == "xxhash64":
+        if bits > 64:
+            raise ValueError("simhash derives bits from one xxhash64; max 64")
+        hashed = tokens.select(id_col, F.xxhash64(F.col("__tok")).alias("__h"))
+        contribs = [
+            F.sum(
+                F.when(F.expr(f"(__h >> {b}) & 1 = 1"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    summed = hashed.groupBy(id_col).agg(*contribs)
     bit_chars = [F.when(F.col(f"s{b}") > 0, "1").otherwise("0") for b in range(bits)]
     return summed.select(id_col, F.concat(*bit_chars).alias("simhash"))
 

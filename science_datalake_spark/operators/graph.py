@@ -19,6 +19,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_checkpoint(df: DataFrame | None) -> None:
+    """Free the cached blocks behind a ``localCheckpoint`` result.
+
+    ``localCheckpoint`` persists one RDD per call and ``DataFrame.
+    unpersist`` does NOT release it (it only touches CacheManager entries),
+    so iterative algorithms leak one cached RDD per iteration — the cache
+    grows linearly with rounds (round-2/3 advice finding; measured: +1
+    persistent RDD per iteration). The checkpointed RDD is reachable via
+    the analyzed ``LogicalRDD`` plan node; unpersisting it there keeps the
+    persistent-RDD count flat. Only call this AFTER the next iteration's
+    checkpoint has been eagerly materialized: its blocks no longer read
+    the previous ones (that ordering is the same no-recompute assumption
+    localCheckpoint itself makes). Internal-API access is guarded — on any
+    mismatch we degrade to the old leak-until-GC behavior, never to an
+    error."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """(node, out_degree, in_degree)."""
     out_d = edges.groupBy(F.col(src).alias("node")).agg(F.count("*").alias("out_degree"))
@@ -55,6 +78,11 @@ def transitive_closure(
     point (ontology ancestor expansion). Each iteration doubles reachable
     path length; localCheckpoint truncates the exploding lineage."""
     closure = edges.select(F.col(src).alias("a"), F.col(dst).alias("d")).distinct()
+    prev_ckpt: DataFrame | None = None
+    # carry the previous size in a Python variable: one count action per
+    # iteration, not two (the old code re-counted the closure it had
+    # already counted last round — a full extra job per iteration)
+    prev_n = closure.count()
     for _ in range(max_iters):
         hop = (
             closure.alias("l")
@@ -62,8 +90,12 @@ def transitive_closure(
             .select(F.col("l.a").alias("a"), F.col("r.d").alias("d"))
         )
         grown = closure.unionByName(hop).distinct().localCheckpoint(eager=True)
-        if grown.count() == closure.count():
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = grown
+        n = grown.count()
+        if n == prev_n:
             return grown
+        prev_n = n
         closure = grown
     return closure
 
@@ -73,19 +105,26 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
+    fallback_star: bool = True,
 ) -> DataFrame:
-    """(node, component) labels by iterative min-label propagation — the
-    stage that turns near-dup candidate PAIRS into duplicate CLUSTERS
-    (each component keeps min(node) as its canonical id).
+    """(node, component) labels — the stage that turns near-dup candidate
+    PAIRS into duplicate CLUSTERS (each component keeps min(node) as its
+    canonical id).
 
-    Each iteration pushes every node's current label to its neighbors
-    (one join on the symmetrized edge list) and takes the min (one agg);
-    localCheckpoint truncates the growing lineage; stops at the fixpoint
-    (no label changed). Iterations needed = component diameter — small
-    for dedup clusters (near-dup graphs are dense blobs). At a 100 TB
-    scale with long chains, switch to the large-star/small-star
-    alternation (same primitive ops, O(log n) rounds); this direct
-    propagation keeps the plan simple and is exact either way."""
+    Strategy: iterative min-label propagation first. Each iteration pushes
+    every node's current label to its neighbors (one join on the
+    symmetrized edge list) and takes the min (one agg); localCheckpoint
+    truncates the growing lineage (and each round releases the previous
+    round's checkpoint blocks, so the cache footprint is flat, not linear
+    in rounds); stops at the fixpoint (no label changed). Iterations
+    needed = component diameter — small for dedup clusters (near-dup
+    graphs are dense blobs), so this is the cheap common case.
+
+    If the diameter exceeds ``max_iters`` (long chains — e.g. citation
+    threads), the partial labels are discarded and the computation
+    switches to ``connected_components_star`` (O(log n) rounds regardless
+    of diameter) instead of failing — set ``fallback_star=False`` to get
+    the old fail-loudly behavior."""
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -93,6 +132,7 @@ def connected_components(
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     )
     converged = False
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iters):
         pushed = (
             labels.join(sym, labels["node"] == sym["a"])
@@ -110,19 +150,129 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .isEmpty()
         )
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = new
         labels = new
         if converged:
             break
     if not converged:
-        # unconverged labels look exactly like converged ones — silently
-        # returning them would split true components (and desync the
-        # recursive-CTE oracle), so fail loudly instead
+        _release_checkpoint(prev_ckpt)
+        if fallback_star:
+            # unconverged propagation labels look exactly like converged
+            # ones, so they must not be returned — re-derive exactly with
+            # the diameter-independent algorithm
+            return connected_components_star(edges, src=src, dst=dst)
         raise RuntimeError(
             f"connected_components did not converge within {max_iters} "
             "iterations (component diameter exceeds max_iters); raise "
-            "max_iters or use star-contraction for long-chain graphs"
+            "max_iters or use connected_components_star"
         )
     return labels
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects each strictly-LARGER
+    neighbor to m = min(N(u) ∪ {u}). One groupBy + one join, both on u."""
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("u", "__mv").alias("__m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(sym: DataFrame) -> DataFrame:
+    """One small-star round: orient edges toward the smaller endpoint, then
+    every node u connects each smaller neighbor AND itself to
+    m = min of its smaller neighbors."""
+    dn = sym.filter(F.col("v") < F.col("u"))
+    m = dn.groupBy("u").agg(F.min("v").alias("__m"))
+    nbr_edges = (
+        dn.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+    self_edges = m.select("u", F.col("__m").alias("v"))
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """(node, component) labels by the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    converges in O(log n) rounds INDEPENDENT of component diameter, so a
+    billion-node citation chain costs ~30 rounds where min-label
+    propagation would need a billion. Labels are identical to
+    ``connected_components``: every node maps to its component's minimum.
+
+    Each round is two groupBy+join pairs on the node key — the same
+    shuffle profile as one propagation step, just alternating edge
+    orientations. Convergence = the edge multiset is a fixed set of stars
+    (small-star changes nothing). Per-round localCheckpoint truncates
+    lineage; the previous round's blocks are released each time."""
+    isolated = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    cur = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_ckpt: DataFrame = cur
+    converged = False
+    prev_n = cur.count()
+    for _ in range(max_rounds):
+        sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star output is already oriented larger→smaller, which is
+        # exactly the grouping small-star wants — no re-symmetrization
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        n = nxt.count()
+        changed = n != prev_n or not nxt.exceptAll(cur).isEmpty()
+        _release_checkpoint(prev_ckpt)
+        prev_ckpt = nxt
+        cur = nxt
+        prev_n = n
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        _release_checkpoint(prev_ckpt)
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # cur is a star forest pointing at component minima: (u → root).
+    # Roots label themselves; nodes only ever seen as isolated self-loops
+    # form singleton components.
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    singletons = (
+        isolated.join(
+            members.select("node").unionByName(roots.select("node")).distinct(),
+            "node",
+            "left_anti",
+        ).withColumn("comp", F.col("node"))
+    )
+    return members.unionByName(roots).unionByName(singletons)
 
 
 def cooccurrence(

@@ -110,11 +110,31 @@ def _read_pnm_header(data: bytes) -> tuple[bytes, int, int, int, int]:
     return magic, width, height, maxval, pos
 
 
-def decode_image(data: bytes) -> np.ndarray | None:
-    """PPM (P6) → (H, W, 3) uint8; PGM (P5) → (H, W) uint8; None if the
-    payload is not a binary PNM."""
-    if not data[:2] in (b"P5", b"P6"):
+def _pil_decode(data: bytes) -> np.ndarray | None:
+    """Compressed-format upgrade path: decode via PIL when it is
+    importable (the plug-in the NotImplementedError below names). Probe
+    and decode both executor-side; any failure degrades to None so the
+    caller's format dispatch continues unchanged."""
+    from science_datalake_spark.models import optional_import
+
+    pil_image = optional_import("PIL.Image")
+    if pil_image is None:
         return None
+    try:
+        img = pil_image.open(io.BytesIO(data))
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB")
+        return np.asarray(img, dtype=np.uint8)
+    except Exception:
+        return None
+
+
+def decode_image(data: bytes) -> np.ndarray | None:
+    """PPM (P6) → (H, W, 3) uint8; PGM (P5) → (H, W) uint8. Non-PNM
+    payloads try the PIL upgrade path (JPEG/PNG/... when the library is
+    present); None if nothing can decode it."""
+    if not data[:2] in (b"P5", b"P6"):
+        return _pil_decode(data)
     try:
         magic, w, h, maxval, off = _read_pnm_header(data)
         channels = 3 if magic == b"P6" else 1

@@ -93,10 +93,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
+#: Source shard for the clustering end-game demo. The DuckDB oracle's
+#: recursive ``reach`` CTE enumerates O(nodes x component) rows per
+#: iteration — on the FULL corpus at sf0.1 it needs ~163 s while Spark's
+#: iterative CC finishes in ~6 s, which made every suite-level bench ratio
+#: measure DuckDB's recursion, not Spark (round-3 verdict). Sharding BOTH
+#: sides to 4 of the 20 sources keeps the oracle in the seconds range so
+#: the 2x gate is computed over sane oracle times; the Spark plan shape is
+#: identical at any shard width.
+_CLUSTER_SOURCES = ("src0", "src1", "src2", "src3")
+
+
 def _cluster_oracle() -> str:
     """Recursive-CTE twin of lsh pairs → connected components → cluster
-    sizes (min reachable doc_id = cluster id)."""
+    sizes (min reachable doc_id = cluster id), on the 4-source shard."""
+    srcs = ", ".join(f"'{s}'" for s in _CLUSTER_SOURCES)
     pairs_body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    pairs_body = pairs_body.replace(
+        "FROM documents", f"FROM documents WHERE source IN ({srcs})"
+    )
     return f"""
     WITH RECURSIVE pairs AS ({pairs_body}),
     sym AS (
@@ -123,10 +138,16 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage that decides which documents actually get dropped from a
     training corpus; pairs alone don't (A~B, B~C must collapse to one
     cluster {{A,B,C}} even when A~C was never a candidate). The DuckDB
-    oracle computes the identical clustering with a recursive CTE."""
+    oracle computes the identical clustering with a recursive CTE, on the
+    same 4-source shard (see _CLUSTER_SOURCES for why the demo is
+    sharded)."""
     from science_datalake_spark.operators.graph import connected_components
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_CLUSTER_SOURCES))
+        .select("doc_id", "text")
+    )
     sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
     pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES)
     cc = connected_components(pairs, "id_a", "id_b")

@@ -104,7 +104,27 @@ def _parse_article_xml(xml: str) -> dict | None:
         elif kind == "pmc" and aid.text and pmcid is None:
             pmcid = aid.text.strip()
 
-    title = text_of(find("article-title"))
+    # Title must come from the article's FRONT MATTER. A bare
+    # .//article-title search also matches the <article-title> inside
+    # every <element-citation> in the bibliography, so an article with no
+    # title of its own would silently inherit its first reference's title
+    # (round-3 advice finding). JATS scoping: the real title lives in
+    # <front>/<article-meta>/<title-group>; citations never carry a
+    # <title-group>.
+    def _scoped(base: ET.Element, path: str) -> list[ET.Element]:
+        els = base.findall(f".//{ns_prefix}{path}") if ns_prefix else []
+        return els or base.findall(f".//{path}")
+
+    title = None
+    title_groups = findall("title-group")
+    if title_groups:
+        articles = _scoped(title_groups[0], "article-title")
+        title = text_of(articles[0] if articles else None)
+    else:
+        fronts = findall("front")
+        if fronts:
+            articles = _scoped(fronts[0], "article-title")
+            title = text_of(articles[0] if articles else None)
     if doi is None and title is None:
         return None
 
@@ -164,7 +184,10 @@ def _parse_article_regex(xml: str) -> dict | None:
     """Regex JATS subset — salvage path for members ElementTree rejects
     (truncated/misnested markup). Same field semantics, best-effort."""
     doi_m = _DOI_RE.search(xml)
-    title_m = _TITLE_RE.search(xml)
+    # citations live in <back><ref-list> and also contain <article-title>;
+    # only the front-matter slice may supply the title (same scoping rule
+    # as the ElementTree path)
+    title_m = _TITLE_RE.search(xml.split("<back", 1)[0])
     if not doi_m and not title_m:
         return None
     abstract_m = _ABSTRACT_RE.search(xml)

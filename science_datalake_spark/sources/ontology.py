@@ -203,6 +203,19 @@ _TTL_TOKEN = re.compile(
 )
 
 
+#: Turtle string-escape decoding (one pass): \uXXXX / \UXXXXXXXX unicode
+#: escapes plus the ECHAR set; an unknown escaped char decodes to itself.
+_TTL_ESCAPE_RE = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)")
+_TTL_ECHAR = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def _ttl_escape_repl(m: re.Match[str]) -> str:
+    s = m.group(1)
+    if len(s) in (5, 9) and s[0] in "uU":
+        return chr(int(s[1:], 16))
+    return _TTL_ECHAR.get(s, s)
+
+
 def _ttl_tokens(text: str) -> list[tuple[str, str]]:
     toks: list[tuple[str, str]] = []
     pos = 0
@@ -250,9 +263,11 @@ def parse_turtle(text: str) -> list[Quad]:
             body = value[3:-3]
         else:
             body = value[1:-1]
-        return body.replace('\\"', '"').replace("\\'", "'").replace("\\n", "\n").replace(
-            "\\t", "\t"
-        ).replace("\\\\", "\\")
+        # single left-to-right pass: each backslash consumes exactly the
+        # escape it introduces. Sequential str.replace decoded r'\\n' to
+        # backslash+newline (the '\n' replace saw the second backslash)
+        # instead of backslash+'n' (round-3 advice finding).
+        return _TTL_ESCAPE_RE.sub(_ttl_escape_repl, body)
 
     def parse_object(j: int, subj: str, pred: str) -> int:
         """Parse one object at token j, emit quad(s); return next index."""

@@ -94,3 +94,40 @@ def test_jats_namespaced_article(spark, tmp_path):
     assert row["doi"] == "10.3/jats.3"
     assert row["body"] == "First paragraph 3.\n\nSecond bold paragraph."
     assert row["year"] == 2015
+
+
+CITATION_ONLY_TITLE = """<?xml version="1.0"?>
+<article>
+  <front>
+    <article-meta>
+      <article-id pub-id-type="doi">10.9999/NO.TITLE</article-id>
+    </article-meta>
+  </front>
+  <body><p>Body text.</p></body>
+  <back>
+    <ref-list>
+      <ref><element-citation>
+        <article-title>Somebody Else's Cited Paper</article-title>
+      </element-citation></ref>
+    </ref-list>
+  </back>
+</article>
+"""
+
+
+def test_jats_title_never_taken_from_citations():
+    """An article with no front-matter title must yield title=None — not
+    the first bibliography entry's <article-title> (round-3 advice)."""
+    from science_datalake_spark.sources.archives import (
+        _parse_article_regex,
+        _parse_article_xml,
+    )
+
+    row = _parse_article_xml(CITATION_ONLY_TITLE)
+    assert row is not None and row["doi"] == "10.9999/no.title"
+    assert row["title"] is None
+
+    # the regex salvage path applies the same front-matter scoping
+    broken = CITATION_ONLY_TITLE.replace("</article>", "")  # unclosed root
+    row2 = _parse_article_regex(broken)
+    assert row2 is not None and row2["title"] is None

@@ -86,3 +86,59 @@ def test_ivf_nprobe_full_probe_equals_brute_force(spark, sf_oracle):
     # every narrow result is a genuinely scored candidate (real similarity)
     for r in narrow.collect():
         assert -1.0 <= r["sim"] <= 1.0
+
+
+def test_ivf_nonbroadcast_probe_fallback_identical(spark, sf_oracle):
+    """The big-|Q| fallback (salted shuffle join instead of broadcasting
+    the probe set) must return the identical result set, and its plan must
+    not contain a broadcast of the probe side."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators.similarity import (
+        exemplar_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    e = table(spark, sf_oracle, "embeddings")
+    cents = exemplar_centroids(e, "vec_id", "embedding", k=8)
+    assigned = ivf_assign(e, cents, "vec_id", "embedding").cache()
+    q = e.filter(F.col("vec_id") < 6)
+    bc = ivf_topk(assigned, cents, q, "vec_id", "embedding", k=4, n_probe=2)
+    shuf = ivf_topk(
+        assigned, cents, q, "vec_id", "embedding", k=4, n_probe=2,
+        broadcast_probes=False, probe_salts=4,
+    )
+    assert {tuple(r) for r in bc.collect()} == {tuple(r) for r in shuf.collect()}
+    assigned.unpersist()
+
+
+def test_ivf_kmeans_codebook_recall(spark, sf_oracle):
+    """KMeans codebook: same (cent_id, cent_vec) contract, and at equal
+    n_probe a LEARNED codebook should not collapse recall vs brute force
+    (recall-comparison test from the round-3 verdict)."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = table(spark, sf_oracle, "embeddings").filter(F.col("vec_id") < 200)
+    cents = kmeans_centroids(e, "vec_id", "embedding", k=8, seed=7)
+    assert dict(cents.dtypes) == {"cent_id": "int", "cent_vec": "array<double>"}
+    assert cents.count() == 8
+
+    assigned = ivf_assign(e, cents, "vec_id", "embedding").cache()
+    q = e.filter(F.col("vec_id") < 10)
+    approx = ivf_topk(assigned, cents, q, "vec_id", "embedding", k=5, n_probe=2)
+    brute = cosine_topk(e, q, "vec_id", "embedding", k=5)
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    b = {(r["query_id"], r["cand_id"]) for r in brute.collect()}
+    recall = len(a & b) / len(b)
+    assert recall >= 0.4, f"kmeans-IVF recall collapsed: {recall}"
+    assigned.unpersist()

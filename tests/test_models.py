@@ -78,3 +78,78 @@ def test_encoder_model_matches_embed_udf(spark):
     m = {r["id"]: r["embedding"] for r in via_model.collect()}
     u = {r["id"]: r["embedding"] for r in via_udf.collect()}
     assert m == u
+
+
+def test_optional_import_probe():
+    from science_datalake_spark.models import optional_import
+
+    assert optional_import("json") is not None
+    assert optional_import("definitely_not_a_module_xyz") is None
+    # cached: second probe returns the same object without re-importing
+    assert optional_import("json") is optional_import("json")
+
+
+def test_auto_langid_factory_upgrades_or_degrades(spark):
+    """The factory returns the real langdetect model when the library is
+    importable, else the stopword stand-in — and EITHER way satisfies the
+    BatchModel contract and calls English text 'en'."""
+    import pandas as pd
+
+    from science_datalake_spark import models
+
+    m = models.auto_langid_factory()()
+    if models.optional_import("langdetect") is not None:
+        assert isinstance(m, models.LangDetectModel)
+    else:
+        assert isinstance(m, models.StopwordLangIDModel)
+    out = m.predict_batch(
+        pd.Series(["the cat sat on the mat and the dog is in the house", "", None])
+    )
+    assert out.iloc[0] == "en"
+    assert out.iloc[1] == "other" and out.iloc[2] == "other"
+
+
+def test_auto_encoder_factory_upgrades_or_degrades():
+    """Same auto-upgrade shape for the text encoder: sentence-transformers
+    when present, hashed bag-of-words otherwise; both produce normalized
+    float vectors."""
+    import math
+
+    import pandas as pd
+
+    from science_datalake_spark import models
+
+    m = models.auto_encoder_factory()()
+    if models.optional_import("sentence_transformers") is not None:
+        assert isinstance(m, models.SentenceTransformerEncoderModel)
+    else:
+        assert isinstance(m, models.HashedEncoderModel)
+    vecs = m.predict_batch(pd.Series(["hello world", "hello world"]))
+    v0, v1 = vecs.iloc[0], vecs.iloc[1]
+    assert v0 == v1  # deterministic
+    assert abs(math.sqrt(sum(x * x for x in v0)) - 1.0) < 1e-5  # L2-normalized
+
+
+def test_pil_decode_upgrade_or_none():
+    """decode_image on a PNG payload: decodes when PIL is importable,
+    returns None (→ the documented NotImplementedError plug-in point)
+    when it is not."""
+    import pytest as _pytest
+
+    from science_datalake_spark import models
+    from science_datalake_spark.operators.multimodal import _real_features, decode_image
+
+    # 1x1 black-pixel PNG (smallest valid PNG, public-domain bytes)
+    png = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108000000003a7e9b55"
+        "0000000a49444154789c636000000002000148afa4710000000049454e44ae426082"
+    )
+    img = decode_image(png)
+    if models.optional_import("PIL.Image") is not None:
+        assert img is not None and img.shape[:2] == (1, 1)
+        feats = _real_features(png)
+        assert len(feats) == 16
+    else:
+        assert img is None
+        with _pytest.raises(NotImplementedError, match="PIL"):
+            _real_features(png)

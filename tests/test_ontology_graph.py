@@ -381,7 +381,8 @@ def test_connected_components(spark):
 
 def test_connected_components_raises_on_non_convergence(spark):
     """Unconverged labels are indistinguishable from converged ones, so
-    loop exhaustion must fail loudly, not return split components."""
+    with the star fallback disabled loop exhaustion must fail loudly, not
+    return split components."""
     import pytest as _pytest
 
     from science_datalake_spark.operators.graph import connected_components
@@ -390,9 +391,74 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(f"n{i}", f"n{i+1}") for i in range(6)], "src STRING, dst STRING"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iters=2)
+        connected_components(chain, max_iters=2, fallback_star=False)
     ok = connected_components(chain, max_iters=10)
     assert {r["comp"] for r in ok.collect()} == {"n0"}
+
+
+def test_connected_components_star_fallback_on_long_chain(spark):
+    """A path graph whose diameter exceeds direct-propagation max_iters:
+    the default now answers (via star contraction) instead of refusing."""
+    from science_datalake_spark.operators.graph import connected_components
+
+    # zero-padded ids so lexicographic min == numeric min
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)], "src STRING, dst STRING"
+    )
+    out = connected_components(chain, max_iters=5)
+    rows = out.collect()
+    assert len(rows) == 61
+    assert {r["comp"] for r in rows} == {"n000"}
+
+
+def test_connected_components_star_matches_propagation(spark):
+    """Star contraction must produce the identical (node, comp) labeling
+    as min-label propagation on a mixed graph: dense blob + chain +
+    isolated self-loop + singleton pair."""
+    from science_datalake_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            # dense blob
+            ("b", "a"), ("b", "c"), ("a", "c"), ("c", "d"),
+            # 5-chain
+            ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"),
+            # pair + self-loop
+            ("x", "y"), ("z", "z"),
+        ],
+        "src STRING, dst STRING",
+    )
+    prop = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    star = {r["node"]: r["comp"] for r in connected_components_star(edges).collect()}
+    assert star == prop
+    assert star["z"] == "z" and star["t"] == "p"
+
+
+def test_connected_components_cache_flat_across_iterations(spark):
+    """The per-iteration localCheckpoint must not accumulate cached RDDs
+    (round-3 advice finding): a 60-hop chain needs dozens of rounds, but
+    at most the FINAL result's blocks may remain cached afterwards."""
+    import gc
+    import time
+
+    from science_datalake_spark.operators.graph import connected_components_star
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(0.5)
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)], "src STRING, dst STRING"
+    )
+    out = connected_components_star(chain)
+    assert out.count() == 61
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - base <= 1  # only the live result, never one-per-round
 
 
 def test_cooccurrence_basic(spark):

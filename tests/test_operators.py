@@ -214,3 +214,118 @@ def test_asof_join_null_right_values_no_frankenrow(spark):
     assert len(out) == 1
     r = out[0]
     assert r["right_ts"] == 2 and r["right_v"] is None  # the real ts=2 row
+
+
+def test_minhash_xxhash64_fast_path(spark):
+    """The xxhash64 signature path: exact-duplicate documents collide in
+    every band (so LSH finds them) exactly as on the md5 path, signatures
+    are longs not hex strings, and unknown hash_fn values are rejected."""
+    import pytest as _pytest
+
+    from science_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words appear in this one here"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", hash_fn="xxhash64")
+    assert dict(sigs.dtypes)["mh0"] == "bigint"
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got
+    pairs.unpersist()
+
+    sh = simhash(docs, "doc_id", "text", bits=48, hash_fn="xxhash64")
+    by_id = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert by_id[1] == by_id[2] and len(by_id[1]) == 48
+    assert by_id[1] != by_id[3]
+
+    with _pytest.raises(ValueError, match="hash_fn"):
+        minhash_signatures(docs, "doc_id", "text", hash_fn="sha9")
+    with _pytest.raises(ValueError, match="max 64"):
+        simhash(docs, "doc_id", "text", bits=65, hash_fn="xxhash64")
+    with _pytest.raises(ValueError, match="max 32"):
+        simhash(docs, "doc_id", "text", bits=33, hash_fn="md5")
+
+
+def test_lsh_preserves_caller_cache(spark):
+    """A signature frame the CALLER persisted must still be cached after
+    lsh_candidate_pairs returns (round-3 advice: the operator used to
+    unpersist it as its own)."""
+    from science_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 2} epsilon zeta") for i in range(10)],
+        "doc_id INT, text STRING",
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text").persist()
+    sigs.count()
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    assert pairs.count() > 0
+    lvl = sigs.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # caller's cache untouched
+    sigs.unpersist()
+    pairs.unpersist()
+
+
+def test_bm25_builds_one_lazy_plan_no_driver_jobs(spark):
+    """bm25_scores must not run any Spark job while BUILDING the plan (the
+    N/avgdl constants are folded in as a broadcast 1-row aggregate, not
+    collected driver-side — round-3 verdict #3)."""
+    from science_datalake_spark.operators.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"spark table merge word{i} filler text here") for i in range(20)],
+        "doc_id INT, text STRING",
+    )
+
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    scores = bm25_scores(docs, "doc_id", "text", ["spark", "merge"])
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before  # zero jobs during plan construction
+    rows = scores.collect()
+    assert len(rows) == 20 and all(r["bm25"] > 0 for r in rows)
+
+
+def test_exact_group_quantiles_single_scan_no_join(spark):
+    """exact_group_quantiles must scan its input once and contain no join
+    (the counts come from a window over the same partitioning, not a
+    broadcast-joined second aggregation — round-3 advice finding), while
+    still matching Spark's exact percentile."""
+    from science_datalake_spark.operators.stats import exact_group_quantiles
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", float(i * 7 % 23)) for i in range(40)] + [("g3", 5.0)],
+        "k STRING, v DOUBLE",
+    )
+    out = exact_group_quantiles(df, ["k"], "v", [0.25, 0.5, 0.95])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+    expect = {
+        r["k"]: (r["q1"], r["q2"], r["q3"])
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q1"),
+            F.expr("percentile(v, 0.5)").alias("q2"),
+            F.expr("percentile(v, 0.95)").alias("q3"),
+        )
+        .collect()
+    }
+    got = {r["k"]: (r["p25"], r["p50"], r["p95"]) for r in out.collect()}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        for a, b in zip(got[k], expect[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], expect[k])

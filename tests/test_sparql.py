@@ -112,3 +112,18 @@ def test_errors(spark, triples):
     ]:
         with pytest.raises(SparqlError, match=msg):
             sparql_select(triples, bad)
+
+
+def test_turtle_escape_decode_single_pass():
+    """r'a\\nb' is escaped-backslash + literal 'n', NOT a newline; decoding
+    must be one left-to-right pass (round-3 advice). Unicode escapes and
+    the full ECHAR set decode too."""
+    ttl = (
+        '@prefix ex: <http://ex/> .\n'
+        'ex:s ex:p "a\\\\nb" .\n'
+        'ex:s ex:q "tab\\there\\u0041\\U00000042" .\n'
+    )
+    quads = parse_turtle(ttl)
+    lits = {o for (_s, _p, o, _l) in quads}
+    assert "a\\nb" in lits          # backslash + n, not newline
+    assert "tab\thereAB" in lits    # real tab + \u/\U decoded
