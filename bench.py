@@ -46,10 +46,16 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from science_datalake_spark.queries import load_all
+    from science_datalake_spark.queries import load_all, load_aux
     from science_datalake_spark.session import get_spark, suggest_shuffle_partitions
 
+    # Bench over the driver registry PLUS the aux (local-parity) registry:
+    # correctness-row rotation moves queries between the two, and a rotated
+    # query must stay in the performance evidence either way.
     queries, oracle_sql = load_all()
+    aux_q, aux_o = load_aux()
+    queries = {**aux_q, **queries}
+    oracle_sql = {**aux_o, **oracle_sql}
     # Partition-sizing rule, applied instead of the fixed default: shuffle
     # partition count follows INPUT VOLUME (~32 MB target per partition,
     # floored at 8). At sf0.1 (17 MB total) that is 8 partitions — measured

@@ -51,22 +51,23 @@ def query(
     return deco
 
 
-# Driver-facing order. Round-3 rotation (round-2 verdict "Next round" #2):
-# the six round-2 flagship additions that only had local-parity coverage
-# (dedup_cluster_sizes, sim_ivf_topk, corpus_token_mix, corpus_decontaminate,
-# sim_lsh_bucket_stats, sparql_bgp_children) come FIRST so they are
-# guaranteed driver CORRECTNESS rows; six redundant §2.8 scalar-function
-# rows (doi_normalize, case_coalesce, date_try_cast, json_extract,
-# array_explode_pos, distinct_projection — all driver-green in
-# CORRECTNESS_r02.json) rotated to the aux/local-parity registry to stay
-# under the driver's 50-row cap.
+# Driver-facing order. Round-4 rotation (round-3 verdict "Next round" #10):
+# the six §2.8 scalar-function rows (doi_normalize, case_coalesce,
+# date_try_cast, json_extract, array_explode_pos, distinct_projection —
+# driver-green in CORRECTNESS_r02) rotate BACK in, plus the new
+# extract_doc_tokens battery query; the six round-3 flagship entries (all
+# driver-green in CORRECTNESS_r03) and dedup_embedding_cosine (green in
+# r02+r03) rotate to aux/local-parity. Union of r03+r04 rows covers every
+# query. bench.py times driver AND aux queries, so rotation never removes
+# a query from the performance evidence.
 DRIVER_ORDER: list[str] = [
-    "dedup_cluster_sizes",
-    "sim_ivf_topk",
-    "corpus_token_mix",
-    "corpus_decontaminate",
-    "sim_lsh_bucket_stats",
-    "sparql_bgp_children",
+    "doi_normalize",
+    "case_coalesce",
+    "date_try_cast",
+    "json_extract",
+    "array_explode_pos",
+    "distinct_projection",
+    "extract_doc_tokens",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
     "q5_local_supplier_volume",
@@ -109,7 +110,6 @@ DRIVER_ORDER: list[str] = [
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_knn_label_vote",
-    "dedup_embedding_cosine",
     "sim_ann_bucketed",
 ]
 
@@ -117,6 +117,7 @@ DRIVER_ORDER: list[str] = [
 def _import_all() -> None:
     from science_datalake_spark.queries import (  # noqa: F401
         analytics,
+        extraction_q,
         linkage_q,
         llm_pipeline,
         ontology_q,

@@ -181,7 +181,6 @@ def union_null_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doi_normalize",
-    aux=True,
     oracle="""
     SELECT doc_id, raw_doi,
            lower(coalesce(nullif(regexp_extract(lower(raw_doi), 'doi\\.org/(.+)$', 1), ''),
@@ -214,7 +213,6 @@ def doi_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "case_coalesce",
-    aux=True,
     oracle="""
     SELECT
         CASE l_returnflag WHEN 'R' THEN 'returned'
@@ -260,7 +258,6 @@ def case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "date_try_cast",
-    aux=True,
     oracle="""
     WITH mixed AS (
         SELECT o_orderdate, o_totalprice,
@@ -318,7 +315,6 @@ def date_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract",
-    aux=True,
     oracle="""
     SELECT event_type,
            count(*) AS n,
@@ -348,7 +344,6 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_explode_pos",
-    aux=True,
     oracle="""
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
     FROM (
@@ -786,7 +781,6 @@ def agg_conditional_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "distinct_projection",
-    aux=True,
     oracle="""
     SELECT DISTINCT o_orderstatus, o_orderpriority
     FROM orders

@@ -131,7 +131,7 @@ def _cluster_oracle() -> str:
     """
 
 
-@query("dedup_cluster_sizes", oracle=_cluster_oracle())
+@query("dedup_cluster_sizes", oracle=_cluster_oracle(), aux=True)
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END-GAME: LSH candidate pairs → connected components →
     duplicate clusters keyed by their canonical (min) doc_id. This is the
@@ -344,6 +344,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
+    aux=True,
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                FROM embeddings WHERE vec_id < 100),
@@ -384,6 +385,7 @@ _COS = (
 
 @query(
     "sim_ivf_topk",
+    aux=True,
     oracle=f"""
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
@@ -446,6 +448,7 @@ def _bucket_sql(col: str) -> str:
 
 @query(
     "sim_lsh_bucket_stats",
+    aux=True,
     oracle=f"""
     SELECT {_bucket_sql('embedding')} AS bucket,
            count(*) AS n_vecs,
@@ -638,6 +641,7 @@ _TRIGRAMS = (
 
 @query(
     "corpus_token_mix",
+    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -687,6 +691,7 @@ def corpus_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_decontaminate",
+    aux=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     eval_ng AS (

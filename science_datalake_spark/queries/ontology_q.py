@@ -68,6 +68,7 @@ c:genetics a skos:Concept ;
 
 @query(
     "sparql_bgp_children",
+    aux=True,
     oracle=f"""
     WITH triples(s, p, o) AS (VALUES
         ('{_C}physics',   'http://www.w3.org/2004/02/skos/core#broader', '{_C}science'),
