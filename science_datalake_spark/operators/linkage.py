@@ -86,12 +86,43 @@ def jaro_winkler_py(s1: str, s2: str, p: float = 0.1, threshold: float = 0.7) ->
     return j
 
 
+def _jw_scorer():
+    """Pick the fastest available pairwise scorer, preserving DuckDB
+    semantics exactly. ``rapidfuzz`` (C-backed Jaro; the round-3 verdict's
+    named fix for the pure-Python inner loop) upgrades when importable —
+    its Jaro core is wrapped with the SAME 0.7-boost-threshold Winkler
+    prefix and the SAME ('', x) → 0.0 empty-string convention as
+    jaro_winkler_py, so oracle parity is independent of which path ran."""
+    from science_datalake_spark.models import optional_import
+
+    rf = optional_import("rapidfuzz.distance")
+    if rf is None:
+        return jaro_winkler_py
+    jaro_sim = rf.Jaro.similarity
+
+    def jw(x: str, y: str, p: float = 0.1, threshold: float = 0.7) -> float:
+        if not x or not y:
+            return 0.0
+        j = jaro_sim(x, y)
+        if j > threshold:
+            prefix = 0
+            for a, b in zip(x[:4], y[:4]):
+                if a != b:
+                    break
+                prefix += 1
+            j += prefix * p * (1 - j)
+        return j
+
+    return jw
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched Jaro-Winkler similarity column."""
+    jw = _jw_scorer()
     return pd.Series(
         [
-            jaro_winkler_py(x, y) if x is not None and y is not None else None
+            jw(x, y) if x is not None and y is not None else None
             for x, y in zip(a, b)
         ],
         dtype="float64",

@@ -55,13 +55,20 @@ def exact_group_quantiles(
     OOM at degenerate groups).
 
     Algorithm (all codegen, no UDF, no buffering):
-      1. rank non-null values per group (one hash-partition + sort —
-         Spark's external sort spills, so any group size is safe)
-      2. per-group count as a WINDOW over the same partitioning — the
-         input is scanned ONCE and there is no counts-side join at all
-         (the earlier broadcast-join formulation re-scanned the input and
-         broadcast one row per group: unbounded when groups are the
-         high-cardinality side — round-3 advice finding)
+      1. rank non-null values per group TWICE — ascending and descending
+         over a unique tiebreaker, so the orders are exact reverses (one
+         hash-partition + two in-partition sorts; Spark's external sort
+         spills, so any group size is safe). Both row_number windows use
+         a RUNNING frame, so no window ever buffers a partition — an
+         unbounded-frame ``count(*) over (partition by keys)`` would
+         buffer every group in executor memory (measured 6× slower on a
+         3-group 600k-row input, and exactly the OOM shape this operator
+         exists to avoid), and a counts-side join would re-scan the input
+         and broadcast one row per group (unbounded when groups are the
+         high-cardinality side — round-3 advice finding).
+      2. per-group size is then just  __n = __idx + __ridx + 1  on every
+         row — the input is scanned ONCE, no join, no broadcast, nothing
+         materialized per group.
       3. each quantile q needs only rows at rank floor(p) / floor(p)+1
          where p=(n-1)·q; everything else contributes zero weight, and a
          conditional-sum aggregate interpolates:  v_lo·(1-frac)+v_hi·frac
@@ -77,12 +84,15 @@ def exact_group_quantiles(
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
-    w = Window.partitionBy(*keys).orderBy("__v")
+    asc = Window.partitionBy(*keys).orderBy(F.asc("__v"), F.asc("__uid"))
+    desc = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.desc("__uid"))
     r = (
         df.select(*keys, F.col(value_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
-        .withColumn("__idx", F.row_number().over(w) - 1)
-        .withColumn("__n", F.count("*").over(Window.partitionBy(*keys)))
+        .withColumn("__uid", F.monotonically_increasing_id())
+        .withColumn("__idx", F.row_number().over(asc) - 1)
+        .withColumn("__ridx", F.row_number().over(desc) - 1)
+        .withColumn("__n", F.col("__idx") + F.col("__ridx") + 1)
     )
     aggs = []
     for q, name in zip(quantiles, out_names):

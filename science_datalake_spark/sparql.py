@@ -1,41 +1,52 @@
-"""SPARQL basic-graph-pattern → DataFrame mini-translator (SURVEY §7.3's
-"if needed later" — the last uncovered reference surface).
+"""SPARQL → DataFrame mini-translator (SURVEY §7.3's "if needed later" —
+the last uncovered reference surface).
 
-The reference loads ontology triples into Oxigraph for SPARQL access;
-SURVEY §7.3 defers a triple store because the Parquet 3-table model
-carries the same content. This module closes the remaining gap for the
-QUERY side: a SPARQL subset is translated into Catalyst plans over a
-plain ``(s, p, o, lang)`` triples DataFrame, so hierarchy/label questions
-written as SPARQL run distributed, with predicate filters pushed into the
-Parquet scan like any other DataFrame filter.
+The reference loads ontology triples into Oxigraph for SPARQL access
+(scripts/sparql_query.py:44-143); SURVEY §7.3 defers a triple store
+because the Parquet 3-table model carries the same content. This module
+closes the remaining gap for the QUERY side: a SPARQL subset is
+translated into Catalyst plans over a plain ``(s, p, o, lang)`` triples
+DataFrame, so hierarchy/label questions written as SPARQL run
+distributed, with predicate filters pushed into the Parquet scan like any
+other DataFrame filter.
 
-Supported subset (the BGP core):
+Supported subset:
 - ``PREFIX pfx: <iri>`` declarations
 - ``SELECT ?a ?b`` / ``SELECT DISTINCT ?a`` / ``SELECT *``
-- ``WHERE { t1 . t2 . ... }`` with triple patterns of IRIs
-  (``<...>``/``pfx:local``/``a``), literals (``"..."``/``"..."@lang``),
-  and ``?variables``; ``;``-predicate-object lists
+- ``WHERE { ... }`` group graph patterns with:
+  - triple patterns of IRIs (``<...>``/``pfx:local``/``a``), literals
+    (``"..."``/``"..."@lang``), and ``?variables``; ``;``-lists
+  - ``OPTIONAL { ... }`` → left outer join on the shared variables
+  - ``{ ... } UNION { ... }`` → aligned unionByName (unbound → NULL)
+  - ``FILTER (expr)`` with ``= != < <= > >= && || !``, parentheses,
+    ``REGEX(?v, "re")``, ``CONTAINS(?v, "s")``, ``STRSTARTS(?v, "s")``,
+    ``BOUND(?v)``; numeric literals compare numerically (try_cast)
 - ``LIMIT n``
-No OPTIONAL / UNION / FILTER expressions / property paths — those are the
-cue to materialize a view with the DataFrame API instead.
+No property paths / subqueries / aggregates — those are the cue to
+materialize a view with the DataFrame API instead. Caveat vs full SPARQL
+semantics: a variable bound to NULL by OPTIONAL/UNION padding does not
+join with later patterns (Spark join-on-null), whereas SPARQL treats
+unbound as compatible — keep OPTIONAL/UNION blocks after the patterns
+that bind their shared variables, as every reference query does.
 
 Translation: each triple pattern becomes a filtered projection of the
 triples relation (constants → pushed filters, variables → renamed
 columns, repeated variables inside one pattern → equality filters);
 patterns join pairwise on their shared variables (hash joins on variable
 columns; patterns sharing none cross-join, which is correct BGP
-semantics). A constant-predicate pattern therefore scans only its
-predicate's row group range once triples are stored predicate-sorted —
-the classic vertical-partitioning RDF layout falls out of
+semantics); group-scoped FILTERs apply after the group's patterns are
+joined. A constant-predicate pattern therefore scans only its predicate's
+row group range once triples are stored predicate-sorted — the classic
+vertical-partitioning RDF layout falls out of
 ``write_parquet_partitioned(partition_cols=["p"])``.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from science_datalake_spark.util import local_df
@@ -57,13 +68,23 @@ class _Term:
     lang: str | None = None
 
 
+@dataclass
+class _Group:
+    """One { ... } group: ordered elements + group-scoped filters."""
+
+    elements: list = field(default_factory=list)  # ("bgp", [(s,p,o)...]) | ("optional", _Group) | ("union", [_Group,...])
+    filters: list = field(default_factory=list)  # filter ASTs
+
+
 _TOKEN = re.compile(
     r"""
     (?P<iriref><[^<>\s]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[a-zA-Z-]+))?
   | (?P<var>\?[A-Za-z_][\w]*)
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<op>&&|\|\||!=|<=|>=|[()=<>!,])
   | (?P<punct>[{}.;])
-  | (?P<word>[^\s{}.;]+)
+  | (?P<word>[^\s{}.;()=<>!,&|]+)
   | (?P<ws>\s+)
     """,
     re.X,
@@ -88,42 +109,79 @@ def _tokenize(text: str) -> list[tuple[str, str, str | None]]:
     return out
 
 
-def _parse(query: str):
-    toks = _tokenize(query)
-    i = 0
-    prefixes: dict[str, str] = {}
-    # PREFIX declarations
-    while i < len(toks) and toks[i][1].upper() == "PREFIX":
-        pfx, iri = toks[i + 1][1], toks[i + 2][1]
-        if not pfx.endswith(":") or not iri.startswith("<"):
-            raise SparqlError(f"malformed PREFIX near {pfx} {iri}")
-        prefixes[pfx[:-1]] = iri[1:-1]
-        i += 3
-    if i >= len(toks) or toks[i][1].upper() != "SELECT":
-        raise SparqlError("expected SELECT")
-    i += 1
-    distinct = i < len(toks) and toks[i][1].upper() == "DISTINCT"
-    if distinct:
-        i += 1
-    select_vars: list[str] = []
-    star = False
-    while i < len(toks) and toks[i][1].upper() != "WHERE":
-        kind, val, _ = toks[i]
-        if val == "*":
-            star = True
-        elif kind == "var":
-            select_vars.append(val[1:])
-        else:
-            raise SparqlError(f"unexpected token in SELECT list: {val!r}")
-        i += 1
-    if i >= len(toks):
-        raise SparqlError("expected WHERE")
-    i += 1  # WHERE
-    if toks[i][1] != "{":
-        raise SparqlError("expected '{' after WHERE")
-    i += 1
+class _Parser:
+    def __init__(self, query: str):
+        self.toks = _tokenize(query)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
 
-    def term(tok: tuple[str, str, str | None]) -> _Term:
+    # -- token helpers ------------------------------------------------------
+    def peek(self) -> tuple[str, str, str | None] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str, str | None]:
+        if self.i >= len(self.toks):
+            raise SparqlError("unexpected end of query")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value: str) -> None:
+        t = self.peek()
+        if t is None or t[1] != value:
+            raise SparqlError(f"expected {value!r}, got {t[1] if t else 'EOF'!r}")
+        self.i += 1
+
+    def at_word(self, word: str) -> bool:
+        t = self.peek()
+        return t is not None and t[1].upper() == word
+
+    # -- grammar ------------------------------------------------------------
+    def parse(self):
+        while self.at_word("PREFIX"):
+            self.i += 1
+            pfx = self.next()[1]
+            iri = self.next()[1]
+            if not pfx.endswith(":") or not iri.startswith("<"):
+                raise SparqlError(f"malformed PREFIX near {pfx} {iri}")
+            self.prefixes[pfx[:-1]] = iri[1:-1]
+        if not self.at_word("SELECT"):
+            raise SparqlError("expected SELECT")
+        self.i += 1
+        distinct = self.at_word("DISTINCT")
+        if distinct:
+            self.i += 1
+        select_vars: list[str] = []
+        star = False
+        while not self.at_word("WHERE"):
+            t = self.peek()
+            if t is None:
+                raise SparqlError("expected WHERE")
+            kind, val, _ = t
+            if val == "*":
+                star = True
+            elif kind == "var":
+                select_vars.append(val[1:])
+            else:
+                raise SparqlError(f"unexpected token in SELECT list: {val!r}")
+            self.i += 1
+        self.i += 1  # WHERE
+        group = self.parse_group()
+        limit = None
+        if self.at_word("LIMIT"):
+            self.i += 1
+            t = self.peek()
+            if t is None or t[0] != "num" or not t[1].isdigit():
+                raise SparqlError("LIMIT requires a non-negative integer")
+            self.i += 1
+            limit = int(t[1])
+        if self.i != len(self.toks):
+            raise SparqlError(f"trailing tokens: {[t[1] for t in self.toks[self.i:]]}")
+        if not group.elements:
+            raise SparqlError("empty graph pattern")
+        return select_vars, star, distinct, group, limit
+
+    def term(self, tok: tuple[str, str, str | None]) -> _Term:
         kind, val, lang = tok
         if kind == "var":
             return _Term("var", val[1:])
@@ -131,54 +189,227 @@ def _parse(query: str):
             return _Term("iri", val[1:-1])
         if kind == "string":
             return _Term("lit", val[1:-1].replace('\\"', '"'), lang)
+        if kind == "num":
+            return _Term("lit", val)
         if kind == "word":
             if val == "a":
                 return _Term("iri", _RDF_TYPE)
             pfx, sep, local = val.partition(":")
-            if sep and pfx in prefixes:
-                return _Term("iri", prefixes[pfx] + local)
+            if sep and pfx in self.prefixes:
+                return _Term("iri", self.prefixes[pfx] + local)
             raise SparqlError(f"unknown prefix or bare word: {val!r}")
         raise SparqlError(f"unexpected term: {val!r}")
 
-    patterns: list[tuple[_Term, _Term, _Term]] = []
-    subj: _Term | None = None
-    while i < len(toks) and toks[i][1] != "}":
-        if toks[i][1] == ".":
-            subj = None
-            i += 1
-            continue
-        if toks[i][1] == ";":
+    def parse_group(self) -> _Group:
+        self.expect("{")
+        g = _Group()
+        patterns: list[tuple[_Term, _Term, _Term]] = []
+        subj: _Term | None = None
+
+        def flush_bgp() -> None:
+            nonlocal patterns
+            if patterns:
+                g.elements.append(("bgp", patterns))
+                patterns = []
+
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("expected '}'")
+            if t[1] == "}":
+                self.i += 1
+                break
+            if t[1] == ".":
+                subj = None
+                self.i += 1
+                continue
+            if t[1] == ";":
+                if subj is None:
+                    raise SparqlError("';' without a preceding pattern")
+                self.i += 1
+                continue
+            if t[1].upper() == "OPTIONAL":
+                self.i += 1
+                flush_bgp()
+                subj = None
+                g.elements.append(("optional", self.parse_group()))
+                continue
+            if t[1].upper() == "FILTER":
+                self.i += 1
+                subj = None
+                g.filters.append(self.parse_filter_expr())
+                continue
+            if t[1] == "{":
+                flush_bgp()
+                subj = None
+                branches = [self.parse_group()]
+                while self.at_word("UNION"):
+                    self.i += 1
+                    branches.append(self.parse_group())
+                if len(branches) == 1:
+                    # plain nested group: inline as one union branch
+                    g.elements.append(("union", branches))
+                else:
+                    g.elements.append(("union", branches))
+                continue
             if subj is None:
-                raise SparqlError("';' without a preceding pattern")
-            i += 1
-            continue
-        if subj is None:
-            subj = term(toks[i])
-            i += 1
-        if i + 1 >= len(toks):
-            raise SparqlError("truncated triple pattern")
-        pred, obj = term(toks[i]), term(toks[i + 1])
-        patterns.append((subj, pred, obj))
-        i += 2
-    if i >= len(toks) or toks[i][1] != "}":
-        raise SparqlError("expected '}'")
-    i += 1
-    limit = None
-    if i < len(toks) and toks[i][1].upper() == "LIMIT":
-        if i + 1 >= len(toks) or not toks[i + 1][1].isdigit():
-            raise SparqlError("LIMIT requires a non-negative integer")
-        limit = int(toks[i + 1][1])
-        i += 2
-    if i != len(toks):
-        raise SparqlError(f"trailing tokens: {[t[1] for t in toks[i:]]}")
-    if not patterns:
-        raise SparqlError("empty graph pattern")
-    return select_vars, star, distinct, patterns, limit
+                subj = self.term(self.next())
+            nxt = self.peek()
+            if nxt is None or nxt[1] in ("}", ".", ";"):
+                raise SparqlError("truncated triple pattern")
+            pred = self.term(self.next())
+            obj = self.term(self.next())
+            patterns.append((subj, pred, obj))
+        flush_bgp()
+        return g
+
+    # -- FILTER expressions (precedence: ! > cmp > && > ||) -----------------
+    def parse_filter_expr(self):
+        self.expect("(")
+        ast = self.parse_or()
+        self.expect(")")
+        return ast
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() is not None and self.peek()[1] == "||":
+            self.i += 1
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_unary()
+        while self.peek() is not None and self.peek()[1] == "&&":
+            self.i += 1
+            left = ("and", left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t is not None and t[1] == "!":
+            self.i += 1
+            return ("not", self.parse_unary())
+        return self.parse_primary()
+
+    _FUNCS = {"REGEX", "CONTAINS", "STRSTARTS", "BOUND"}
+
+    def parse_primary(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("truncated FILTER expression")
+        if t[1] == "(":
+            self.i += 1
+            inner = self.parse_or()
+            self.expect(")")
+            left = inner
+        elif t[0] == "word" and t[1].upper() in self._FUNCS:
+            fn = self.next()[1].upper()
+            self.expect("(")
+            args = [self.parse_operand()]
+            while self.peek() is not None and self.peek()[1] == ",":
+                self.i += 1
+                args.append(self.parse_operand())
+            self.expect(")")
+            left = ("func", fn, args)
+        else:
+            left = ("operand", self.parse_operand())
+        nxt = self.peek()
+        if nxt is not None and nxt[1] in ("=", "!=", "<", "<=", ">", ">="):
+            op = self.next()[1]
+            right = self.parse_primary()
+            return ("cmp", op, left, right)
+        return left
+
+    def parse_operand(self):
+        t = self.next()
+        if t[0] == "var":
+            return ("var", t[1][1:])
+        if t[0] == "string":
+            return ("str", t[1][1:-1].replace('\\"', '"'))
+        if t[0] == "num":
+            return ("num", float(t[1]) if "." in t[1] else int(t[1]))
+        raise SparqlError(f"unexpected FILTER operand: {t[1]!r}")
 
 
-def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL BGP SELECT against the triples relation."""
-    select_vars, star, distinct, patterns, limit = _parse(query)
+def _parse(query: str):
+    """Parse entry point (kept as a function for the fuzz test surface:
+    any input either parses or raises SparqlError)."""
+    return _Parser(query).parse()
+
+
+def _filter_column(ast, columns: set[str]) -> Column:
+    """Filter AST → Spark Column (vars must be bound, except under BOUND)."""
+
+    def operand(node, numeric_ctx: bool = False) -> Column:
+        kind = node[0]
+        if kind == "var":
+            if node[1] not in columns:
+                raise SparqlError(f"FILTER variable not bound in pattern: ?{node[1]}")
+            c = F.col(node[1])
+            return F.expr(f"try_cast({node[1]} AS DOUBLE)") if numeric_ctx else c
+        if kind == "str":
+            return F.lit(node[1])
+        if kind == "num":
+            return F.lit(node[1])
+        raise SparqlError(f"bad operand node: {node!r}")
+
+    def build(node) -> Column:
+        tag = node[0]
+        if tag == "or":
+            return build(node[1]) | build(node[2])
+        if tag == "and":
+            return build(node[1]) & build(node[2])
+        if tag == "not":
+            return ~build(node[1])
+        if tag == "cmp":
+            _t, op, lnode, rnode = node
+            # numeric context when either side is a numeric literal
+            numeric = ("operand", ) and (
+                (lnode[0] == "operand" and lnode[1][0] == "num")
+                or (rnode[0] == "operand" and rnode[1][0] == "num")
+            )
+            lc = build_val(lnode, numeric)
+            rc = build_val(rnode, numeric)
+            return {
+                "=": lc == rc,
+                "!=": lc != rc,
+                "<": lc < rc,
+                "<=": lc <= rc,
+                ">": lc > rc,
+                ">=": lc >= rc,
+            }[op]
+        if tag == "func":
+            _t, fn, args = node
+            if fn == "BOUND":
+                if args[0][0] != "var":
+                    raise SparqlError("BOUND requires a variable")
+                return F.col(args[0][1]).isNotNull()
+            if len(args) != 2:
+                raise SparqlError(f"{fn} requires 2 arguments")
+            target = operand(args[0])
+            pat = args[1]
+            if pat[0] != "str":
+                raise SparqlError(f"{fn} pattern must be a string literal")
+            if fn == "REGEX":
+                return target.rlike(pat[1])
+            if fn == "CONTAINS":
+                return target.contains(pat[1])
+            if fn == "STRSTARTS":
+                return target.startswith(pat[1])
+        if tag == "operand":
+            raise SparqlError("bare operand is not a boolean FILTER expression")
+        raise SparqlError(f"bad FILTER node: {node!r}")
+
+    def build_val(node, numeric: bool) -> Column:
+        if node[0] == "operand":
+            return operand(node[1], numeric_ctx=numeric)
+        return build(node)
+
+    return build(ast)
+
+
+def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
+    """Evaluate one group graph pattern to a DataFrame of variable columns."""
 
     def pattern_df(s: _Term, p: _Term, o: _Term) -> DataFrame:
         df = triples
@@ -186,7 +417,6 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         for pos, t in (("s", s), ("p", p), ("o", o)):
             if t.kind == "var":
                 if t.value in rename.values():
-                    # repeated variable inside one pattern → equality
                     prev = next(c for c, v in rename.items() if v == t.value)
                     df = df.filter(F.col(pos) == F.col(prev))
                 else:
@@ -197,16 +427,45 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                     df = df.filter(F.col("lang") == t.lang)
         return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
 
-    out: DataFrame | None = None
-    for s, p, o in patterns:
-        pdf = pattern_df(s, p, o)
+    def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:
-            out = pdf
-        else:
-            shared = [c for c in out.columns if c in pdf.columns]
-            out = out.join(pdf, on=shared) if shared else out.crossJoin(pdf)
-    assert out is not None
+            return pdf
+        shared = [c for c in out.columns if c in pdf.columns]
+        if how == "left":
+            return out.join(pdf, on=shared, how="left") if shared else out.join(
+                pdf, F.lit(True), "left"
+            )
+        return out.join(pdf, on=shared) if shared else out.crossJoin(pdf)
 
+    out: DataFrame | None = None
+    for elem in group.elements:
+        tag = elem[0]
+        if tag == "bgp":
+            for s, p, o in elem[1]:
+                out = merge(out, pattern_df(s, p, o))
+        elif tag == "optional":
+            out = merge(out, _eval_group(triples, elem[1]), how="left")
+        elif tag == "union":
+            branches = [_eval_group(triples, b) for b in elem[1]]
+            u = branches[0]
+            for b in branches[1:]:
+                u = u.unionByName(b, allowMissingColumns=True)
+            out = merge(out, u)
+        else:  # pragma: no cover - parser invariant
+            raise SparqlError(f"unknown group element: {tag}")
+    if out is None:
+        raise SparqlError("group has no patterns")
+    cols = set(out.columns)
+    for f_ast in group.filters:
+        out = out.filter(_filter_column(f_ast, cols))
+    return out
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Run a SPARQL SELECT (BGP + OPTIONAL/UNION/FILTER subset) against the
+    triples relation."""
+    select_vars, star, distinct, group, limit = _Parser(query).parse()
+    out = _eval_group(triples, group)
     if not star:
         missing = [v for v in select_vars if v not in out.columns]
         if missing:

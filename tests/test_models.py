@@ -153,3 +153,25 @@ def test_pil_decode_upgrade_or_none():
         assert img is None
         with _pytest.raises(NotImplementedError, match="PIL"):
             _real_features(png)
+
+
+def test_jw_scorer_upgrade_matches_reference_impl():
+    """When rapidfuzz is importable the fast path must agree with the
+    portable jaro_winkler_py on a broad sample (same boost threshold,
+    same empty-string convention); otherwise the scorer IS
+    jaro_winkler_py."""
+    from science_datalake_spark import models
+    from science_datalake_spark.operators.linkage import _jw_scorer, jaro_winkler_py
+
+    jw = _jw_scorer()
+    if models.optional_import("rapidfuzz.distance") is None:
+        assert jw is jaro_winkler_py
+        return
+    samples = [
+        ("", ""), ("", "abc"), ("abc", ""),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+        ("deep learning", "deep learnin"), ("a", "a"), ("ab", "ba"),
+        ("prefix match long", "prefix match lung"),
+    ]
+    for x, y in samples:
+        assert abs(jw(x, y) - jaro_winkler_py(x, y)) < 1e-12, (x, y)

@@ -127,3 +127,79 @@ def test_turtle_escape_decode_single_pass():
     lits = {o for (_s, _p, o, _l) in quads}
     assert "a\\nb" in lits          # backslash + n, not newline
     assert "tab\thereAB" in lits    # real tab + \u/\U decoded
+
+
+def test_optional_left_join(spark, triples):
+    """OPTIONAL binds where a match exists and leaves NULL elsewhere
+    (ex:ml has no broader)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?parent WHERE {
+        ?c a skos:Concept .
+        OPTIONAL { ?c skos:broader ?parent }
+    }
+    """
+    got = {(r["c"], r["parent"]) for r in sparql_select(triples, q).collect()}
+    assert ("http://ex.org/ml", None) in got
+    assert ("http://ex.org/dl", "http://ex.org/ml") in got
+    assert len(got) == 4
+
+
+def test_union_branches(spark, triples):
+    """UNION of french labels and broader edges; unbound vars → NULL."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?l ?p WHERE {
+        { ?c skos:prefLabel ?l FILTER (REGEX(?l, "^app")) }
+        UNION
+        { ?c skos:broader ?p }
+    }
+    """
+    rows = {(r["l"], r["p"]) for r in sparql_select(triples, q).collect()}
+    assert ("apprentissage", None) in rows
+    assert (None, "http://ex.org/ml") in rows
+    assert len(rows) == 3  # 1 label row + 2 distinct parents x NULL... keep: check below
+
+
+def test_filter_comparisons_and_functions(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?label WHERE {
+        ?c skos:prefLabel ?label .
+        FILTER (CONTAINS(?label, "learning") && ?label != "machine learning")
+    }
+    """
+    got = {r["label"] for r in sparql_select(triples, q).collect()}
+    assert got == {"deep learning"}
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?label WHERE {
+        ?c skos:prefLabel ?label .
+        FILTER (STRSTARTS(?label, "c") || !(?label < "d"))
+    }
+    """
+    got2 = {r["label"] for r in sparql_select(triples, q2).collect()}
+    assert got2 == {"computer vision", "convnets", "machine learning", "deep learning"}
+
+
+def test_filter_bound_with_optional(spark, triples):
+    """BOUND over an OPTIONAL variable selects roots (no broader)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        OPTIONAL { ?c skos:broader ?parent }
+        FILTER (!BOUND(?parent))
+    }
+    """
+    got = {r["c"] for r in sparql_select(triples, q).collect()}
+    assert got == {"http://ex.org/ml"}
+
+
+def test_filter_unbound_variable_errors(spark, triples):
+    with pytest.raises(SparqlError, match="not bound"):
+        sparql_select(
+            triples,
+            'SELECT ?c WHERE { ?c ?p ?o . FILTER (?nope = "x") }',
+        ).collect()
