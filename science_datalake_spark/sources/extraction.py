@@ -35,10 +35,14 @@ caching the full rows.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_BARE_REF = re.compile(r"^[A-Za-z_]\w*$")
+_DOTTED_REF = re.compile(r"^([A-Za-z_]\w*)\.(`[^`]+`|[A-Za-z_]\w*)$")
 
 
 @dataclass(frozen=True)
@@ -74,11 +78,45 @@ class EntitySpec:
     where: str | None = None
 
 
+def derive_ensure_ddl(spec: EntitySpec) -> str | None:
+    """Derive the schema-evolution padding DDL from a spec's own column
+    exprs: bare top-level references pad as their try_cast target type,
+    depth-2 struct references pad the root as a one-level STRUCT of the
+    referenced fields. (Top-level-absent columns only — the reference's
+    ensure_source_columns ALTERs flat columns the same way; a PARTIALLY
+    shaped struct on an old shard is the caller's schema to declare via
+    an explicit ``ensure`` DDL, as the works battery does.)"""
+    scalars: dict[str, str] = {}
+    structs: dict[str, dict[str, str]] = {}
+    skip = {spec.alias} if spec.explode is not None else set()
+    for c in spec.columns:
+        e = c.expr.strip()
+        if _BARE_REF.match(e):
+            if e not in skip:
+                scalars.setdefault(e, c.type)
+        else:
+            m = _DOTTED_REF.match(e)
+            if m and m.group(1) not in skip:
+                structs.setdefault(m.group(1), {})[m.group(2)] = c.type
+    parts = [f"{name} {typ}" for name, typ in scalars.items() if name not in structs]
+    for root, fields in structs.items():
+        inner = ", ".join(f"{f}: {t}" for f, t in fields.items())
+        parts.append(f"{root} STRUCT<{inner}>")
+    return ", ".join(parts) or None
+
+
 def extract_entity(source: DataFrame, spec: EntitySpec, ensure: str | None = None) -> DataFrame:
-    """Apply one EntitySpec to the parsed source frame."""
+    """Apply one EntitySpec to the parsed source frame.
+
+    ``ensure``: explicit schema-evolution DDL; when omitted, a best-effort
+    DDL is derived from the spec's own column references
+    (``derive_ensure_ddl``) so old shards missing referenced top-level
+    columns extract typed NULLs instead of failing analysis."""
     from science_datalake_spark.sources.json_source import ensure_columns
 
     df = source
+    if ensure is None:
+        ensure = derive_ensure_ddl(spec)
     if ensure:
         df = ensure_columns(df, ensure)
     if spec.explode is not None:
