@@ -480,3 +480,48 @@ def test_tfidf_vectors_shape(spark, sf_oracle):
     row = vecs.first()
     assert row["tfidf"].size == 256
     assert vecs.count() == 50
+
+
+def test_connected_components_star_random_graphs_vs_union_find(spark):
+    """Star contraction vs a pure-Python union-find oracle on seeded
+    random graphs (sparse, dense, and forest-shaped)."""
+    import random
+
+    from science_datalake_spark.operators.graph import connected_components_star
+
+    def union_find_labels(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = component minimum
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp[n] = min(comp.get(r, r), r)
+        roots = {n: find(n) for n in nodes}
+        mins = {}
+        for n in nodes:
+            r = roots[n]
+            mins[r] = min(mins.get(r, n), n)
+        return {n: mins[roots[n]] for n in nodes}
+
+    for seed, n_nodes, n_edges in [(1, 40, 20), (2, 40, 80), (3, 60, 59)]:
+        rng = random.Random(seed)
+        edges = [
+            (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+            for _ in range(n_edges)
+        ]
+        nodes = sorted({x for e in edges for x in e})
+        expected = union_find_labels(edges, nodes)
+        df = spark.createDataFrame(edges, "src STRING, dst STRING")
+        got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+        assert got == expected, f"seed={seed}"
