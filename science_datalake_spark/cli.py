@@ -114,6 +114,49 @@ def cmd_shell(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sparql(args: argparse.Namespace) -> int:
+    """SPARQL over an ontology file — the reference's sparql_query.py CLI
+    surface (scripts/sparql_query.py:89-143), backed by the DataFrame
+    translator instead of an Oxigraph store. The triples source is a
+    Turtle / N-Triples / RDF-XML file (dispatched on extension) or a
+    Parquet triples table with (s, p, o, lang) columns."""
+    from science_datalake_spark.session import get_spark
+    from science_datalake_spark.sparql import (
+        SparqlError,
+        quads_to_triples_df,
+        sparql_select,
+    )
+    from science_datalake_spark.sources.ontology import (
+        parse_ntriples,
+        parse_rdf_xml,
+        parse_turtle,
+    )
+
+    spark = get_spark("sds-sparql")
+    src = args.triples
+    if src.endswith(".parquet"):
+        triples = spark.read.parquet(src)
+    else:
+        with open(src, encoding="utf-8") as fh:
+            text = fh.read()
+        if src.endswith((".nt", ".ntriples")):
+            quads = parse_ntriples(text)
+        elif src.endswith((".rdf", ".xml", ".owl")):
+            quads = parse_rdf_xml(text)
+        else:  # .ttl and everything else: Turtle (supersets N-Triples)
+            quads = parse_turtle(text)
+        triples = quads_to_triples_df(spark, quads)
+    try:
+        rows = sparql_select(triples, args.query).limit(args.row_cap).collect()
+    except SparqlError as e:
+        print(f"rejected: {e}", file=sys.stderr)
+        return 2
+    for r in rows:
+        print(" | ".join("" if v is None else str(v) for v in r))
+    print(f"-- {len(rows)} rows")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="science-datalake-spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -125,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("sql")
     q.set_defaults(fn=cmd_query)
     sub.add_parser("shell").set_defaults(fn=cmd_shell)
+    sp = sub.add_parser("sparql")
+    sp.add_argument("triples", help="ontology file (.ttl/.nt/.rdf) or parquet triples")
+    sp.add_argument("query", help="SPARQL SELECT (BGP + OPTIONAL/UNION/FILTER)")
+    sp.set_defaults(fn=cmd_sparql)
     args = p.parse_args(argv)
     return args.fn(args)
 

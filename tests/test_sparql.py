@@ -203,3 +203,30 @@ def test_filter_unbound_variable_errors(spark, triples):
             triples,
             'SELECT ?c WHERE { ?c ?p ?o . FILTER (?nope = "x") }',
         ).collect()
+
+
+def test_cli_sparql_over_ttl_file(spark, tmp_path, capsys):
+    """The sparql subcommand: ontology file → DataFrame translation →
+    printed rows (the reference's sparql_query.py CLI surface)."""
+    from science_datalake_spark.cli import main
+
+    f = tmp_path / "toy.ttl"
+    f.write_text(
+        "@prefix skos: <http://www.w3.org/2004/02/skos/core#> .\n"
+        "@prefix ex: <http://ex.org/> .\n"
+        'ex:dl skos:prefLabel "deep learning"@en ; skos:broader ex:ml .\n'
+        'ex:ml skos:prefLabel "machine learning"@en .\n'
+    )
+    rc = main(
+        [
+            "sparql",
+            str(f),
+            "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
+            "SELECT ?l WHERE { ?c skos:broader ?p ; skos:prefLabel ?l }",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "deep learning" in out and "-- 1 rows" in out
+
+    rc2 = main(["sparql", str(f), "SELECT ?x WHERE { }"])
+    assert rc2 == 2  # SparqlError surfaces as rejection, not a traceback
