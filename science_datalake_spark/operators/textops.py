@@ -76,3 +76,64 @@ def fingerprint(text: Column, prefix_len: int = 200) -> Column:
     (rolling-hash analogue that is engine-portable)."""
     normalized = F.regexp_replace(F.lower(F.substring(text, 1, prefix_len)), r"\s+", " ")
     return F.md5(normalized)
+
+
+# --- PII redaction (training-data scrubbing) --------------------------------
+
+#: (pattern, replacement) in the Java∩RE2 regex subset, so the DuckDB
+#: oracle applies the IDENTICAL patterns. Order matters: emails first
+#: (their local parts may contain digits a later pattern would eat).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().\-]{6,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Chained regexp_replace over PII_PATTERNS — emails, IPv4 addresses,
+    phone-shaped digit runs → typed placeholders. Pure codegen (no UDF);
+    the standard scrub step before a corpus becomes training data. At
+    100 TB this is a map-only column rewrite."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-document match counts per PII class (audit/report side)."""
+    names = ("emails", "ips", "phones")
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat))
+        for name, (pat, _r) in zip(names, PII_PATTERNS)
+    }
+
+
+# --- repetition-based quality filters (Gopher-style) ------------------------
+
+
+def dup_token_fraction(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. High values flag boilerplate/spam documents."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 4)
+    )
+
+
+def dup_bigram_fraction(text: Column) -> Column:
+    """Fraction of duplicate word bigrams — the n-gram repetition filter
+    from Gopher-style quality pipelines, as one codegen expression
+    (zip_with over two shifted views of the token array; no UDF)."""
+    toks = tokens(text)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n = F.size(bigrams)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / n, 4)
+    )

@@ -731,3 +731,105 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = d.filter(F.col("doc_id") % 25 == 0)
     corpus = d.filter(F.col("doc_id") % 25 != 0)
     return decontaminate(corpus, eval_docs, "doc_id", max_overlap=0.5).orderBy("doc_id")
+
+
+# STRING (not VARCHAR): valid in BOTH dialects — Spark requires a length
+# on VARCHAR, DuckDB aliases STRING to VARCHAR
+_PII_SALT = (
+    "text || ' contact: user' || CAST(doc_id AS STRING) || '@example.com "
+    "ip 10.0.0.' || CAST(doc_id % 255 AS STRING) || ' tel +4917012345' "
+    "|| CAST(doc_id AS STRING)"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+?\\d[\\d().\\-]{6,}\\d\\b"
+
+
+@query(
+    "text_pii_redact",
+    aux=True,
+    oracle=f"""
+    WITH salted AS (
+        SELECT doc_id, {_PII_SALT} AS t FROM documents WHERE doc_id < 200
+    ),
+    redacted AS (
+        SELECT doc_id, t,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+        FROM salted
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(length(t) AS INTEGER) AS raw_len,
+           CAST(length(clean) AS INTEGER) AS clean_len
+    FROM redacted
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before a corpus becomes training data: per-document match
+    counts per class (audit) + redacted lengths, over text deterministically
+    salted with synthetic email/IP/phone so every row exercises every
+    pattern. All codegen regexp work (operators/textops.redact_pii);
+    map-only at any scale. The DuckDB oracle applies the identical
+    Java∩RE2 patterns."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    salted = d.select("doc_id", F.expr(_PII_SALT).alias("t"))
+    counts = T.pii_counts(F.col("t"))
+    return salted.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        F.length("t").alias("raw_len"),
+        F.length(T.redact_pii(F.col("t"))).alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_stats",
+    aux=True,
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 300
+    ),
+    g AS (
+        SELECT doc_id, words,
+               list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(len(words) AS INTEGER) AS n_tokens,
+           CAST(round(CASE WHEN len(words) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                END, 4) AS DOUBLE) AS dup_token_frac,
+           CAST(round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                END, 4) AS DOUBLE) AS dup_bigram_frac,
+           (CASE WHEN len(bigrams) <= 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                END) > 0.2 AS is_repetitive
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: duplicate-token and
+    duplicate-bigram fractions per document, flagged above 20% bigram
+    repetition — the filter that drops boilerplate/spam from a training
+    corpus. Single codegen expression per column (zip_with shifted-view
+    bigrams, no UDF, no shuffle)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    dup_bi = T.dup_bigram_fraction(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
+        dup_bi.alias("dup_bigram_frac"),
+        (T.dup_bigram_fraction(F.col("text")) > 0.2).alias("is_repetitive"),
+    ).orderBy("doc_id")

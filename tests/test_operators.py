@@ -329,3 +329,33 @@ def test_exact_group_quantiles_single_scan_no_join(spark):
     for k in expect:
         for a, b in zip(got[k], expect[k]):
             assert abs(a - b) < 1e-9, (k, got[k], expect[k])
+
+
+def test_redact_pii_replaces_all_classes(spark):
+    from science_datalake_spark.operators.textops import (
+        dup_bigram_fraction,
+        dup_token_fraction,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org or 10.1.2.3 or +49(170)1234567 end"),
+            (2, "clean text with no personal data at all"),
+        ],
+        "id INT, t STRING",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", redact_pii(F.col("t")).alias("c")).collect()}
+    assert got[1] == "mail <EMAIL> or <IP> or <PHONE> end"
+    assert got[2] == "clean text with no personal data at all"
+
+    rep = df.select(
+        "id",
+        dup_token_fraction(F.col("t")).alias("dt"),
+        dup_bigram_fraction(F.col("t")).alias("db"),
+    )
+    vals = {r["id"]: (r["dt"], r["db"]) for r in rep.collect()}
+    assert vals[2] == (0.0, 0.0)  # all-unique text
+    spam = spark.createDataFrame([(3, "buy now " * 50)], "id INT, t STRING")
+    r3 = spam.select(dup_bigram_fraction(F.col("t")).alias("db")).first()
+    assert r3["db"] > 0.9  # repeated bigrams dominate
