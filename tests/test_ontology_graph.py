@@ -441,15 +441,14 @@ def test_connected_components_cache_flat_across_iterations(spark):
     """The per-iteration localCheckpoint must not accumulate cached RDDs
     (round-3 advice finding): a 60-hop chain needs dozens of rounds, but
     at most the FINAL result's blocks may remain cached afterwards."""
-    import gc
-    import time
-
     from science_datalake_spark.operators.graph import connected_components_star
 
     spark.catalog.clearCache()
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(0.5)
+    # deterministic baseline: drop every RDD-level cache block (see
+    # test_operators.test_dedup_selfjoins_release_input_cache)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):
+        rdd.unpersist(True)
     base = spark.sparkContext._jsc.getPersistentRDDs().size()
 
     chain = spark.createDataFrame(

@@ -95,16 +95,16 @@ def test_dedup_selfjoins_release_input_cache(spark):
         ngram_jaccard_pairs,
     )
 
-    import gc
-    import time
-
     spark.catalog.clearCache()
-    # flush localCheckpoint blocks left by earlier tests (clearCache only
-    # empties the SQL cache manager; RDD-level blocks go via ContextCleaner
-    # on GC) so the persistent-RDD count below is delta-stable
-    gc.collect()
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(0.5)
+    # Deterministically flush RDD-level blocks left by earlier tests
+    # (localCheckpoint results etc.): clearCache only empties the SQL
+    # cache manager, and waiting on ContextCleaner GC is racy — an async
+    # cleanup landing mid-test shifts the baseline under the assertions.
+    # Unpersisting every persistent RDD pins the baseline; none of those
+    # frames are reused across tests.
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):
+        rdd.unpersist(True)
 
     docs = spark.createDataFrame(
         [(i, f"the quick brown fox {i % 3} jumps over the lazy dog") for i in range(30)],
