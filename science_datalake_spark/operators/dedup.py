@@ -286,3 +286,81 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -
         )
     )
     return _materialize_release(scored, shingles, slot="ngram_jaccard_pairs")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    w: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every character k-gram, slide a window of ``w`` consecutive
+    hashes, keep each window's minimum, distinct the kept set. Guarantees
+    any shared substring of length ≥ k+w-1 contributes at least one
+    SHARED fingerprint — the chunk-level near-dup / plagiarism detector
+    that survives insertions and reorderings exact fingerprints miss.
+
+    Returns (id, fp) exploded rows — join-ready: candidate pairs come
+    from a self-join on fp (same bucketed shape as LSH bands, cost
+    O(Σ bucket²), never all-pairs).
+
+    All native expressions: the k-gram enumeration, per-gram hash, and
+    window-min selection are transform/slice/array_min lambdas inside one
+    projection — no UDF, no shuffle until the caller aggregates. md5
+    (hex-string mins, engine-portable for the DuckDB twin) or xxhash64
+    (long mins, the fast path). Scale: O(len·w) comparisons per document,
+    map-only; _spread the input first when files are few (same guidance
+    as minhash_signatures).
+    """
+    if hash_fn == "md5":
+        hash_expr = "md5(substring(__t, i, {k}))"
+    elif hash_fn == "xxhash64":
+        hash_expr = "xxhash64(substring(__t, i, {k}))"
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    grams = (
+        f"transform(sequence(1, greatest(length(__t) - {k - 1}, 0)), "
+        f"i -> {hash_expr.format(k=k)})"
+    )
+    mins = (
+        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w - 1}, 0)), "
+        f"i -> array_min(slice(__h, i, {w}))))"
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .withColumn("__h", F.expr(grams))
+        .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
+    )
+
+
+def fingerprint_overlap_pairs(
+    fingerprints: DataFrame, id_col: str, max_bucket: int = 200
+) -> DataFrame:
+    """(id_a, id_b, n_shared) for documents sharing winnowing fingerprints
+    — self-join keyed on fp (bucketed, near-linear for non-degenerate
+    corpora). ``max_bucket`` drops stop-fingerprints (a fingerprint shared
+    by hundreds of documents identifies boilerplate, not copying, and its
+    bucket is quadratic) — the same skew-guard discipline as
+    cooccurrence's max_group_size. The sizes join is NOT forced broadcast
+    (one row per distinct fingerprint — unbounded at corpus scale): it
+    shuffles on fp, the same key the self-join uses, so the partitioning
+    is reused; AQE demotes to broadcast when the filter output is small."""
+    sizes = fingerprints.groupBy("fp").agg(F.count("*").alias("__n"))
+    kept = fingerprints.join(
+        sizes.filter(F.col("__n") <= max_bucket).select("fp"), "fp"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -833,3 +833,57 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_bi.alias("dup_bigram_frac"),
         (T.dup_bigram_fraction(F.col("text")) > 0.2).alias("is_repetitive"),
     ).orderBy("doc_id")
+
+
+_WINNOW_K = 8
+_WINNOW_W = 4
+
+
+@query(
+    "dedup_winnow_overlap",
+    aux=True,
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, text AS t FROM documents
+        WHERE source IN ('src0', 'src1') AND doc_id < 150
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, greatest(length(t) - {_WINNOW_K - 1}, 0)),
+                              i -> md5(substring(t, i, {_WINNOW_K}))) AS h
+        FROM docs
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 0)),
+                       i -> list_min(h[i:i + {_WINNOW_W - 1}]))) AS fp
+            FROM grams
+        )
+    ),
+    sizes AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp),
+    kept AS (SELECT f.* FROM fps f JOIN sizes s USING (fp) WHERE s.n <= 200)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY n_shared DESC, id_a, id_b
+    LIMIT 25
+    """,
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS rolling-hash) fingerprint overlap: char-8-gram md5
+    hashes → window-4 minima → distinct fingerprint set per document →
+    bucketed self-join, top-25 most-overlapping pairs on a 2-source
+    shard. The chunk-level near-dup detector that catches partial copies
+    MinHash's document-level signatures dilute
+    (operators/dedup.winnowing_fingerprints)."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1") & (F.col("doc_id") < 150))
+        .select("doc_id", "text")
+    )
+    fps = D.winnowing_fingerprints(d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
+    pairs = D.fingerprint_overlap_pairs(fps, "doc_id", max_bucket=200)
+    return pairs.orderBy(F.desc("n_shared"), "id_a", "id_b").limit(25)

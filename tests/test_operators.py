@@ -359,3 +359,32 @@ def test_redact_pii_replaces_all_classes(spark):
     spam = spark.createDataFrame([(3, "buy now " * 50)], "id INT, t STRING")
     r3 = spam.select(dup_bigram_fraction(F.col("t")).alias("db")).first()
     assert r3["db"] > 0.9  # repeated bigrams dominate
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing's core property: documents sharing a substring of length
+    >= k+w-1 share at least one fingerprint; disjoint texts share none.
+    xxhash64 fast path yields the same OVERLAP STRUCTURE (different
+    values)."""
+    from science_datalake_spark.operators.dedup import (
+        fingerprint_overlap_pairs,
+        winnowing_fingerprints,
+    )
+
+    shared = "the exact same long copied passage appears here verbatim"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro alpha {shared} outro beta"),
+            (2, f"different opening {shared} and a different closing"),
+            (3, "entirely unrelated content with zero overlap whatsoever!"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    for hf in ("md5", "xxhash64"):
+        fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4, hash_fn=hf)
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in fingerprint_overlap_pairs(fps, "doc_id").collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 1, hf
+        assert (1, 3) not in pairs and (2, 3) not in pairs, hf
