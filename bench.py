@@ -1,14 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints one JSON line.
 
-Methodology: each query is executed twice and the best time is reported
-(warm measurement — the first execution pays one-time JVM codegen/class
-loading that amortizes away in any real deployment; data is NOT cached, so
-every run re-scans Parquet end-to-end). Timing covers plan + execution +
-collect of the (small) result.
+Methodology: each query is executed three times and the best time is
+reported (warm measurement — the first execution pays one-time JVM
+codegen/class loading that amortizes away in any real deployment; data is
+NOT cached, so every run re-scans Parquet end-to-end; best-of-3 because
+shared-VM noise near the 0.1 s compute-bound threshold flips sub-second
+entries in and out of the gate set on best-of-2). Timing covers plan +
+execution + Arrow fetch of the (small) result.
 
 The same workload also runs in DuckDB (each query's ``oracle_sql()``
-against the same Parquet files, best-of-2 warm) so the artifact carries
+against the same Parquet files, best-of-3 warm) so the artifact carries
 per-query engine/oracle pairs: ``oracle_seconds`` per query, ``ratios``
 (spark/duckdb), and suite-level ``oracle_total``/``suite_ratio``. This is
 the evidence the round-1 verdict asked for — the 2x gate can be
@@ -32,7 +34,7 @@ import sys
 import time
 
 
-def _time_best_of(fn, runs: int = 2) -> float:
+def _time_best_of(fn, runs: int = 3) -> float:
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -134,7 +136,7 @@ def main() -> None:
                 code_links=synth_code_links(spark, 1000),
             ).count()
 
-        pipeline["unify_skewed"] = round(_time_best_of(run_unify), 3)
+        pipeline["unify_skewed"] = round(_time_best_of(run_unify, runs=2), 3)
         pipeline["unify_rows"] = float(n)
     except Exception as e:
         print(f"# pipeline bench error: {e}", file=sys.stderr)

@@ -324,3 +324,24 @@ def test_simple_entity_auto_ensure_on_old_shard(spark, tmp_path):
     assert row["id"] == "P1"
     assert row["ror_id"] is None and row["h_index"] is None
     assert row["alternate_titles"] is None
+
+
+def test_extraction_prunes_parquet_scan(spark, tmp_path):
+    """Each sub-table's scan must read ONLY its referenced columns
+    (ReadSchema pruning): a works_topics extraction over a wide parquet
+    source touches id+topics, never authorships/text-heavy columns."""
+    p = str(tmp_path / "w.ndjson.gz")
+    _write_ndjson(p, [OA_WORK])
+    src = read_ndjson(spark, p)
+    pq_path = str(tmp_path / "works_pq")
+    src.write.parquet(pq_path)
+
+    from science_datalake_spark.sources.openalex_battery import WORKS_SUBTABLE_SPECS
+
+    df = extract_entity(spark.read.parquet(pq_path), WORKS_SUBTABLE_SPECS["works_topics"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "topics" in schema_line and "id" in schema_line
+    assert "authorships" not in schema_line and "abstract" not in schema_line
