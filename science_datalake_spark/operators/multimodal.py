@@ -349,3 +349,123 @@ def sample_wav_assets(spark: SparkSession, n: int = 4, rate: int = 8000) -> Data
             wf.writeframes(tone.tobytes())
         rows.append((i, "audio", bytearray(buf.getvalue()), ("audio/wav", None, None, 250)))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --- video: frame splitting + sampling --------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def split_pnm_stream(data: bytes) -> list[bytes] | None:
+    """Parse a concatenated-PNM video stream (the dependency-free 'video'
+    container ffmpeg itself emits/reads as ``image2pipe -vcodec ppm``):
+    back-to-back P5/P6 frames. Returns frame byte slices, or None if the
+    payload doesn't start with a PNM magic."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    frames: list[bytes] = []
+    pos = 0
+    try:
+        while pos < len(data) and data[pos : pos + 2] in (b"P5", b"P6"):
+            magic, w, h, maxval, off = _read_pnm_header(data[pos:])
+            if maxval > 255 or w <= 0 or h <= 0:
+                return None
+            size = off + w * h * (3 if magic == b"P6" else 1)
+            if pos + size > len(data):
+                return None  # truncated frame
+            frames.append(data[pos : pos + size])
+            pos += size
+    except (ValueError, struct.error):
+        return None
+    return frames or None
+
+
+def _uniform_indices(n_total: int, n_sample: int) -> list[int]:
+    """Deterministic uniform frame pick: n_sample positions spread over
+    [0, n_total): floor(i * n_total / n_sample)."""
+    n_sample = min(n_sample, n_total)
+    return sorted({(i * n_total) // n_sample for i in range(n_sample)})
+
+
+def sample_frames(assets: DataFrame, n_frames: int = 4, fake: bool = True) -> DataFrame:
+    """Frame-sample video payloads through mapInPandas: one row per KEPT
+    frame — (asset_id, frame_idx, n_frames, width, height, features) —
+    with frames picked uniformly over the clip.
+
+    ``fake=False`` parses concatenated-PNM streams for real (each sampled
+    frame is decoded and featurized via image_features); any other
+    payload raises at the named ffmpeg plug-in point. ``fake=True`` emits
+    ``n_frames`` deterministic md5-derived rows per asset — the plumbing
+    path proving the one-input-row→many-output-rows batch shape without
+    decode libraries.
+
+    Scale: map-only (no shuffle of payload bytes); output rows carry only
+    features + dimensions, never frame bytes, so anything downstream of
+    the sampling stage is narrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "asset_id": [], "frame_idx": [], "n_frames": [],
+                "width": [], "height": [], "features": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                if fake:
+                    total = n_frames
+                    for idx in range(n_frames):
+                        digest = hashlib.md5(data + bytes([idx])).digest()
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(idx)
+                        out["n_frames"].append(total)
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["features"].append(
+                            [(b - 128) / 128.0 for b in digest[:FEATURE_DIM]]
+                        )
+                    continue
+                frames = split_pnm_stream(data)
+                if frames is None:
+                    raise NotImplementedError(
+                        "payload is not a concatenated-PNM stream — real video "
+                        "containers (mp4/webm/mkv) need ffmpeg; plug the "
+                        "demuxer in here"
+                    )
+                for idx in _uniform_indices(len(frames), n_frames):
+                    img = decode_image(frames[idx])
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(len(frames))
+                    out["width"].append(img.shape[1])
+                    out["height"].append(img.shape[0])
+                    out["features"].append(image_features(img))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def sample_video_assets(
+    spark: SparkSession, n: int = 4, frames: int = 10, size: int = 8
+) -> DataFrame:
+    """Real concatenated-PNM 'video' fixture: per-asset clips whose frames
+    brighten linearly over time (so sampled features are checkable)."""
+    rows = []
+    for i in range(n):
+        clip = b""
+        for f in range(frames):
+            val = min(255, (f * 255) // max(frames - 1, 1))
+            img = np.full((size, size, 3), val, dtype=np.uint8)
+            clip += encode_ppm(img)
+        rows.append(
+            (i, "video", bytearray(clip), ("video/x-pnm-stream", size, size, frames * 40))
+        )
+    return spark.createDataFrame(rows, ASSET_SCHEMA)

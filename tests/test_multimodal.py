@@ -154,3 +154,61 @@ def test_knn_over_extracted_features(spark):
     top = cosine_topk(feats, queries, "asset_id", "vec", k=5)
     assert top.count() == 15
     assert top.groupBy("query_id").count().agg(F.min("count")).first()[0] == 5
+
+
+def test_split_pnm_stream_and_uniform_sampling():
+    import numpy as np
+
+    from science_datalake_spark.operators.multimodal import (
+        _uniform_indices,
+        encode_ppm,
+        split_pnm_stream,
+    )
+
+    frames = [np.full((4, 4, 3), v, dtype=np.uint8) for v in (0, 100, 200)]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    parts = split_pnm_stream(stream)
+    assert parts is not None and len(parts) == 3
+    assert split_pnm_stream(b"RIFFnotvideo") is None
+    assert split_pnm_stream(stream[:-5]) is None  # truncated last frame
+    assert _uniform_indices(10, 4) == [0, 2, 5, 7]
+    assert _uniform_indices(3, 10) == [0, 1, 2]  # clamp to available
+
+
+def test_sample_frames_real_pnm_stream(spark):
+    """fake=False decodes the concatenated-PNM clip: uniformly-sampled
+    frame indices, real per-frame features (brightness rises with idx),
+    and payload bytes never reach the output schema."""
+    from science_datalake_spark.operators.multimodal import (
+        sample_frames,
+        sample_video_assets,
+    )
+
+    clips = sample_video_assets(spark, n=2, frames=10, size=8)
+    out = sample_frames(clips, n_frames=4, fake=False)
+    rows = out.orderBy("asset_id", "frame_idx").collect()
+    assert len(rows) == 8  # 2 assets x 4 sampled frames
+    assert "payload" not in out.columns
+    by_asset = {}
+    for r in rows:
+        assert r["n_frames"] == 10 and r["width"] == 8 and r["height"] == 8
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, rs in by_asset.items():
+        assert [r["frame_idx"] for r in rs] == [0, 2, 5, 7]
+        means = [r["features"][0] for r in rs]  # mean R channel
+        assert means == sorted(means) and means[-1] > means[0]  # brightens
+
+
+def test_sample_frames_fake_path_and_ffmpeg_plug_point(spark):
+    import pytest as _pytest
+
+    from science_datalake_spark.operators.multimodal import (
+        sample_assets,
+        sample_frames,
+    )
+
+    assets = sample_assets(spark, n=3)
+    fake = sample_frames(assets, n_frames=3, fake=True)
+    assert fake.count() == 9  # deterministic 3 rows per asset
+    with _pytest.raises(Exception, match="ffmpeg"):
+        sample_frames(assets.limit(1), n_frames=2, fake=False).collect()
