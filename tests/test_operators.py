@@ -388,3 +388,38 @@ def test_winnowing_shared_substring_guarantee(spark):
         }
         assert (1, 2) in pairs and pairs[(1, 2)] >= 1, hf
         assert (1, 3) not in pairs and (2, 3) not in pairs, hf
+
+
+def test_bpe_regex_token_count(spark):
+    """GPT-2-style pre-tokenizer piece counts on hand-tokenized examples,
+    and DuckDB counts the identical pieces with the same pattern (the
+    Java∩RE2 property-class subset)."""
+    import duckdb
+
+    from science_datalake_spark.operators.textops import (
+        BPE_SPLIT_PATTERN,
+        bpe_regex_token_count,
+    )
+
+    cases = [
+        # "don" "'t" " stop" → 3; "hello" " world" "!" → 3
+        (1, "don't stop", 3),
+        (2, "hello world!", 3),
+        # "abc" "123" " x" "." "." → piece runs split letters/digits/punct
+        (3, "abc123 x..", 4),
+        (4, "", 0),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases], "id INT, t STRING")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_regex_token_count(F.col("t")).alias("n")).collect()
+    }
+    for i, _t, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+    con = duckdb.connect()
+    for i, t, want in cases:
+        (n,) = con.sql(
+            "SELECT len(regexp_extract_all(?, ?))", params=[t, BPE_SPLIT_PATTERN]
+        ).fetchone()
+        assert n == want, (i, n, want)
