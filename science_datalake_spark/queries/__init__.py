@@ -51,6 +51,11 @@ def query(
     return deco
 
 
+# Round-5 rotation TODO: text_pii_redact, text_repetition_stats and
+# dedup_winnow_overlap were added in round 4 as aux-only (local parity +
+# bench, no driver row yet) — rotate them in next round in place of three
+# r03+r04-green entries.
+#
 # Driver-facing order. Round-4 rotation (round-3 verdict "Next round" #10):
 # the six §2.8 scalar-function rows (doi_normalize, case_coalesce,
 # date_try_cast, json_extract, array_explode_pos, distinct_projection —
