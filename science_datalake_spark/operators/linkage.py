@@ -163,6 +163,15 @@ def fuzzy_label_join(
     Plan shape: broadcast the smaller left side (the reference's topics are
     4.5K rows), stream right partitions through the Arrow-batched UDF, then
     filter — Catalyst keeps everything pipelined (no shuffle at all).
+
+    Length blocking (sound, results identical): Jaro-Winkler is bounded by
+    jw ≤ 0.8 + 0.2·(len_min/len_max) — jaro ≤ (2 + r)/3 since matches ≤
+    len_min, and the Winkler boost adds at most 0.4·(1-jaro) — so for
+    thresholds above 0.8 any pair whose length ratio falls below
+    (threshold - 0.8) / 0.2 can NEVER clear the filter. That predicate is
+    pure codegen and runs BEFORE the Python scorer, so the quadratic
+    stage shrinks to length-compatible pairs (the classic record-linkage
+    blocking step) without changing a single output row.
     """
     n_right = (
         right_count
@@ -172,6 +181,12 @@ def fuzzy_label_join(
     if n_right > max_right_rows:
         return exact_label_join(left, right, left_label, right_label)
     pairs = F.broadcast(left).crossJoin(right)
+    if threshold > 0.8:
+        min_ratio = (threshold - 0.8) / 0.2
+        la, lb = F.length(left[left_label]), F.length(right[right_label])
+        pairs = pairs.filter(
+            F.least(la, lb) >= min_ratio * F.greatest(la, lb)
+        )
     sim = jaro_winkler_udf(F.lower(left[left_label]), F.lower(right[right_label]))
     return pairs.withColumn("similarity", sim).filter(F.col("similarity") >= threshold)
 

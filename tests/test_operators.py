@@ -423,3 +423,49 @@ def test_bpe_regex_token_count(spark):
             "SELECT len(regexp_extract_all(?, ?))", params=[t, BPE_SPLIT_PATTERN]
         ).fetchone()
         assert n == want, (i, n, want)
+
+
+def test_fuzzy_join_length_blocking_is_sound(spark):
+    """The length-ratio block must be admissible: (a) jw <= 0.8 + 0.2*r
+    holds on a broad random sample, (b) blocked and unblocked joins return
+    identical rows at a >0.8 threshold."""
+    import random
+
+    from science_datalake_spark.operators.linkage import (
+        fuzzy_label_join,
+        jaro_winkler_py,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcdefg "
+    for _ in range(300):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12))).strip()
+        b = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12))).strip()
+        if not a or not b:
+            continue
+        r = min(len(a), len(b)) / max(len(a), len(b))
+        assert jaro_winkler_py(a, b) <= 0.8 + 0.2 * r + 1e-12, (a, b)
+
+    left = spark.createDataFrame(
+        [("machine learning",), ("ai",), ("statistics",)], "name STRING"
+    )
+    right = spark.createDataFrame(
+        [("machine learnin",), ("machine",), ("a",), ("statistic",), ("x" * 40,)],
+        "label STRING",
+    )
+    blocked = fuzzy_label_join(left, right, "name", "label", threshold=0.9)
+    # reproduce the unblocked result by scoring the full cross join
+    from science_datalake_spark.operators.linkage import jaro_winkler_udf
+
+    full = (
+        F.broadcast(left)
+        .crossJoin(right)
+        .withColumn(
+            "similarity", jaro_winkler_udf(F.lower(F.col("name")), F.lower(F.col("label")))
+        )
+        .filter(F.col("similarity") >= 0.9)
+    )
+    assert {tuple(r) for r in blocked.collect()} == {tuple(r) for r in full.collect()}
+    # and the blocked plan's UDF stage sees fewer input pairs: the x*40
+    # row can never pair with anything at 0.9
+    assert blocked.count() == full.count()
