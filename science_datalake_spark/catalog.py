@@ -144,12 +144,18 @@ def _events_ts_kind(path: str) -> str:
 
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        if not parts:
+        # recurse: a partitioned layout nests part files under key=value
+        # subdirectories, and missing the footer there would silently skip
+        # the nanos-conf path that those files may need
+        probe = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            hit = sorted(f for f in files if f.endswith(".parquet"))
+            if hit:
+                probe = os.path.join(root, hit[0])
+                break
+        if probe is None:
             return "absent"
-        probe = os.path.join(path, parts[0])
     try:
         schema = pq.read_schema(probe)
     except Exception:

@@ -317,17 +317,28 @@ def winnowing_fingerprints(
     """
     if hash_fn == "md5":
         hash_expr = "md5(substring(__t, i, {k}))"
+        hash_type = "STRING"
     elif hash_fn == "xxhash64":
         hash_expr = "xxhash64(substring(__t, i, {k}))"
+        hash_type = "BIGINT"
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    # CASE guards, not greatest(..., 0): Spark's sequence(1, 0) yields the
+    # DESCENDING [1, 0], so the 'empty' case would feed slice() a start of
+    # 0 and crash the job on any document shorter than k+w-1 chars (NULL
+    # text falls into the ELSE too). The DuckDB twin's generate_series is
+    # naturally empty there — these guards mirror it: no grams below k
+    # chars, no fingerprints below w hashes.
     grams = (
-        f"transform(sequence(1, greatest(length(__t) - {k - 1}, 0)), "
-        f"i -> {hash_expr.format(k=k)})"
+        f"CASE WHEN length(__t) >= {k} THEN "
+        f"transform(sequence(1, length(__t) - {k - 1}), i -> {hash_expr.format(k=k)}) "
+        f"ELSE CAST(array() AS ARRAY<{hash_type}>) END"
     )
     mins = (
-        f"array_distinct(transform(sequence(1, greatest(size(__h) - {w - 1}, 0)), "
-        f"i -> array_min(slice(__h, i, {w}))))"
+        f"CASE WHEN size(__h) >= {w} THEN "
+        f"array_distinct(transform(sequence(1, size(__h) - {w - 1}), "
+        f"i -> array_min(slice(__h, i, {w})))) "
+        f"ELSE CAST(array() AS ARRAY<{hash_type}>) END"
     )
     return (
         df.select(F.col(id_col), F.col(text_col).alias("__t"))

@@ -118,12 +118,21 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-document match counts per PII class (audit/report side)."""
+    """Per-document match counts per PII class (audit/report side).
+
+    Each class is counted on text with the PRECEDING classes already
+    redacted — the same left-to-right shielding redact_pii applies — so
+    counts agree with what redaction actually replaces. Counting every
+    pattern independently on the raw text would double-count: the
+    phone-shaped digit-run pattern also matches a dotted-quad IP, so a
+    document with one IP and no phone would report n_phones=1."""
     names = ("emails", "ips", "phones")
-    return {
-        f"n_{name}": F.regexp_count(text, F.lit(pat))
-        for name, (pat, _r) in zip(names, PII_PATTERNS)
-    }
+    out: dict[str, Column] = {}
+    cur = text
+    for name, (pat, repl) in zip(names, PII_PATTERNS):
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return out
 
 
 # --- repetition-based quality filters (Gopher-style) ------------------------

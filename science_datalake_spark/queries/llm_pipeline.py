@@ -752,21 +752,24 @@ _PII_PHONE = "\\+?\\d[\\d().\\-]{6,}\\d\\b"
     WITH salted AS (
         SELECT doc_id, {_PII_SALT} AS t FROM documents WHERE doc_id < 200
     ),
-    redacted AS (
+    -- staged redaction mirrors pii_counts' left-to-right shielding:
+    -- each class is counted on text with preceding classes replaced
+    staged AS (
         SELECT doc_id, t,
-               regexp_replace(regexp_replace(regexp_replace(t,
-                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                   '{_PII_IP}', '<IP>', 'g'),
-                   '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+               regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
         FROM salted
+    ),
+    staged2 AS (
+        SELECT *, regexp_replace(t1, '{_PII_IP}', '<IP>', 'g') AS t2 FROM staged
     )
     SELECT doc_id,
            CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
-           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ips,
-           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(t1, '{_PII_IP}')) AS INTEGER) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
            CAST(length(t) AS INTEGER) AS raw_len,
-           CAST(length(clean) AS INTEGER) AS clean_len
-    FROM redacted
+           CAST(length(regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g')) AS INTEGER)
+               AS clean_len
+    FROM staged2
     ORDER BY doc_id
     """,
 )

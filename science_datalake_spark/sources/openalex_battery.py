@@ -14,8 +14,11 @@ Column inventories follow the reference configs; names/types are the
 public OpenAlex snapshot data model (SURVEY §1.2). Struct access uses
 dotted exprs (``ids.openalex``); the JSON-opaque columns the reference
 keeps as JSON (works ``ids``) are extracted with ``get_json_object``
-over ``to_json`` so the same spec works whether the source arrived as a
-parsed struct or a JSON string.
+over ``to_json`` — this expects the PARSED (struct) shape the NDJSON
+reader produces. A source that kept ``ids`` as a raw JSON string should
+either parse it first (``from_json``) or swap the spec's expr to
+``get_json_object(ids, ...)`` directly; one expression cannot serve both
+physical types.
 
 Scale: identical to the generic battery — each sub-table is an
 independent column-pruned, map-only projection of the same NDJSON/Parquet

@@ -246,11 +246,8 @@ class _Parser:
                 while self.at_word("UNION"):
                     self.i += 1
                     branches.append(self.parse_group())
-                if len(branches) == 1:
-                    # plain nested group: inline as one union branch
-                    g.elements.append(("union", branches))
-                else:
-                    g.elements.append(("union", branches))
+                # a plain nested group is just a one-branch union
+                g.elements.append(("union", branches))
                 continue
             if subj is None:
                 subj = self.term(self.next())
@@ -364,9 +361,8 @@ def _filter_column(ast, columns: set[str]) -> Column:
         if tag == "cmp":
             _t, op, lnode, rnode = node
             # numeric context when either side is a numeric literal
-            numeric = ("operand", ) and (
-                (lnode[0] == "operand" and lnode[1][0] == "num")
-                or (rnode[0] == "operand" and rnode[1][0] == "num")
+            numeric = (lnode[0] == "operand" and lnode[1][0] == "num") or (
+                rnode[0] == "operand" and rnode[1][0] == "num"
             )
             lc = build_val(lnode, numeric)
             rc = build_val(rnode, numeric)
@@ -383,6 +379,11 @@ def _filter_column(ast, columns: set[str]) -> Column:
             if fn == "BOUND":
                 if args[0][0] != "var":
                     raise SparqlError("BOUND requires a variable")
+                # SPARQL semantics: BOUND of a variable the pattern never
+                # binds is FALSE, not an error (and must not leak a Spark
+                # unresolved-column AnalysisException past SparqlError)
+                if args[0][1] not in columns:
+                    return F.lit(False)
                 return F.col(args[0][1]).isNotNull()
             if len(args) != 2:
                 raise SparqlError(f"{fn} requires 2 arguments")

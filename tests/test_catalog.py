@@ -122,3 +122,19 @@ def test_database_namespace_views(spark, sf_oracle):
     dbs = [d.name for d in spark.catalog.listDatabases()]
     assert "lake_sf001" in dbs
     spark.sql("DROP DATABASE IF EXISTS lake_sf001 CASCADE")
+
+
+def test_events_ts_kind_probes_partitioned_layout(spark, tmp_path):
+    """A partitioned events directory (part files nested under key=value
+    subdirs) must still classify from the first footer found."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from science_datalake_spark.catalog import _events_ts_kind
+
+    d = tmp_path / "events.parquet" / "day=2024-01-01"
+    d.mkdir(parents=True)
+    tbl = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))})
+    pq.write_table(tbl, str(d / "part-0.parquet"), version="2.6")
+    assert _events_ts_kind(str(tmp_path / "events.parquet")) == "nanos"
+    assert _events_ts_kind(str(tmp_path)) == "nanos"  # walks one level up too

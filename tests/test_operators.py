@@ -469,3 +469,36 @@ def test_fuzzy_join_length_blocking_is_sound(spark):
     # and the blocked plan's UDF stage sees fewer input pairs: the x*40
     # row can never pair with anything at 0.9
     assert blocked.count() == full.count()
+
+
+def test_winnowing_short_and_null_docs_no_crash(spark):
+    """Documents shorter than k+w-1 chars (and NULL/empty text) must yield
+    zero fingerprints, not a slice(start=0) job abort — Spark's
+    sequence(1, 0) is DESCENDING [1, 0], the trap the CASE guards close."""
+    from science_datalake_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, ""), (3, None), (4, "exactly11ch"), (5, "x" * 40)],
+        "doc_id INT, text STRING",
+    )
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=8, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += 1
+    assert 1 not in by_doc and 2 not in by_doc and 3 not in by_doc
+    assert by_doc.get(4, 0) >= 1  # k+w-1 = 11 chars: first full window exists
+    assert by_doc.get(5, 0) >= 1
+
+
+def test_pii_counts_shielded_by_redaction_order(spark):
+    """An IP must not also count as a phone: each class is counted on
+    text with preceding classes redacted, matching redact_pii exactly."""
+    from science_datalake_spark.operators.textops import pii_counts
+
+    df = spark.createDataFrame([(1, "ip 10.0.0.7 only")], "id INT, t STRING")
+    counts = pii_counts(F.col("t"))
+    row = df.select(
+        counts["n_emails"].alias("e"), counts["n_ips"].alias("i"), counts["n_phones"].alias("p")
+    ).first()
+    assert (row["e"], row["i"], row["p"]) == (0, 1, 0)

@@ -230,3 +230,18 @@ def test_cli_sparql_over_ttl_file(spark, tmp_path, capsys):
 
     rc2 = main(["sparql", str(f), "SELECT ?x WHERE { }"])
     assert rc2 == 2  # SparqlError surfaces as rejection, not a traceback
+
+
+def test_filter_bound_unbound_variable_is_false(spark, triples):
+    """SPARQL semantics: BOUND(?never-bound) is FALSE (empty result), not
+    an unresolved-column AnalysisException escaping past SparqlError."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c a skos:Concept . FILTER (BOUND(?ghost)) }
+    """
+    assert sparql_select(triples, q).count() == 0
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c a skos:Concept . FILTER (!BOUND(?ghost)) }
+    """
+    assert sparql_select(triples, q2).count() == 4
