@@ -51,20 +51,14 @@ def query(
     return deco
 
 
-# Round-5 rotation TODO: text_pii_redact, text_repetition_stats and
-# dedup_winnow_overlap were added in round 4 as aux-only (local parity +
-# bench, no driver row yet) — rotate them in next round in place of three
-# r03+r04-green entries.
-#
-# Driver-facing order. Round-4 rotation (round-3 verdict "Next round" #10):
-# the six §2.8 scalar-function rows (doi_normalize, case_coalesce,
-# date_try_cast, json_extract, array_explode_pos, distinct_projection —
-# driver-green in CORRECTNESS_r02) rotate BACK in, plus the new
-# extract_doc_tokens battery query; the six round-3 flagship entries (all
-# driver-green in CORRECTNESS_r03) and dedup_embedding_cosine (green in
-# r02+r03) rotate to aux/local-parity. Union of r03+r04 rows covers every
-# query. bench.py times driver AND aux queries, so rotation never removes
-# a query from the performance evidence.
+# Driver-facing order. Round-5 rotation (round-4 verdict "Next round" #1):
+# the three round-4 aux-only queries (text_pii_redact,
+# text_repetition_stats, dedup_winnow_overlap) rotate IN so every operator
+# has driver CORRECTNESS evidence; agg_pivot_status, events_hourly_gapfill
+# and agg_rollup (driver-green in BOTH r03 and r04) rotate to
+# aux/local-parity. Union of r04+r05 rows covers every query. bench.py
+# times driver AND aux queries, so rotation never removes a query from the
+# performance evidence.
 DRIVER_ORDER: list[str] = [
     "doi_normalize",
     "case_coalesce",
@@ -100,10 +94,10 @@ DRIVER_ORDER: list[str] = [
     "topk_global",
     "sample_deterministic",
     "inverted_index_reconstruct",
-    "agg_pivot_status",
-    "events_hourly_gapfill",
+    "text_pii_redact",
+    "text_repetition_stats",
     "events_windows",
-    "agg_rollup",
+    "dedup_winnow_overlap",
     "events_sessionize",
     "join_asof",
     "events_user_stats",

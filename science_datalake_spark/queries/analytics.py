@@ -949,6 +949,7 @@ def inverted_index_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_pivot_status",
+    aux=True,
     oracle="""
     SELECT l_returnflag,
            CAST(round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS DOUBLE) AS qty_open,
@@ -976,6 +977,7 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_gapfill",
+    aux=True,
     oracle="""
     WITH bounds AS (
         SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
@@ -1097,6 +1099,7 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_rollup",
+    aux=True,
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            o_orderstatus,

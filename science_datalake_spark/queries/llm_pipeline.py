@@ -747,7 +747,6 @@ _PII_PHONE = "\\+?\\d[\\d().\\-]{6,}\\d\\b"
 
 @query(
     "text_pii_redact",
-    aux=True,
     oracle=f"""
     WITH salted AS (
         SELECT doc_id, {_PII_SALT} AS t FROM documents WHERE doc_id < 200
@@ -795,7 +794,6 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_stats",
-    aux=True,
     oracle=f"""
     WITH w AS (
         SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 300
@@ -844,7 +842,6 @@ _WINNOW_W = 4
 
 @query(
     "dedup_winnow_overlap",
-    aux=True,
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, text AS t FROM documents
