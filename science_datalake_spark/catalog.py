@@ -137,10 +137,48 @@ def _events_ts_kind(path: str) -> str:
     rounds: TIMESTAMP(NANOS) (``'nanos'``), TIMESTAMP(MICROS) without UTC
     adjustment — read by Spark as TIMESTAMP_NTZ (``'ntz'``) — and
     UTC-adjusted micros (``'tz'``). ``'absent'`` = no such column / not a
-    timestamp; callers then leave the frame untouched.
+    timestamp; callers then leave the frame untouched. ``'unknown'`` = the
+    footer could not be probed (e.g. a remote URI whose filesystem pyarrow
+    cannot reach from the driver); callers must fall back to the tolerant
+    read path rather than assuming the column is well-shaped.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from urllib.parse import urlparse
+
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        # object-store / HDFS URI: probe through the Arrow filesystem API.
+        # If the filesystem is unreachable from the driver (connector not
+        # installed, credentials missing), report 'unknown' so table()
+        # takes the defensive read path instead of failing on a nanos file.
+        try:
+            from pyarrow import fs as pafs
+
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            info = filesystem.get_file_info(fs_path)
+            probe = fs_path
+            if info.type == pafs.FileType.Directory:
+                sel = pafs.FileSelector(fs_path, recursive=True)
+                parts = sorted(
+                    f.path
+                    for f in filesystem.get_file_info(sel)
+                    if f.is_file and f.path.endswith(".parquet")
+                )
+                if not parts:
+                    return "absent"
+                probe = parts[0]
+            schema = pq.read_schema(probe, filesystem=filesystem)
+        except Exception:
+            return "unknown"
+        if "ts" not in schema.names:
+            return "absent"
+        t = schema.field("ts").type
+        if not pa.types.is_timestamp(t):
+            return "absent"
+        if t.unit == "ns":
+            return "nanos"
+        return "tz" if t.tz is not None else "ntz"
 
     probe = path
     if os.path.isdir(path):
@@ -195,14 +233,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and _events_ts_kind(path) == "nanos":
+    if name == "events" and _events_ts_kind(path) in ("nanos", "unknown"):
+        # 'unknown' (unprobeable remote footer) takes the same defensive
+        # path: the conf only changes how NANOS columns are decoded, and
+        # the normalization below keys on the OBSERVED dtype, so micros /
+        # ntz files read under it come out identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
         df = spark.read.parquet(path)
-        if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df

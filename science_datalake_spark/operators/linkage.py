@@ -183,7 +183,11 @@ def fuzzy_label_join(
     pairs = F.broadcast(left).crossJoin(right)
     if threshold > 0.8:
         min_ratio = (threshold - 0.8) / 0.2
-        la, lb = F.length(left[left_label]), F.length(right[right_label])
+        # Lengths are measured on the SAME lowercased strings the scorer
+        # sees: a few Unicode case mappings change length (e.g. İ → i̇),
+        # which would make the bound unsound on the raw labels.
+        la = F.length(F.lower(left[left_label]))
+        lb = F.length(F.lower(right[right_label]))
         pairs = pairs.filter(
             F.least(la, lb) >= min_ratio * F.greatest(la, lb)
         )

@@ -442,6 +442,13 @@ def sample_frames(assets: DataFrame, n_frames: int = 4, fake: bool = True) -> Da
                     )
                 for idx in _uniform_indices(len(frames), n_frames):
                     img = decode_image(frames[idx])
+                    if img is None:
+                        # a frame whose header re-parse fails would otherwise
+                        # surface as an executor AttributeError on img.shape
+                        raise ValueError(
+                            f"asset {aid!r}: frame {idx} of {len(frames)} "
+                            "split from the PNM stream failed to decode"
+                        )
                     out["asset_id"].append(aid)
                     out["frame_idx"].append(idx)
                     out["n_frames"].append(len(frames))

@@ -88,6 +88,7 @@ def derive_ensure_ddl(spec: EntitySpec) -> str | None:
     an explicit ``ensure`` DDL, as the works battery does.)"""
     scalars: dict[str, str] = {}
     structs: dict[str, dict[str, str]] = {}
+    alias_fields: dict[str, str] = {}
     skip = {spec.alias} if spec.explode is not None else set()
     for c in spec.columns:
         e = c.expr.strip()
@@ -98,10 +99,29 @@ def derive_ensure_ddl(spec: EntitySpec) -> str | None:
             m = _DOTTED_REF.match(e)
             if m and m.group(1) not in skip:
                 structs.setdefault(m.group(1), {})[m.group(2)] = c.type
+            elif m:
+                alias_fields.setdefault(m.group(2), c.type)
     parts = [f"{name} {typ}" for name, typ in scalars.items() if name not in structs]
     for root, fields in structs.items():
         inner = ", ".join(f"{f}: {t}" for f, t in fields.items())
         parts.append(f"{root} STRUCT<{inner}>")
+    # The explode source itself may be absent on old shards; a bare column
+    # reference pads as an array whose element shape is inferred from how
+    # the element alias is used (dotted refs → STRUCT of those fields,
+    # bare scalar use → STRING; try_cast re-types on projection). Exprs
+    # more complex than a bare reference stay a declared-`ensure` concern.
+    if (
+        spec.explode is not None
+        and _BARE_REF.match(spec.explode.strip())
+        and spec.explode.strip() not in scalars
+        and spec.explode.strip() not in structs
+    ):
+        if alias_fields:
+            inner = ", ".join(f"{f}: {t}" for f, t in alias_fields.items())
+            elem = f"STRUCT<{inner}>"
+        else:
+            elem = "STRING"
+        parts.append(f"{spec.explode.strip()} ARRAY<{elem}>")
     return ", ".join(parts) or None
 
 

@@ -290,7 +290,27 @@ class _Parser:
 
     _FUNCS = {"REGEX", "CONTAINS", "STRSTARTS", "BOUND"}
 
+    _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
     def parse_primary(self):
+        left = self.parse_atom()
+        nxt = self.peek()
+        if nxt is not None and nxt[1] in self._CMP_OPS:
+            op = self.next()[1]
+            # RHS is an atom, NOT another comparison: SPARQL's RelationalExpression
+            # is non-associative, so FILTER(?a < ?b < ?c) must be rejected
+            # instead of silently comparing ?a with a boolean.
+            right = self.parse_atom()
+            trailing = self.peek()
+            if trailing is not None and trailing[1] in self._CMP_OPS:
+                raise SparqlError(
+                    "chained comparison is not valid SPARQL: "
+                    f"unexpected {trailing[1]!r} after comparison"
+                )
+            return ("cmp", op, left, right)
+        return left
+
+    def parse_atom(self):
         t = self.peek()
         if t is None:
             raise SparqlError("truncated FILTER expression")
@@ -298,8 +318,8 @@ class _Parser:
             self.i += 1
             inner = self.parse_or()
             self.expect(")")
-            left = inner
-        elif t[0] == "word" and t[1].upper() in self._FUNCS:
+            return inner
+        if t[0] == "word" and t[1].upper() in self._FUNCS:
             fn = self.next()[1].upper()
             self.expect("(")
             args = [self.parse_operand()]
@@ -307,15 +327,8 @@ class _Parser:
                 self.i += 1
                 args.append(self.parse_operand())
             self.expect(")")
-            left = ("func", fn, args)
-        else:
-            left = ("operand", self.parse_operand())
-        nxt = self.peek()
-        if nxt is not None and nxt[1] in ("=", "!=", "<", "<=", ">", ">="):
-            op = self.next()[1]
-            right = self.parse_primary()
-            return ("cmp", op, left, right)
-        return left
+            return ("func", fn, args)
+        return ("operand", self.parse_operand())
 
     def parse_operand(self):
         t = self.next()

@@ -138,3 +138,12 @@ def test_events_ts_kind_probes_partitioned_layout(spark, tmp_path):
     pq.write_table(tbl, str(d / "part-0.parquet"), version="2.6")
     assert _events_ts_kind(str(tmp_path / "events.parquet")) == "nanos"
     assert _events_ts_kind(str(tmp_path)) == "nanos"  # walks one level up too
+
+
+def test_events_ts_kind_unreachable_remote_uri_is_unknown():
+    """A remote URI whose filesystem pyarrow can't reach must classify as
+    'unknown' (table() then takes the defensive nanosAsLong read path),
+    not 'absent' (which would skip nanos handling and fail the read)."""
+    from science_datalake_spark.catalog import _events_ts_kind
+
+    assert _events_ts_kind("hdfs://namenode:9000/lake/events.parquet") == "unknown"

@@ -345,3 +345,38 @@ def test_extraction_prunes_parquet_scan(spark, tmp_path):
     schema_line = m[0]
     assert "topics" in schema_line and "id" in schema_line
     assert "authorships" not in schema_line and "abstract" not in schema_line
+
+
+def test_auto_ensure_covers_explode_column(spark, tmp_path):
+    """An exploded spec with NO explicit ensure still analyzes on an old
+    shard missing the array column: derive_ensure_ddl pads the explode
+    source as a typed-NULL array (element shape inferred from the alias
+    references), so the extraction yields zero rows instead of failing."""
+    from science_datalake_spark.sources.extraction import derive_ensure_ddl
+
+    struct_spec = EntitySpec(
+        name="tags",
+        explode="tags",
+        alias="x",
+        columns=(
+            ColumnSpec("id", "id"),
+            ColumnSpec("tag_name", "x.name"),
+            ColumnSpec("tag_score", "x.score", "double"),
+        ),
+    )
+    ddl = derive_ensure_ddl(struct_spec)
+    assert "tags ARRAY<STRUCT<name: string, score: double>>" in ddl
+
+    scalar_spec = EntitySpec(
+        name="kw",
+        explode="keywords",
+        alias="x",
+        columns=(ColumnSpec("id", "id"), ColumnSpec("kw", "x")),
+    )
+    assert "keywords ARRAY<STRING>" in derive_ensure_ddl(scalar_spec)
+
+    p = str(tmp_path / "old_shard.ndjson.gz")
+    _write_ndjson(p, [{"id": "W1"}])  # no tags column at all
+    out = extract_entity(read_ndjson(spark, p), struct_spec)
+    assert out.columns == ["id", "tag_name", "tag_score"]
+    assert out.count() == 0  # inner explode of NULL array -> no rows

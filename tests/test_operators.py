@@ -502,3 +502,16 @@ def test_pii_counts_shielded_by_redaction_order(spark):
         counts["n_emails"].alias("e"), counts["n_ips"].alias("i"), counts["n_phones"].alias("p")
     ).first()
     assert (row["e"], row["i"], row["p"]) == (0, 1, 0)
+
+
+def test_fuzzy_join_length_blocking_unicode_case_expansion(spark):
+    """Lengths must be measured on the lowercased strings the scorer sees:
+    U+0130 (İ) lowercases to TWO chars, so a raw-length block would drop a
+    pair whose lowered forms match exactly."""
+    left = spark.createDataFrame([("İ" * 4,)], "name STRING")  # 4 raw chars
+    right = spark.createDataFrame([("i̇" * 4,)], "label STRING")  # 8 raw chars
+    got = fuzzy_label_join(left, right, "name", "label", threshold=0.95).collect()
+    # lowered forms are both 'i̇'*4 (8 chars): ratio 1.0, similarity 1.0.
+    # A raw-length block (4 vs 8 = 0.5 < (0.95-0.8)/0.2 = 0.75) would
+    # unsoundly prune the pair before scoring.
+    assert len(got) == 1 and got[0]["similarity"] == 1.0

@@ -245,3 +245,13 @@ def test_filter_bound_unbound_variable_is_false(spark, triples):
     SELECT ?c WHERE { ?c a skos:Concept . FILTER (!BOUND(?ghost)) }
     """
     assert sparql_select(triples, q2).count() == 4
+
+
+def test_filter_chained_comparison_rejected(spark, triples):
+    """SPARQL RelationalExpression is non-associative: FILTER(?a < ?b < ?c)
+    must raise instead of silently comparing ?a against a boolean."""
+    with pytest.raises(SparqlError, match="chained comparison"):
+        sparql_select(
+            triples,
+            "SELECT ?c WHERE { ?c ?p ?o . FILTER (?c < ?p < ?o) }",
+        )
