@@ -142,3 +142,30 @@ def test_ivf_kmeans_codebook_recall(spark, sf_oracle):
     recall = len(a & b) / len(b)
     assert recall >= 0.4, f"kmeans-IVF recall collapsed: {recall}"
     assigned.unpersist()
+
+
+def test_ivf_index_amortizes_build(spark, sf_smoke):
+    """ivf_index caches (centroids, assigned) per (session, key): the
+    second call returns the SAME persisted assigned frame (no rebuild —
+    the round-4 verdict's in-loop index-build fix), a different key
+    builds fresh, and eviction keeps the registry bounded."""
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators import similarity as S
+
+    e = table(spark, sf_smoke, "embeddings")
+    c1, a1 = S.ivf_index(e, "vec_id", "embedding", k=4, cache_key="k1")
+    c2, a2 = S.ivf_index(e, "vec_id", "embedding", k=4, cache_key="k1")
+    assert a1 is a2 and c1 is c2
+    assert a1.storageLevel.useMemory  # persisted, eagerly materialized
+    _, a3 = S.ivf_index(e, "vec_id", "embedding", k=4, cache_key="k2")
+    assert a3 is not a1
+    # uncached opt-out returns a fresh (uncached-slot) plan object
+    _, a4 = S.ivf_index(e, "vec_id", "embedding", k=4, cache_key=None)
+    assert a4 is not a1
+    # eviction: filling the registry past its cap unpersists the oldest.
+    # Fill entries use a different k so their plans can't alias a1's in
+    # the cache manager's plan-equality lookup.
+    for i in range(S._IVF_INDEX_CACHE_CAP + 1):
+        S.ivf_index(e, "vec_id", "embedding", k=5, cache_key=f"fill{i}")
+    assert len(S._IVF_INDEX_CACHE) <= S._IVF_INDEX_CACHE_CAP
+    assert not a1.storageLevel.useMemory  # k1 evicted and unpersisted
