@@ -47,6 +47,7 @@ def exact_group_quantiles(
     value_col: str,
     quantiles: Sequence[float],
     out_names: Sequence[str] | None = None,
+    group_counts: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT linearly-interpolated per-group quantiles WITHOUT per-group
     value buffering — the distributed replacement for Spark's
@@ -80,20 +81,34 @@ def exact_group_quantiles(
     from the output (SQL aggregate semantics would return them with NULL
     quantiles) — LEFT-join the result from your dimension relation when
     those groups must survive, as agg_stats_profile does.
+
+    ``group_counts``: optional (keys..., ``__nv``) frame carrying each
+    group's NON-NULL value count. When the caller already aggregates the
+    same input (agg_stats_profile computes count/avg/min/max anyway),
+    passing the counts here replaces the second (descending) sort pass
+    with a join on the ranked side's existing hash partitioning — ONE
+    full sort of the corpus instead of two, the dominant cost of this
+    operator at scale. The join is left to Catalyst/AQE (broadcast when
+    |G| is small, co-partitioned shuffle join otherwise), so it stays
+    safe when groups are the high-cardinality side.
     """
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
     asc = Window.partitionBy(*keys).orderBy(F.asc("__v"), F.asc("__uid"))
-    desc = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.desc("__uid"))
     r = (
         df.select(*keys, F.col(value_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
         .withColumn("__uid", F.monotonically_increasing_id())
         .withColumn("__idx", F.row_number().over(asc) - 1)
-        .withColumn("__ridx", F.row_number().over(desc) - 1)
-        .withColumn("__n", F.col("__idx") + F.col("__ridx") + 1)
     )
+    if group_counts is not None:
+        r = r.join(group_counts.select(*keys, F.col("__nv").alias("__n")), keys)
+    else:
+        desc = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.desc("__uid"))
+        r = r.withColumn("__ridx", F.row_number().over(desc) - 1).withColumn(
+            "__n", F.col("__idx") + F.col("__ridx") + 1
+        )
     aggs = []
     for q, name in zip(quantiles, out_names):
         pos = (F.col("__n") - 1) * F.lit(float(q))

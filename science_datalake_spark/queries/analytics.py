@@ -643,15 +643,9 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from science_datalake_spark.operators.stats import exact_group_quantiles
 
     li = table(spark, sf_dir, "lineitem")
-    quant = exact_group_quantiles(
-        li,
-        ["l_returnflag"],
-        "l_extendedprice",
-        quantiles=(0.25, 0.5, 0.75, 0.95),
-        out_names=("q25", "q50", "q75", "q95"),
-    )
     plain = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
+        F.count("l_extendedprice").alias("__nv"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
@@ -659,6 +653,17 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
+    # the plain agg already counts non-null prices per group — feed those
+    # counts to the quantile pass so it ranks with ONE sort, not two
+    quant = exact_group_quantiles(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        quantiles=(0.25, 0.5, 0.75, 0.95),
+        out_names=("q25", "q50", "q75", "q95"),
+        group_counts=plain.select("l_returnflag", "__nv"),
+    )
+    plain = plain.drop("__nv")
     return (
         # LEFT join: a group whose values are all NULL has no quantile row
         # (exact_group_quantiles ranks non-null values only) but must keep

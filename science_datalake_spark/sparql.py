@@ -22,8 +22,19 @@ Supported subset:
     ``REGEX(?v, "re")``, ``CONTAINS(?v, "s")``, ``STRSTARTS(?v, "s")``,
     ``BOUND(?v)``; numeric literals compare numerically (try_cast)
 - ``LIMIT n``
-No property paths / subqueries / aggregates — those are the cue to
-materialize a view with the DataFrame API instead. Caveat vs full SPARQL
+- property paths ``pred*`` / ``pred+`` on a CONSTANT predicate (the
+  ontology ancestor-walk shape, ``rdfs:subClassOf*`` /
+  ``skos:broader+``): the predicate's edge subset is closed by
+  ``operators/graph.transitive_closure`` (iterated-doubling self-join,
+  O(log diameter) rounds, checkpointed lineage) and the closure joins
+  into the BGP like any other pattern. ``*`` adds the zero-length
+  matches: a constant end matches itself; a var-var pattern pairs every
+  graph term with itself (SPARQL ZeroLengthPath semantics). Variable
+  predicates with a modifier raise — same cue as below.
+No other property paths / subqueries / aggregates — those are the cue to
+materialize a view with the DataFrame API instead. Path evaluation runs
+the closure's fixed-point loop EAGERLY (one count action per round);
+everything else stays lazy. Caveat vs full SPARQL
 semantics: a variable bound to NULL by OPTIONAL/UNION padding does not
 join with later patterns (Spark join-on-null), whereas SPARQL treats
 unbound as compatible — keep OPTIONAL/UNION blocks after the patterns
