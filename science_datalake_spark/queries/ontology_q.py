@@ -178,3 +178,65 @@ def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("concept_id"), "label", "depth")
         .orderBy("depth", "concept_id")
     )
+
+
+@query(
+    "sparql_path_ancestors",
+    aux=True,
+    oracle=f"""
+    WITH RECURSIVE edges(child, parent) AS (VALUES
+        ('{_C}physics',   '{_C}science'),
+        ('{_C}quantum',   '{_C}physics'),
+        ('{_C}optics',    '{_C}physics'),
+        ('{_C}qft',       '{_C}quantum'),
+        ('{_C}chemistry', '{_C}science'),
+        ('{_C}biology',   '{_C}science'),
+        ('{_C}genetics',  '{_C}biology')
+    ),
+    labels(id, label) AS (VALUES
+        ('{_C}science',   'Science'),
+        ('{_C}physics',   'Physics'),
+        ('{_C}physics',   'Physik'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology'),
+        ('{_C}genetics',  'Genetics')
+    ),
+    anc(node, anc) AS (
+        SELECT child, parent FROM edges
+        UNION
+        SELECT a.node, e.parent FROM anc a JOIN edges e ON e.child = a.anc
+    ),
+    starred AS (
+        -- skos:broader* from qft: 1..n-hop ancestors plus itself
+        SELECT anc AS concept FROM anc WHERE node = '{_C}qft'
+        UNION SELECT '{_C}qft'
+    )
+    SELECT s.concept, l.label
+    FROM starred s JOIN labels l ON l.id = s.concept
+    ORDER BY concept, label
+    """,
+)
+def sparql_path_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property path (``skos:broader*``) over the parsed Turtle
+    fixture: every ancestor of qft INCLUDING itself (zero-length match),
+    joined to its prefLabels by a second BGP pattern (physics carries an
+    @en and an @de label — both bind, and the oracle lists both). Translated to a
+    transitive_closure plan by science_datalake_spark.sparql (the
+    reference's Oxigraph ancestor-walk surface, sparql_query.py:89-143);
+    the DuckDB oracle replays the same closure as a recursive CTE."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX c: <https://ex.org/concepts/>
+    SELECT ?concept ?label WHERE {
+        c:qft skos:broader* ?concept .
+        ?concept skos:prefLabel ?label
+    }
+    """
+    return sparql_select(triples, q).orderBy("concept")

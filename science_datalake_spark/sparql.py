@@ -79,6 +79,14 @@ class _Term:
     lang: str | None = None
 
 
+@dataclass(frozen=True)
+class _Path:
+    """A constant-predicate property path: ``iri*`` or ``iri+``."""
+
+    iri: str
+    mod: str  # "*" | "+"
+
+
 @dataclass
 class _Group:
     """One { ... } group: ordered elements + group-scoped filters."""
@@ -211,6 +219,31 @@ class _Parser:
             raise SparqlError(f"unknown prefix or bare word: {val!r}")
         raise SparqlError(f"unexpected term: {val!r}")
 
+    def parse_predicate(self) -> "_Term | _Path":
+        """Predicate position: a plain term, or a ``pred*`` / ``pred+``
+        property path on a constant predicate. The tokenizer folds a
+        trailing modifier into prefixed-name words (``skos:broader*`` is
+        one word token); after an ``<iri>`` or ``a`` the modifier arrives
+        as its own token."""
+        tok = self.next()
+        kind, val, lang = tok
+        if kind == "word" and len(val) > 1 and val[-1] in "*+":
+            base = self.term(("word", val[:-1], None))
+            if base.kind != "iri":
+                raise SparqlError(f"property path on non-IRI predicate: {val!r}")
+            return _Path(base.value, val[-1])
+        pred = self.term(tok)
+        nxt = self.peek()
+        if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+"):
+            self.i += 1
+            if pred.kind != "iri":
+                raise SparqlError(
+                    "property paths require a constant predicate "
+                    f"(got {pred.kind} before {nxt[1]!r})"
+                )
+            return _Path(pred.value, nxt[1])
+        return pred
+
     def parse_group(self) -> _Group:
         self.expect("{")
         g = _Group()
@@ -265,7 +298,7 @@ class _Parser:
             nxt = self.peek()
             if nxt is None or nxt[1] in ("}", ".", ";"):
                 raise SparqlError("truncated triple pattern")
-            pred = self.term(self.next())
+            pred = self.parse_predicate()
             obj = self.term(self.next())
             patterns.append((subj, pred, obj))
         flush_bgp()
@@ -452,6 +485,51 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     df = df.filter(F.col("lang") == t.lang)
         return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
 
+    def path_df(s: _Term, path: _Path, o: _Term) -> DataFrame:
+        """``s pred*/pred+ o`` → a two-column relation of endpoint pairs.
+
+        The predicate's edge subset (one pushed filter on ``p``) is closed
+        by transitive_closure — iterated doubling, O(log diameter) joins,
+        checkpointed lineage, so a 20-deep ontology costs ~5 rounds and a
+        chain can't blow the plan up (operators/graph.py). ``*`` unions
+        the zero-length matches per SPARQL ZeroLengthPath: a constant end
+        matches itself; var-var pairs every graph term with itself.
+        Reference surface: sparql_query.py ancestor walks
+        (rdfs:subClassOf* / skos:broader+ via Oxigraph)."""
+        from science_datalake_spark.operators.graph import transitive_closure
+
+        spark = triples.sparkSession
+        edges = triples.filter(F.col("p") == path.iri).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+        pairs = transitive_closure(edges)  # (a, d): 1..n hops
+        if path.mod == "*":
+            if s.kind == "var" and o.kind == "var":
+                nodes = (
+                    triples.select(F.col("s").alias("a"))
+                    .unionByName(triples.select(F.col("o").alias("a")))
+                    .distinct()
+                )
+                zero = nodes.select("a", F.col("a").alias("d"))
+            else:
+                # a constant end matches itself (the o-constant filter
+                # below rejects the row again unless both ends agree)
+                const = s.value if s.kind != "var" else o.value
+                zero = local_df(spark, [(const, const)], "a STRING, d STRING")
+            pairs = pairs.unionByName(zero).distinct()
+        df = pairs
+        rename: dict[str, str] = {}
+        for pos, t in (("a", s), ("d", o)):
+            if t.kind == "var":
+                if t.value in rename.values():
+                    prev = next(c for c, v in rename.items() if v == t.value)
+                    df = df.filter(F.col(pos) == F.col(prev))
+                else:
+                    rename[pos] = t.value
+            else:
+                df = df.filter(F.col(pos) == t.value)
+        return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
+
     def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:
             return pdf
@@ -467,7 +545,10 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
         tag = elem[0]
         if tag == "bgp":
             for s, p, o in elem[1]:
-                out = merge(out, pattern_df(s, p, o))
+                if isinstance(p, _Path):
+                    out = merge(out, path_df(s, p, o))
+                else:
+                    out = merge(out, pattern_df(s, p, o))
         elif tag == "optional":
             out = merge(out, _eval_group(triples, elem[1]), how="left")
         elif tag == "union":

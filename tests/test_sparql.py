@@ -255,3 +255,97 @@ def test_filter_chained_comparison_rejected(spark, triples):
             triples,
             "SELECT ?c WHERE { ?c ?p ?o . FILTER (?c < ?p < ?o) }",
         )
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    """A 4-deep broader chain plus labels for path tests."""
+    from science_datalake_spark.sparql import quads_to_triples_df
+
+    B = "http://www.w3.org/2004/02/skos/core#broader"
+    L = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    quads = [
+        ("e/qft", B, "e/quantum", None),
+        ("e/quantum", B, "e/physics", None),
+        ("e/optics", B, "e/physics", None),
+        ("e/physics", B, "e/science", None),
+        ("e/qft", L, "QFT", "en"),
+    ]
+    return quads_to_triples_df(spark, quads)
+
+
+_P = "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
+
+
+def test_path_plus_strict_ancestors(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader+ ?a }"
+        ).collect()
+    }
+    assert got == {"e/quantum", "e/physics", "e/science"}
+
+
+def test_path_star_includes_zero_length(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader* ?a }"
+        ).collect()
+    }
+    assert got == {"e/qft", "e/quantum", "e/physics", "e/science"}
+
+
+def test_path_modifier_after_full_iri(spark, chain):
+    """After an <iri> predicate the modifier arrives as its own token."""
+    got = {
+        r["d"]
+        for r in sparql_select(
+            chain,
+            "SELECT ?d WHERE { ?d "
+            "<http://www.w3.org/2004/02/skos/core#broader> + <e/physics> }",
+        ).collect()
+    }
+    assert got == {"e/qft", "e/quantum", "e/optics"}
+
+
+def test_path_star_var_var_pairs_every_term_with_itself(spark, chain):
+    rows = sparql_select(
+        chain, _P + "SELECT ?x ?y WHERE { ?x skos:broader* ?y }"
+    ).collect()
+    pairs = {(r["x"], r["y"]) for r in rows}
+    # 8 closure pairs + one (t, t) per distinct graph term (6 terms)
+    assert len(pairs) == 14
+    assert ("QFT", "QFT") in pairs  # literals are graph terms too
+    assert ("e/qft", "e/science") in pairs
+
+
+def test_path_joins_with_bgp_pattern(spark, chain):
+    got = sparql_select(
+        chain,
+        _P + 'SELECT ?l WHERE { ?c skos:broader* <e/science> . '
+        "?c skos:prefLabel ?l }",
+    ).collect()
+    assert [r["l"] for r in got] == ["QFT"]
+
+
+def test_path_variable_predicate_rejected(spark, chain):
+    with pytest.raises(SparqlError, match="constant predicate"):
+        sparql_select(chain, "SELECT ?x WHERE { ?x ?p * ?y }")
+
+
+def test_path_both_ends_constant(spark, chain):
+    """Both-constant endpoints: * matches equal endpoints via zero-length
+    even with no edge; + needs a real path."""
+    star = sparql_select(
+        chain, _P + "SELECT * WHERE { { <e/qft> skos:broader* <e/qft> } }"
+    )
+    # no vars bound: SELECT * over an all-constant pattern yields the
+    # pattern's match cardinality (1 row, 0 cols is not representable —
+    # the translator returns an empty-schema relation; count the rows)
+    assert star.count() == 1
+    plus = sparql_select(
+        chain, _P + "SELECT * WHERE { { <e/qft> skos:broader+ <e/qft> } }"
+    )
+    assert plus.count() == 0
