@@ -100,7 +100,7 @@ DRIVER_ORDER: list[str] = [
     "dedup_winnow_overlap",
     "events_sessionize",
     "join_asof",
-    "events_user_stats",
+    "unify_coverage",
     "linkage_fuzzy_jw",
     "linkage_knn_best_match",
     "dedup_exact",
@@ -121,6 +121,7 @@ def _import_all() -> None:
         llm_pipeline,
         ontology_q,
         tpch,
+        unify_q,
     )
 
 

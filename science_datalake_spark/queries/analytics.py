@@ -1212,6 +1212,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_user_stats",
+    aux=True,
     oracle="""
     SELECT event_type,
            count(*) AS n,
