@@ -38,6 +38,25 @@ TESTDATA_TABLES = (
 )
 
 
+def bootstrap_session(spark: SparkSession, sf_dir: str) -> SparkSession:
+    """Set the session confs a FRESH session needs before it touches any
+    view over ``sf_dir`` — call this before querying PERSISTENT views
+    (``register_views(database=...)``).
+
+    ``table()`` sets ``nanosAsLong`` lazily when its own footer probe
+    proves the nanos shape, but a session that queries a persistent
+    DB-namespace view goes straight to the metastore definition and never
+    passes through ``table()`` — on a nanos-shaped events file the read
+    then fails (the round-4 fresh-session caveat, now closed). Probing is
+    one footer read; 'unknown' (unprobeable remote URI) also sets the
+    conf, which is harmless for non-nanos shapes. Returns ``spark`` for
+    chaining."""
+    path = os.path.join(sf_dir, "events.parquet")
+    if _events_ts_kind(path) in ("nanos", "unknown"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
 def register_views(
     spark: SparkSession,
     sf_dir: str,
@@ -72,8 +91,10 @@ def register_views(
                 kind = _events_ts_kind(path)
                 if kind == "nanos":
                     # Requires nanosAsLong=true in the reading session
-                    # (table() sets it when it sees this shape; fresh
-                    # sessions must too — documented nanos limitation).
+                    # (table() sets it when it sees this shape; a FRESH
+                    # session querying this persistent view must call
+                    # bootstrap_session(spark, sf_dir) first — the cli
+                    # and webapp entry points do).
                     ts_expr = "timestamp_micros(ts DIV 1000)"
                 elif kind == "ntz":
                     ts_expr = "CAST(ts AS TIMESTAMP)"

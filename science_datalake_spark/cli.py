@@ -47,10 +47,10 @@ def guard_sql(sql: str, row_cap: int = DEFAULT_ROW_CAP) -> str:
 
 
 def _bootstrap(sf_dir: str) -> SparkSession:
-    from science_datalake_spark.catalog import register_views
+    from science_datalake_spark.catalog import bootstrap_session, register_views
     from science_datalake_spark.session import get_spark
 
-    spark = get_spark("sds-cli")
+    spark = bootstrap_session(get_spark("sds-cli"), sf_dir)
     register_views(spark, sf_dir)
     return spark
 

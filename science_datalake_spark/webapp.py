@@ -232,10 +232,10 @@ def serve(
     row_cap: int = DEFAULT_ROW_CAP,
 ) -> None:
     """Bootstrap a session + views and serve the console (blocking)."""
-    from science_datalake_spark.catalog import register_views
+    from science_datalake_spark.catalog import bootstrap_session, register_views
     from science_datalake_spark.session import get_spark
 
-    spark = get_spark("sds-webapp")
+    spark = bootstrap_session(get_spark("sds-webapp"), sf_dir)
     register_views(spark, sf_dir)
     service = QueryService(spark, row_cap=row_cap)
     server = ThreadingHTTPServer((host, port), make_handler(service))

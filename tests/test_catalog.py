@@ -147,3 +147,39 @@ def test_events_ts_kind_unreachable_remote_uri_is_unknown():
     from science_datalake_spark.catalog import _events_ts_kind
 
     assert _events_ts_kind("hdfs://namenode:9000/lake/events.parquet") == "unknown"
+
+
+def test_bootstrap_session_closes_fresh_session_nanos_caveat(spark, tmp_path):
+    """A FRESH session querying a persistent DB view over nanos-shaped
+    events bypasses table(); bootstrap_session must make that read work
+    by probing the footer and setting nanosAsLong up front."""
+    import pyarrow as pa
+
+    from science_datalake_spark.catalog import bootstrap_session, register_views
+
+    d = _write_events(
+        tmp_path,
+        "nanos_db_sf",
+        pa.timestamp("ns"),
+        [1_700_000_000_000_000_000, 1_700_000_001_500_000_000],
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    register_views(spark, d, tables=("events",), database="lake_nanos")
+    try:
+        # newSession shares the metastore catalog but has a FRESH SQLConf —
+        # exactly the fresh-session shape the caveat described
+        fresh = spark.newSession()
+        assert (
+            fresh.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
+        )
+        bootstrap_session(fresh, d)
+        got = [
+            r[0]
+            for r in fresh.sql(
+                "SELECT unix_micros(ts) FROM lake_nanos.events ORDER BY event_id"
+            ).collect()
+        ]
+        assert got == [1_700_000_000_000_000, 1_700_000_001_500_000]
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS lake_nanos CASCADE")
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
