@@ -163,14 +163,25 @@ def minhash_signatures(
     return ng.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """LSH banding (1 row per band): docs sharing any band's min-hash become
     a candidate pair. Returns distinct (id_a, id_b) with id_a < id_b.
 
     Scale: the self-join key is (band, minhash) — bucket sizes stay small
-    for non-degenerate corpora, so the join output is near-linear. A
-    skew-guard (drop buckets above a size cap) slots in here if a corpus
-    has degenerate shingles; AQE skew-join handles moderate cases.
+    for non-degenerate corpora, so the join output is near-linear.
+    ``max_bucket`` is the skew guard for corpora where that assumption
+    breaks (identical boilerplate → one degenerate band bucket → O(n²)
+    pair rows from a single join key): buckets larger than the cap are
+    dropped before the self-join, the same stop-fingerprint discipline as
+    fingerprint_overlap_pairs. A bucket that big means the band value is
+    boilerplate, not near-duplication — pairs inside it are noise. The
+    default (None) keeps exact parity with the unguarded join; AQE
+    skew-join still spreads moderate buckets.
 
     The signature table is persisted before the self-join: both join sides
     reference it, and without materialization Spark recomputes the whole
@@ -190,6 +201,15 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str, num_hashes: int = 8)
     bands = signatures.select(
         F.col(id_col), F.expr(f"stack({num_hashes}, {stack_args}) AS (band, mh)")
     )
+    if max_bucket is not None:
+        # sizes shuffle on the same (band, mh) key as the self-join; the
+        # join against the filtered keys is left to AQE (broadcast when
+        # small, never forced — distinct band values are unbounded)
+        sizes = bands.groupBy("band", "mh").agg(F.count("*").alias("__n"))
+        bands = bands.join(
+            sizes.filter(F.col("__n") <= max_bucket).select("band", "mh"),
+            ["band", "mh"],
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

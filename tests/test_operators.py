@@ -515,3 +515,34 @@ def test_fuzzy_join_length_blocking_unicode_case_expansion(spark):
     # A raw-length block (4 vs 8 = 0.5 < (0.95-0.8)/0.2 = 0.75) would
     # unsoundly prune the pair before scoring.
     assert len(got) == 1 and got[0]["similarity"] == 1.0
+
+
+def test_lsh_candidate_pairs_bucket_cap_guards_degenerate_corpus(spark):
+    """A corpus of identical boilerplate puts every document in ONE band
+    bucket — O(n²) pairs. max_bucket drops such buckets; the default
+    (None) keeps the unguarded semantics bit-for-bit."""
+    from science_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = [(i, "the same boilerplate text repeated everywhere") for i in range(24)]
+    distinct = [
+        (100, "a genuinely unique document about quantum optics research"),
+        (101, "a genuinely unique document about quantum optics research"),
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id LONG, text STRING")
+    sigs = minhash_signatures(df, "doc_id", "text", n=3, num_hashes=4).persist()
+    try:
+        unguarded = lsh_candidate_pairs(sigs, "doc_id", num_hashes=4)
+        assert unguarded.count() == (24 * 23) // 2 + 1  # boiler clique + 1 pair
+        # cap below the boiler bucket size: only the genuine pair survives
+        capped = lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, max_bucket=10)
+        assert [tuple(r) for r in capped.collect()] == [(100, 101)]
+        # a cap above every bucket size changes nothing (parity at cap=∞)
+        loose = lsh_candidate_pairs(sigs, "doc_id", num_hashes=4, max_bucket=1000)
+        assert {tuple(r) for r in loose.collect()} == {
+            tuple(r) for r in unguarded.collect()
+        }
+    finally:
+        sigs.unpersist()
