@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from science_datalake_spark.models import (
     BatchModel,
@@ -89,6 +90,7 @@ def test_optional_import_probe():
     assert optional_import("json") is optional_import("json")
 
 
+@pytest.mark.optional_deps
 def test_auto_langid_factory_upgrades_or_degrades(spark):
     """The factory returns the real langdetect model when the library is
     importable, else the stopword stand-in — and EITHER way satisfies the
@@ -109,6 +111,7 @@ def test_auto_langid_factory_upgrades_or_degrades(spark):
     assert out.iloc[1] == "other" and out.iloc[2] == "other"
 
 
+@pytest.mark.optional_deps
 def test_auto_encoder_factory_upgrades_or_degrades():
     """Same auto-upgrade shape for the text encoder: sentence-transformers
     when present, hashed bag-of-words otherwise; both produce normalized
@@ -130,6 +133,7 @@ def test_auto_encoder_factory_upgrades_or_degrades():
     assert abs(math.sqrt(sum(x * x for x in v0)) - 1.0) < 1e-5  # L2-normalized
 
 
+@pytest.mark.optional_deps
 def test_pil_decode_upgrade_or_none():
     """decode_image on a PNG payload: decodes when PIL is importable,
     returns None (→ the documented NotImplementedError plug-in point)
@@ -155,6 +159,7 @@ def test_pil_decode_upgrade_or_none():
             _real_features(png)
 
 
+@pytest.mark.optional_deps
 def test_jw_scorer_upgrade_matches_reference_impl():
     """When rapidfuzz is importable the fast path must agree with the
     portable jaro_winkler_py on a broad sample (same boost threshold,
