@@ -21,7 +21,9 @@ expressions are already cheap and keep the whole plan in codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from science_datalake_spark.operators.windows import top1_per_key, top_k_per_key
@@ -209,6 +211,48 @@ def ivf_index(
             # the reference is all that is needed
             pass
     _IVF_INDEX_CACHE[key] = (cents, assigned)
+    return cents, assigned
+
+
+def ivf_index_write(
+    corpus: DataFrame, id_col: str, vec_col: str, path: str, k: int = 8
+) -> None:
+    """Build the IVF index and persist it in the at-scale layout:
+
+    - ``<path>/assigned`` — the bucket assignment, Hive-partitioned BY
+      BUCKET, so a probe that touches ``n_probe`` buckets reads only
+      those directories (partition pruning; with broadcast probes Spark's
+      dynamic partition pruning injects the bucket filter into the scan
+      at runtime). This is the FAISS posting-list file structure as plain
+      partitioned Parquet.
+    - ``<path>/centroids`` — the k-row codebook.
+
+    The in-session ``ivf_index`` cache serves repeat probes of one
+    process; this is the durable cross-job equivalent (build once in a
+    batch job, probe from any later session)."""
+    from science_datalake_spark.sources.sinks import write_parquet_partitioned
+
+    cents = exemplar_centroids(corpus, id_col, vec_col, k=k)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    write_parquet_partitioned(assigned, os.path.join(path, "assigned"), ["bucket"])
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def ivf_index_read(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a persisted IVF index (see ivf_index_write): centroids come
+    back materialized driver-local (k rows, consumed by two broadcasts),
+    the assignment as a lazy partition-pruned scan."""
+    from science_datalake_spark.util import local_df
+
+    cents_scan = spark.read.parquet(os.path.join(path, "centroids"))
+    rows = [
+        (r["cent_id"], list(r["cent_vec"]))
+        for r in cents_scan.orderBy("cent_id").collect()
+    ]
+    cents = local_df(spark, rows, cents_scan.schema)
+    assigned = spark.read.parquet(os.path.join(path, "assigned"))
     return cents, assigned
 
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from science_datalake_spark.catalog import table
 from science_datalake_spark.functions import synth_doi
 from science_datalake_spark.queries import query
-from science_datalake_spark.unify import build_unified_papers, coverage_upset
+from science_datalake_spark.unify import build_unified_papers_grouped, coverage_upset
 
 #: Shared DOI key domains: oa 0..599, s2 0..399, sci 100..599 — pairwise
 #: overlaps and per-source exclusives, so all flag combinations appear.
@@ -191,5 +191,7 @@ def unify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_doi((F.col("s_suppkey") * 7) % _OA_MOD, F.lit("p")).alias("doi")
     )
 
-    unified = build_unified_papers(oa, s2, sci, retractions=rw, code_links=pwc)
+    # the one-shuffle grouped strategy (equality-tested against the
+    # windowed build in tests/test_unify.py): fewer stages, same rows
+    unified = build_unified_papers_grouped(oa, s2, sci, retractions=rw, code_links=pwc)
     return coverage_upset(unified)

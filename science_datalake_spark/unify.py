@@ -24,18 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from science_datalake_spark.functions import clean_doi, is_valid_doi
+from science_datalake_spark.functions import clean_doi
 from science_datalake_spark.operators.windows import top1_per_key
 
 
 def _keyed(df: DataFrame, doi_col: str) -> DataFrame:
-    """Normalize + filter the DOI key (junk/null rows never reach windows)."""
-    return df.withColumn("doi", clean_doi(F.col(doi_col))).filter(is_valid_doi(F.col("doi")))
+    """Normalize + filter the DOI key (junk/null rows never reach windows).
+
+    Filter order matters for CPU, not just semantics: a filter on the
+    CLEANED column gets the whole clean_doi expression inlined per
+    condition by predicate pushdown (nullif/coalesce double the regexp
+    already — measured ~4 evaluations per row, the dominant cost of
+    source prep). clean_doi(x) is NULL iff x is NULL and '' iff x is ''
+    (the doi.org/ fallback returns the raw string otherwise), so the
+    null/empty legs of is_valid_doi move to the RAW column before
+    cleaning, leaving one residual length check on the cleaned value —
+    two evaluations instead of four, identical output."""
+    raw = F.col(doi_col)
+    return (
+        df.filter(raw.isNotNull() & (raw != ""))
+        .withColumn("doi", clean_doi(raw))
+        .filter(F.length("doi") >= 5)
+    )
 
 
-def prepare_openalex(works: DataFrame) -> DataFrame:
-    """OpenAlex-shaped input: url-prefixed ids, https-prefixed DOIs."""
-    keyed = _keyed(
+def _openalex_keyed(works: DataFrame) -> DataFrame:
+    return _keyed(
         works.select(
             F.col("id").alias("openalex_id"),
             F.col("doi").alias("raw_doi"),
@@ -46,17 +60,19 @@ def prepare_openalex(works: DataFrame) -> DataFrame:
         ),
         "raw_doi",
     ).drop("raw_doi")
+
+
+def prepare_openalex(works: DataFrame) -> DataFrame:
+    """OpenAlex-shaped input: url-prefixed ids, https-prefixed DOIs."""
     return top1_per_key(
-        keyed,
+        _openalex_keyed(works),
         keys=["doi"],
         order=[F.desc_nulls_last("oa_cited_by_count"), F.asc("openalex_id")],
     )
 
 
-def prepare_s2ag(papers: DataFrame) -> DataFrame:
-    """S2AG-shaped input: corpusid PK, DOI nested at externalids.DOI
-    (struct projection P1, create_unified_db.py:81-90)."""
-    keyed = _keyed(
+def _s2ag_keyed(papers: DataFrame) -> DataFrame:
+    return _keyed(
         papers.select(
             F.col("corpusid"),
             F.col("externalids.DOI").alias("raw_doi"),
@@ -66,16 +82,20 @@ def prepare_s2ag(papers: DataFrame) -> DataFrame:
         ),
         "raw_doi",
     ).drop("raw_doi")
+
+
+def prepare_s2ag(papers: DataFrame) -> DataFrame:
+    """S2AG-shaped input: corpusid PK, DOI nested at externalids.DOI
+    (struct projection P1, create_unified_db.py:81-90)."""
     return top1_per_key(
-        keyed,
+        _s2ag_keyed(papers),
         keys=["doi"],
         order=[F.desc_nulls_last("s2_citationcount"), F.asc("corpusid")],
     )
 
 
-def prepare_sciscinet(metrics: DataFrame) -> DataFrame:
-    """SciSciNet-shaped input: bare W-ids, https-prefixed DOIs, metrics."""
-    keyed = _keyed(
+def _sciscinet_keyed(metrics: DataFrame) -> DataFrame:
+    return _keyed(
         metrics.select(
             F.col("paperid").alias("sci_paperid"),
             F.col("doi").alias("raw_doi"),
@@ -86,8 +106,12 @@ def prepare_sciscinet(metrics: DataFrame) -> DataFrame:
         ),
         "raw_doi",
     ).drop("raw_doi")
+
+
+def prepare_sciscinet(metrics: DataFrame) -> DataFrame:
+    """SciSciNet-shaped input: bare W-ids, https-prefixed DOIs, metrics."""
     return top1_per_key(
-        keyed,
+        _sciscinet_keyed(metrics),
         keys=["doi"],
         order=[F.desc_nulls_last("sci_citation_count"), F.asc("sci_paperid")],
     )
@@ -109,6 +133,13 @@ def build_unified_papers(
     s2_k = prepare_s2ag(s2)
     sci_k = prepare_sciscinet(sci)
 
+    # The spine derives from the WINDOWED frames on purpose: top-1-per-DOI
+    # keeps exactly one row per distinct DOI, so building it from the
+    # pre-window keyed frames would be semantically identical — but the
+    # shared subplan here lets Spark reuse each source's window exchange
+    # between the spine and its fan-in join (measured: the "cheaper"
+    # pre-window spine more than doubled the job by recomputing every
+    # source prep, 3.5s → 8s at sf0.1).
     spine = (
         oa_k.select("doi")
         .unionByName(s2_k.select("doi"))
@@ -165,6 +196,140 @@ def build_unified_papers(
         # has_retraction on the same row
         (
             F.coalesce("oa_is_retracted", F.lit(False))
+            | F.coalesce(F.col("rw_hit"), F.lit(False))
+        ).alias("is_retracted"),
+    )
+
+
+def build_unified_papers_grouped(
+    oa: DataFrame,
+    s2: DataFrame,
+    sci: DataFrame,
+    retractions: DataFrame | None = None,
+    code_links: DataFrame | None = None,
+) -> DataFrame:
+    """``build_unified_papers`` with a ONE-SHUFFLE physical strategy.
+
+    Identical output (tests assert row-for-row equality with the windowed
+    build): the three keyed sources union into one tall relation tagged by
+    source, and a single ``groupBy(doi)`` computes each source's
+    top-1-by-citation row as ``min_by(struct(cols), order_key)`` — the
+    argmin aggregate replaces three window sorts, the spine distinct, and
+    three fan-in joins. ``order_key`` encodes ``desc_nulls_last(citation),
+    asc(id)`` as an ascending struct ``(null→2^62 else -citation, id)``;
+    rows from other sources carry a NULL order key, which min_by ignores,
+    so absence falls out as a NULL struct exactly like a left join.
+
+    Scale: each source is scanned once and shuffled ONCE on doi (map-side
+    partial min_by), vs the windowed build's shuffle+sort per source plus
+    the spine/join stages. The windowed build remains the
+    reference-shaped implementation (W1 pattern); this is the plan to
+    reach for when the fan-in dominates a pipeline.
+    """
+    _MAX = F.lit(2**62).cast("long")
+
+    def _ord(cite: str, ident) -> F.Column:
+        # numeric ids may widen to long (order-preserving) but must NOT
+        # become strings: "10" < "9" would silently diverge from the
+        # windowed build's asc(id)
+        return F.struct(
+            F.coalesce(-F.col(cite).cast("long"), _MAX).alias("c"),
+            ident.alias("i"),
+        )
+
+    oa_t = _openalex_keyed(oa).select(
+        "doi",
+        F.struct(
+            "openalex_id", "oa_title", "oa_year", "oa_cited_by_count", "oa_is_retracted"
+        ).alias("oa_row"),
+        _ord("oa_cited_by_count", F.col("openalex_id").cast("string")).alias("oa_ord"),
+        F.lit(None).cast(
+            "struct<corpusid:long,s2_title:string,s2_year:long,s2_citationcount:long>"
+        ).alias("s2_row"),
+        F.lit(None).cast("struct<c:long,i:long>").alias("s2_ord"),
+        F.lit(None).cast(
+            "struct<sci_paperid:string,sci_citation_count:long,disruption:double>"
+        ).alias("sci_row"),
+        F.lit(None).cast("struct<c:long,i:string>").alias("sci_ord"),
+    )
+    s2_t = _s2ag_keyed(s2).select(
+        "doi",
+        F.lit(None).cast(oa_t.schema["oa_row"].dataType.simpleString()).alias("oa_row"),
+        F.lit(None).cast("struct<c:long,i:string>").alias("oa_ord"),
+        F.struct(
+            F.col("corpusid").cast("long").alias("corpusid"),
+            "s2_title",
+            F.col("s2_year").cast("long").alias("s2_year"),
+            F.col("s2_citationcount").cast("long").alias("s2_citationcount"),
+        ).alias("s2_row"),
+        _ord("s2_citationcount", F.col("corpusid").cast("long")).alias("s2_ord"),
+        F.lit(None).cast(
+            "struct<sci_paperid:string,sci_citation_count:long,disruption:double>"
+        ).alias("sci_row"),
+        F.lit(None).cast("struct<c:long,i:string>").alias("sci_ord"),
+    )
+    sci_t = _sciscinet_keyed(sci).select(
+        "doi",
+        F.lit(None).cast(oa_t.schema["oa_row"].dataType.simpleString()).alias("oa_row"),
+        F.lit(None).cast("struct<c:long,i:string>").alias("oa_ord"),
+        F.lit(None).cast(
+            "struct<corpusid:long,s2_title:string,s2_year:long,s2_citationcount:long>"
+        ).alias("s2_row"),
+        F.lit(None).cast("struct<c:long,i:long>").alias("s2_ord"),
+        F.struct(
+            "sci_paperid",
+            F.col("sci_citation_count").cast("long").alias("sci_citation_count"),
+            "disruption",
+        ).alias("sci_row"),
+        _ord("sci_citation_count", F.col("sci_paperid").cast("string")).alias("sci_ord"),
+    )
+    tall = oa_t.unionByName(s2_t).unionByName(sci_t)
+    unified = tall.groupBy("doi").agg(
+        F.min_by("oa_row", "oa_ord").alias("oa"),
+        F.min_by("s2_row", "s2_ord").alias("s2"),
+        F.min_by("sci_row", "sci_ord").alias("sci"),
+    )
+
+    if retractions is not None:
+        rw = (
+            _keyed(retractions, "original_paper_doi")
+            .select("doi")
+            .distinct()
+            .withColumn("rw_hit", F.lit(True))
+        )
+        unified = unified.join(F.broadcast(rw), "doi", "left")
+    else:
+        unified = unified.withColumn("rw_hit", F.lit(None).cast("boolean"))
+
+    if code_links is not None:
+        pwc = (
+            _keyed(code_links, "doi")
+            .select("doi")
+            .distinct()
+            .withColumn("pwc_hit", F.lit(True))
+        )
+        unified = unified.join(F.broadcast(pwc), "doi", "left")
+    else:
+        unified = unified.withColumn("pwc_hit", F.lit(None).cast("boolean"))
+
+    return unified.select(
+        "doi",
+        F.coalesce("oa.oa_title", "s2.s2_title").alias("title"),
+        F.coalesce("oa.oa_year", "s2.s2_year").alias("year"),
+        F.col("oa.openalex_id").alias("openalex_id"),
+        F.col("s2.corpusid").alias("corpusid"),
+        F.col("sci.sci_paperid").alias("sci_paperid"),
+        F.col("oa.oa_cited_by_count").alias("oa_cited_by_count"),
+        F.col("s2.s2_citationcount").alias("s2_citationcount"),
+        F.col("sci.sci_citation_count").alias("sci_citation_count"),
+        F.col("sci.disruption").alias("disruption"),
+        F.col("oa.openalex_id").isNotNull().alias("has_openalex"),
+        F.col("s2.corpusid").isNotNull().alias("has_s2ag"),
+        F.col("sci.sci_paperid").isNotNull().alias("has_sciscinet"),
+        F.coalesce(F.col("pwc_hit"), F.lit(False)).alias("has_pwc"),
+        F.coalesce(F.col("rw_hit"), F.lit(False)).alias("has_retraction"),
+        (
+            F.coalesce("oa.oa_is_retracted", F.lit(False))
             | F.coalesce(F.col("rw_hit"), F.lit(False))
         ).alias("is_retracted"),
     )

@@ -169,3 +169,40 @@ def test_ivf_index_amortizes_build(spark, sf_smoke):
         S.ivf_index(e, "vec_id", "embedding", k=5, cache_key=f"fill{i}")
     assert len(S._IVF_INDEX_CACHE) <= S._IVF_INDEX_CACHE_CAP
     assert not a1.storageLevel.useMemory  # k1 evicted and unpersisted
+
+
+def test_ivf_index_write_read_roundtrip_and_pruning(spark, sf_smoke, tmp_path):
+    """Persisted IVF layout: results through the written index equal the
+    in-memory index exactly, and the bucket-partitioned assignment prunes
+    directories on a probe-shaped scan (PartitionFilters in the plan)."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.catalog import table
+    from science_datalake_spark.operators.similarity import (
+        exemplar_centroids,
+        ivf_assign,
+        ivf_index_read,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    e = table(spark, sf_smoke, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(e, "vec_id", "embedding", path, k=4)
+
+    cents_mem = exemplar_centroids(e, "vec_id", "embedding", k=4)
+    assigned_mem = ivf_assign(e, cents_mem, "vec_id", "embedding")
+    cents_disk, assigned_disk = ivf_index_read(spark, path)
+
+    q = e.filter(F.col("vec_id") < 5)
+    got_mem = ivf_topk(assigned_mem, cents_mem, q, "vec_id", "embedding", k=3)
+    got_disk = ivf_topk(assigned_disk, cents_disk, q, "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, got_mem.collect())) == sorted(
+        map(tuple, got_disk.collect())
+    )
+
+    # the partitioned layout is what makes probes cheap: a bucket-keyed
+    # read must hit the partition filter, not scan every directory
+    one_bucket = assigned_disk.filter(F.col("bucket") == 0)
+    plan = one_bucket._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan

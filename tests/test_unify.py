@@ -102,3 +102,38 @@ def test_inverted_index_reconstruction(spark):
     assert out[0]["t"] == "the study of the things"
     assert out[1]["t"] == "solo"
     assert out[2]["t"] is None
+
+
+def test_grouped_build_equals_windowed_build(spark):
+    """build_unified_papers_grouped (one-shuffle min_by fan-in) must
+    produce row-for-row the SAME relation as the windowed reference-shaped
+    build — same dedup winners (desc_nulls_last citation, asc id
+    tie-break), same left-join absence semantics, same flags."""
+    from science_datalake_spark.synth import (
+        synth_code_links,
+        synth_openalex,
+        synth_retractions,
+        synth_s2ag,
+        synth_sciscinet,
+    )
+    from science_datalake_spark.unify import (
+        build_unified_papers,
+        build_unified_papers_grouped,
+    )
+
+    oa, s2, sci = (
+        synth_openalex(spark, 3000),
+        synth_s2ag(spark, 2500),
+        synth_sciscinet(spark, 2000),
+    )
+    rw, cl = synth_retractions(spark, 200), synth_code_links(spark, 300)
+    a = build_unified_papers(oa, s2, sci, retractions=rw, code_links=cl)
+    b = build_unified_papers_grouped(oa, s2, sci, retractions=rw, code_links=cl)
+    assert a.columns == b.columns
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    # and the no-dims variants agree on the null-flag padding path too
+    a0 = build_unified_papers(oa, s2, sci)
+    b0 = build_unified_papers_grouped(oa, s2, sci)
+    assert sorted(map(tuple, a0.collect())) == sorted(map(tuple, b0.collect()))
