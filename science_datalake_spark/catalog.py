@@ -167,6 +167,16 @@ def _events_ts_kind(path: str) -> str:
     import pyarrow.parquet as pq
     from urllib.parse import urlparse
 
+    def classify(schema) -> str:
+        if "ts" not in schema.names:
+            return "absent"
+        t = schema.field("ts").type
+        if not pa.types.is_timestamp(t):
+            return "absent"
+        if t.unit == "ns":
+            return "nanos"
+        return "tz" if t.tz is not None else "ntz"
+
     scheme = urlparse(path).scheme
     if scheme not in ("", "file"):
         # object-store / HDFS URI: probe through the Arrow filesystem API.
@@ -192,14 +202,7 @@ def _events_ts_kind(path: str) -> str:
             schema = pq.read_schema(probe, filesystem=filesystem)
         except Exception:
             return "unknown"
-        if "ts" not in schema.names:
-            return "absent"
-        t = schema.field("ts").type
-        if not pa.types.is_timestamp(t):
-            return "absent"
-        if t.unit == "ns":
-            return "nanos"
-        return "tz" if t.tz is not None else "ntz"
+        return classify(schema)
 
     probe = path
     if os.path.isdir(path):
@@ -219,14 +222,7 @@ def _events_ts_kind(path: str) -> str:
         schema = pq.read_schema(probe)
     except Exception:
         return "absent"
-    if "ts" not in schema.names:
-        return "absent"
-    t = schema.field("ts").type
-    if not pa.types.is_timestamp(t):
-        return "absent"
-    if t.unit == "ns":
-        return "nanos"
-    return "tz" if t.tz is not None else "ntz"
+    return classify(schema)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -254,18 +250,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events" and _events_ts_kind(path) in ("nanos", "unknown"):
+    kind = _events_ts_kind(path) if name == "events" else "absent"
+    if kind in ("nanos", "unknown"):
         # 'unknown' (unprobeable remote footer) takes the same defensive
         # path: the conf only changes how NANOS columns are decoded, and
         # the normalization below keys on the OBSERVED dtype, so micros /
         # ntz files read under it come out identical.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-    else:
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     if name == "events":
         dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
+        if dt == "bigint" and kind in ("nanos", "unknown"):
+            # only a footer-proved (or unprobeable-remote) nanos column is
+            # epoch-nanos; a PLAIN int64 ts ('absent' kind) stays bigint —
+            # normalizing it would silently misscale epoch-micros by 1000
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))

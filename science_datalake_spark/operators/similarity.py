@@ -166,7 +166,7 @@ def ivf_assign(
     return best.select(id_col, F.col("__v").alias("vec"), F.col("cent_id").alias("bucket"))
 
 
-_IVF_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, str, int], tuple[DataFrame, DataFrame]] = {}
 _IVF_INDEX_CACHE_CAP = 4
 
 
@@ -191,7 +191,11 @@ def ivf_index(
     inside the timed path). Pass ``cache_key=None`` to opt out.
     """
     if cache_key is not None:
-        key = (corpus.sparkSession.sparkContext.applicationId, cache_key)
+        # k is part of the key (a k=16 request must never get a k=8
+        # codebook back); cache_key itself must identify the CORPUS —
+        # reusing a key after rewriting the underlying data returns the
+        # stale index, the usual cache-key contract
+        key = (corpus.sparkSession.sparkContext.applicationId, cache_key, k)
         hit = _IVF_INDEX_CACHE.get(key)
         if hit is not None:
             return hit

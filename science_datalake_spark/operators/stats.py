@@ -103,7 +103,18 @@ def exact_group_quantiles(
         .withColumn("__idx", F.row_number().over(asc) - 1)
     )
     if group_counts is not None:
-        r = r.join(group_counts.select(*keys, F.col("__nv").alias("__n")), keys)
+        # null-SAFE equality on every key: a NULL group key is a real
+        # group to SQL aggregation (the window path ranks it like any
+        # other partition), and a plain equi-join would silently drop it
+        # — a performance parameter must not change results
+        counts = group_counts.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys], F.col("__nv").alias("__n")
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
+            cond = c if cond is None else (cond & c)
+        r = r.join(counts, cond).drop(*[f"__k_{k}" for k in keys])
     else:
         desc = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.desc("__uid"))
         r = r.withColumn("__ridx", F.row_number().over(desc) - 1).withColumn(

@@ -51,14 +51,16 @@ def query(
     return deco
 
 
-# Driver-facing order. Round-5 rotation (round-4 verdict "Next round" #1):
-# the three round-4 aux-only queries (text_pii_redact,
+# Driver-facing order. Round-5 rotation (round-4 verdict "Next round"
+# #1/#5): the three round-4 aux-only queries (text_pii_redact,
 # text_repetition_stats, dedup_winnow_overlap) rotate IN so every operator
-# has driver CORRECTNESS evidence; agg_pivot_status, events_hourly_gapfill
-# and agg_rollup (driver-green in BOTH r03 and r04) rotate to
-# aux/local-parity. Union of r04+r05 rows covers every query. bench.py
-# times driver AND aux queries, so rotation never removes a query from the
-# performance evidence.
+# has driver CORRECTNESS evidence, plus the NEW unify_coverage flagship
+# row; FOUR double-green (r03+r04) entries rotate to aux/local-parity:
+# agg_pivot_status, events_hourly_gapfill, agg_rollup, events_user_stats.
+# Round-5 also added sparql_path_ancestors as aux-only (no driver row yet
+# — round-6 rotation candidate). Union of r04+r05 rows covers every other
+# query. bench.py times driver AND aux queries, so rotation never removes
+# a query from the performance evidence.
 DRIVER_ORDER: list[str] = [
     "doi_normalize",
     "case_coalesce",

@@ -502,7 +502,30 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
         edges = triples.filter(F.col("p") == path.iri).select(
             F.col("s").alias("src"), F.col("o").alias("dst")
         )
-        pairs = transitive_closure(edges)  # (a, d): 1..n hops
+        if o.kind == "lit" and o.lang is not None:
+            # a lang-tagged literal endpoint constrains the FINAL hop's
+            # triple (pattern_df enforces the same for 1-hop patterns):
+            # compose closure ∘ lang-matched-last-edge instead of closing
+            # over the value alone, which would admit same-value triples
+            # in other languages
+            final = (
+                triples.filter(
+                    (F.col("p") == path.iri)
+                    & (F.col("o") == o.value)
+                    & (F.col("lang") == o.lang)
+                )
+                .select(F.col("s").alias("m"))
+                .distinct()
+            )
+            direct = final.select(F.col("m").alias("a"), F.lit(o.value).alias("d"))
+            closed = transitive_closure(edges)
+            via = (
+                closed.join(final, closed["d"] == final["m"])
+                .select(F.col("a"), F.lit(o.value).alias("d"))
+            )
+            pairs = direct.unionByName(via).distinct()
+        else:
+            pairs = transitive_closure(edges)  # (a, d): 1..n hops
         if path.mod == "*":
             if s.kind == "var" and o.kind == "var":
                 nodes = (

@@ -228,62 +228,55 @@ def build_unified_papers_grouped(
     """
     _MAX = F.lit(2**62).cast("long")
 
-    def _ord(cite: str, ident) -> F.Column:
-        # numeric ids may widen to long (order-preserving) but must NOT
-        # become strings: "10" < "9" would silently diverge from the
-        # windowed build's asc(id)
+    def _ord(cite: str, ident: str) -> F.Column:
+        # the citation widens to long (order-preserving for any numeric
+        # input); the id keeps its NATIVE type — casting a numeric id to
+        # string would order "10" before "9" and silently diverge from
+        # the windowed build's asc(id)
         return F.struct(
             F.coalesce(-F.col(cite).cast("long"), _MAX).alias("c"),
-            ident.alias("i"),
+            F.col(ident).alias("i"),
         )
 
+    # Each source's half carries its columns in their NATIVE types; the
+    # union pads every frame's missing columns as typed NULLs derived from
+    # the owning frame's actual schema, so no hardcoded cast can diverge
+    # from what build_unified_papers would have passed through.
     oa_t = _openalex_keyed(oa).select(
         "doi",
         F.struct(
             "openalex_id", "oa_title", "oa_year", "oa_cited_by_count", "oa_is_retracted"
         ).alias("oa_row"),
-        _ord("oa_cited_by_count", F.col("openalex_id").cast("string")).alias("oa_ord"),
-        F.lit(None).cast(
-            "struct<corpusid:long,s2_title:string,s2_year:long,s2_citationcount:long>"
-        ).alias("s2_row"),
-        F.lit(None).cast("struct<c:long,i:long>").alias("s2_ord"),
-        F.lit(None).cast(
-            "struct<sci_paperid:string,sci_citation_count:long,disruption:double>"
-        ).alias("sci_row"),
-        F.lit(None).cast("struct<c:long,i:string>").alias("sci_ord"),
+        _ord("oa_cited_by_count", "openalex_id").alias("oa_ord"),
     )
     s2_t = _s2ag_keyed(s2).select(
         "doi",
-        F.lit(None).cast(oa_t.schema["oa_row"].dataType.simpleString()).alias("oa_row"),
-        F.lit(None).cast("struct<c:long,i:string>").alias("oa_ord"),
-        F.struct(
-            F.col("corpusid").cast("long").alias("corpusid"),
-            "s2_title",
-            F.col("s2_year").cast("long").alias("s2_year"),
-            F.col("s2_citationcount").cast("long").alias("s2_citationcount"),
-        ).alias("s2_row"),
-        _ord("s2_citationcount", F.col("corpusid").cast("long")).alias("s2_ord"),
-        F.lit(None).cast(
-            "struct<sci_paperid:string,sci_citation_count:long,disruption:double>"
-        ).alias("sci_row"),
-        F.lit(None).cast("struct<c:long,i:string>").alias("sci_ord"),
+        F.struct("corpusid", "s2_title", "s2_year", "s2_citationcount").alias("s2_row"),
+        _ord("s2_citationcount", "corpusid").alias("s2_ord"),
     )
     sci_t = _sciscinet_keyed(sci).select(
         "doi",
-        F.lit(None).cast(oa_t.schema["oa_row"].dataType.simpleString()).alias("oa_row"),
-        F.lit(None).cast("struct<c:long,i:string>").alias("oa_ord"),
-        F.lit(None).cast(
-            "struct<corpusid:long,s2_title:string,s2_year:long,s2_citationcount:long>"
-        ).alias("s2_row"),
-        F.lit(None).cast("struct<c:long,i:long>").alias("s2_ord"),
-        F.struct(
-            "sci_paperid",
-            F.col("sci_citation_count").cast("long").alias("sci_citation_count"),
-            "disruption",
-        ).alias("sci_row"),
-        _ord("sci_citation_count", F.col("sci_paperid").cast("string")).alias("sci_ord"),
+        F.struct("sci_paperid", "sci_citation_count", "disruption").alias("sci_row"),
+        _ord("sci_citation_count", "sci_paperid").alias("sci_ord"),
     )
-    tall = oa_t.unionByName(s2_t).unionByName(sci_t)
+    halves = [oa_t, s2_t, sci_t]
+    col_types = {
+        f.name: f.dataType
+        for h in halves
+        for f in h.schema.fields
+        if f.name != "doi"
+    }
+    padded = [
+        h.select(
+            "doi",
+            *[
+                F.col(n) if n in h.columns else F.lit(None).cast(t).alias(n)
+                for n, t in col_types.items()
+            ],
+        )
+        for h in halves
+    ]
+    tall = padded[0].unionByName(padded[1]).unionByName(padded[2])
     unified = tall.groupBy("doi").agg(
         F.min_by("oa_row", "oa_ord").alias("oa"),
         F.min_by("s2_row", "s2_ord").alias("s2"),

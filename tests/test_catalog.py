@@ -183,3 +183,21 @@ def test_bootstrap_session_closes_fresh_session_nanos_caveat(spark, tmp_path):
     finally:
         spark.sql("DROP DATABASE IF EXISTS lake_nanos CASCADE")
         spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+
+
+def test_plain_int64_ts_stays_bigint(spark, tmp_path):
+    """An events file whose ts is a PLAIN int64 (no timestamp logical
+    type) classifies 'absent' and must pass through untouched — the
+    nanos DIV-1000 normalization on it would misscale epoch-micros."""
+    import pyarrow as pa
+
+    from science_datalake_spark.catalog import _events_ts_kind, table
+
+    d = _write_events(tmp_path, "int64_sf", pa.int64(), [1_700_000_000_000_000, 1_700_000_001_500_000])
+    assert _events_ts_kind(d + "/events.parquet") == "absent"
+    df = table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "bigint"
+    assert [r[0] for r in df.select("ts").orderBy("event_id").collect()] == [
+        1_700_000_000_000_000,
+        1_700_000_001_500_000,
+    ]

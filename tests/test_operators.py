@@ -546,3 +546,23 @@ def test_lsh_candidate_pairs_bucket_cap_guards_degenerate_corpus(spark):
         }
     finally:
         sigs.unpersist()
+
+
+def test_exact_group_quantiles_null_key_group_with_counts(spark):
+    """group_counts is a pure performance parameter: a NULL group key must
+    produce the same quantile row through the counts join (null-safe
+    equality) as through the two-window path."""
+    from science_datalake_spark.operators.stats import exact_group_quantiles
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 10.0), ("a", 20.0)],
+        "k STRING, v DOUBLE",
+    )
+    counts = df.groupBy("k").agg(F.count("v").alias("__nv"))
+    via_window = exact_group_quantiles(df, ["k"], "v", (0.5,), ("q50",))
+    via_counts = exact_group_quantiles(
+        df, ["k"], "v", (0.5,), ("q50",), group_counts=counts
+    )
+    a = sorted(map(tuple, via_window.collect()), key=lambda t: (t[0] is not None, t[0] or ""))
+    b = sorted(map(tuple, via_counts.collect()), key=lambda t: (t[0] is not None, t[0] or ""))
+    assert a == b and len(a) == 2  # the NULL-key group survives

@@ -349,3 +349,23 @@ def test_path_both_ends_constant(spark, chain):
         chain, _P + "SELECT * WHERE { { <e/qft> skos:broader+ <e/qft> } }"
     )
     assert plus.count() == 0
+
+
+def test_path_lang_tagged_literal_endpoint(spark):
+    """A lang-tagged literal endpoint constrains the FINAL hop of a
+    property path exactly like the equivalent 1-hop BGP pattern."""
+    from science_datalake_spark.sparql import quads_to_triples_df
+
+    B = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    t = quads_to_triples_df(
+        spark,
+        [
+            ("e/x", B, "Physik", "en"),
+            ("e/y", B, "Physik", "de"),
+            ("e/z", B, "e/x", None),  # z --B--> x --B--> "Physik"@en
+        ],
+    )
+    q = f'SELECT ?s WHERE {{ ?s <{B}>+ "Physik"@de }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"e/y"}
+    q = f'SELECT ?s WHERE {{ ?s <{B}>+ "Physik"@en }}'
+    assert {r["s"] for r in sparql_select(t, q).collect()} == {"e/x", "e/z"}
