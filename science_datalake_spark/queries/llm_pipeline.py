@@ -888,3 +888,40 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = D.winnowing_fingerprints(d, "doc_id", "text", k=_WINNOW_K, w=_WINNOW_W)
     pairs = D.fingerprint_overlap_pairs(fps, "doc_id", max_bucket=200)
     return pairs.orderBy(F.desc("n_shared"), "id_a", "id_b").limit(25)
+
+
+@query(
+    "events_view_click_attrib",
+    aux=True,
+    oracle="""
+    WITH v AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           v.ts       AS view_ts,
+           c.event_id AS click_id,
+           c.ts       AS click_ts,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS delay_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts
+     AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY view_id, click_id
+    """,
+)
+def events_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution interval join — the BATCH twin of the
+    watermarked stream-stream join (streaming/joins.py, which the
+    stream==batch test proves equal on a closed input). The range
+    condition is what bounds streaming state; here it is what lets the
+    join prune to per-user time neighborhoods instead of a full cross
+    product per user."""
+    from science_datalake_spark.streaming.joins import view_click_attribution
+
+    e = table(spark, sf_dir, "events")
+    out = view_click_attribution(e, max_delay="30 minutes")
+    return out.orderBy("view_id", "click_id")

@@ -178,3 +178,64 @@ def test_stateful_sessionization(spark, tmp_path):
     got_cmp = got.select("user_id", "session_start_us", "session_end_us", "n_events")
     assert got_cmp.count() == completed.count() > 0
     assert got_cmp.exceptAll(completed).count() == 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join (view→click attribution)
+    drained with availableNow must equal the same join on the batch read
+    of the same files."""
+    from science_datalake_spark.streaming.joins import view_click_attribution
+
+    # purpose-built fixture: view/click alternate PER USER so same-user
+    # pairs exist (the shared fixture's eid%3 / eid%9 structure makes
+    # view and click rows never share a user)
+    src_dir = tmp_path / "attrib_src"
+    src_dir.mkdir()
+    eid = 0
+    for fi in range(4):
+        with open(src_dir / f"ev-{fi}.json", "w") as f:
+            for i in range(50):
+                minute = (eid * 11) % (60 * 6)
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": f"2024-01-01T{minute // 60:02d}:{minute % 60:02d}:00.000Z",
+                            "user_id": eid % 4,
+                            "event_type": ["view", "click"][(eid // 4) % 2],
+                            "value": 1.0,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+                eid += 1
+    src = str(src_dir)
+    stream = read_event_stream(spark, src)
+    result = view_click_attribution(stream, max_delay="90 minutes")
+    assert result.isStreaming
+    # append mode: stream-stream inner joins emit matches as the watermark
+    # closes them; availableNow + finite input drains everything
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM attrib_test").cache()
+
+    batch_events = spark.read.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).json(src)
+    expected = view_click_attribution(batch_events, max_delay="90 minutes")
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # every attributed click is strictly after its view, within the bound
+    bad = got.filter(
+        (F.col("delay_us") <= 0) | (F.col("delay_us") > 90 * 60 * 1_000_000)
+    )
+    assert bad.count() == 0
