@@ -162,3 +162,51 @@ def dup_bigram_fraction(text: Column) -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - F.size(F.array_distinct(bigrams)) / n, 4)
     )
+
+
+#: Ordered quality-gate rules: (name, threshold description). The FIRST
+#: failing rule names the reject reason, so audits are deterministic.
+QUALITY_GATE_RULES = (
+    "too_short",
+    "too_long",
+    "repetitive",
+    "low_stopword",
+    "non_english",
+)
+
+
+def quality_gate(
+    text: Column,
+    min_tokens: int = 15,
+    max_tokens: int = 2000,
+    max_dup_bigram: float = 0.2,
+    min_stopword: float = 0.05,
+    lang_threshold: float = 0.10,
+) -> dict[str, Column]:
+    """Gopher-style composite keep/drop decision as pure codegen columns.
+
+    Returns {n_tokens, dup_bigram_frac, stop_ratio, reject_reason, keep}:
+    the document-level filter a training-corpus build runs over every
+    candidate (length band, bigram-repetition cap, stopword floor,
+    language gate — the C4/Gopher rule families), with the FIRST failing
+    rule named so corpus audits can aggregate drop reasons. Map-only at
+    any scale; every term is a native expression over one tokens() array.
+    """
+    n = token_count(text)
+    dup_bi = dup_bigram_fraction(text)
+    stop = stopword_ratio(text)
+    lang = predict_lang(text, threshold=lang_threshold)
+    reason = (
+        F.when(n < min_tokens, "too_short")
+        .when(n > max_tokens, "too_long")
+        .when(dup_bi > max_dup_bigram, "repetitive")
+        .when(stop < min_stopword, "low_stopword")
+        .when(lang != "en", "non_english")
+    )
+    return {
+        "n_tokens": n,
+        "dup_bigram_frac": dup_bi,
+        "stop_ratio": F.round(stop, 4),
+        "reject_reason": reason,
+        "keep": reason.isNull(),
+    }

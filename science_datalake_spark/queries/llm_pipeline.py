@@ -925,3 +925,67 @@ def events_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     out = view_click_attribution(e, max_delay="30 minutes")
     return out.orderBy("view_id", "click_id")
+
+
+@query(
+    "text_quality_gate",
+    aux=True,
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               {_WORDS} AS words,
+               CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
+                   / greatest(len({_WORDS}), 1) AS stop
+        FROM documents WHERE doc_id < 400
+    ),
+    g AS (
+        SELECT doc_id, stop,
+               len(words) AS n_tokens,
+               list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM base
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               CAST(round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)
+                    END, 4) AS DOUBLE) AS dup_bigram_frac,
+               CAST(round(stop, 4) AS DOUBLE) AS stop_ratio,
+               stop AS raw_stop
+        FROM g
+    )
+    SELECT doc_id, n_tokens, dup_bigram_frac, stop_ratio,
+           CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN n_tokens > 2000 THEN 'too_long'
+                WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
+                WHEN raw_stop < 0.05 THEN 'low_stopword'
+                WHEN raw_stop < 0.10 THEN 'non_english'
+           END AS reject_reason,
+           (CASE WHEN n_tokens < 15 THEN 'too_short'
+                WHEN n_tokens > 2000 THEN 'too_long'
+                WHEN dup_bigram_frac > 0.2 THEN 'repetitive'
+                WHEN raw_stop < 0.05 THEN 'low_stopword'
+                WHEN raw_stop < 0.10 THEN 'non_english'
+           END) IS NULL AS keep
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite Gopher-style keep/drop gate every training-corpus
+    build runs per candidate document (operators/textops.quality_gate):
+    length band + bigram-repetition cap + stopword floor + language gate,
+    with the first failing rule named for drop-reason audits. The DuckDB
+    oracle replays every rule (the stand-in language gate is the stopword
+    threshold, so 'non_english' reduces to the 0.05–0.10 stop band)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    g = T.quality_gate(F.col("text"))
+    return d.select(
+        "doc_id",
+        g["n_tokens"].alias("n_tokens"),
+        g["dup_bigram_frac"].alias("dup_bigram_frac"),
+        g["stop_ratio"].alias("stop_ratio"),
+        g["reject_reason"].alias("reject_reason"),
+        g["keep"].alias("keep"),
+    ).orderBy("doc_id")

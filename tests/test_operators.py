@@ -566,3 +566,33 @@ def test_exact_group_quantiles_null_key_group_with_counts(spark):
     a = sorted(map(tuple, via_window.collect()), key=lambda t: (t[0] is not None, t[0] or ""))
     b = sorted(map(tuple, via_counts.collect()), key=lambda t: (t[0] is not None, t[0] or ""))
     assert a == b and len(a) == 2  # the NULL-key group survives
+
+
+def test_quality_gate_reason_order_and_keep(spark):
+    """quality_gate names the FIRST failing rule and keep=true only when
+    none fail; tuned inputs hit each reject reason."""
+    from science_datalake_spark.operators.textops import quality_gate
+
+    en = "the cat sat of the mat and the dog is to run in the house again"
+    rows = [
+        (1, en),  # keeps: >=15 tokens, stopwordy, non-repetitive
+        (2, "short text"),  # too_short
+        (3, " ".join(["spam ham"] * 40)),  # repetitive (and >=15 tokens)
+        (4, " ".join(f"w{i}" for i in range(20))),  # low_stopword
+        (5, " ".join(["the"] * 10 + [f"u{i}" for i in range(190)])),  # see below
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    g = quality_gate(F.col("text"))
+    out = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in df.select(
+            "doc_id", g["reject_reason"].alias("reason"), g["keep"].alias("keep")
+        ).collect()
+    }
+    assert out[1] == (None, True)
+    assert out[2] == ("too_short", False)
+    assert out[3] == ("repetitive", False)
+    assert out[4] == ("low_stopword", False)
+    # doc 5: stop ratio 10/200 = 0.05 -> passes the floor, fails the 0.10
+    # language threshold -> non_english (rule ORDER is what's asserted)
+    assert out[5] == ("non_english", False)
