@@ -132,10 +132,19 @@ def cmd_sparql(args: argparse.Namespace) -> int:
         parse_turtle,
     )
 
+    import os as _os
+
+    from science_datalake_spark.sparql import read_triple_store
+
     spark = get_spark("sds-sparql")
     src = args.triples
-    if src.endswith(".parquet"):
-        triples = spark.read.parquet(src)
+    if src.endswith(".parquet") or (
+        _os.path.isdir(src)
+        and any(n == "_SUCCESS" or n.startswith("p=") for n in _os.listdir(src))
+    ):
+        # a flat parquet triples file OR a write_triple_store layout
+        # (predicate-partitioned directories) — both come back (s,p,o,lang)
+        triples = read_triple_store(spark, src)
     else:
         with open(src, encoding="utf-8") as fh:
             text = fh.read()

@@ -605,3 +605,30 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def write_triple_store(triples: DataFrame, path: str) -> None:
+    """Persist a triples relation as the queryable RDF store layout (the
+    S17 write side): Hive-partitioned BY PREDICATE — the classic
+    vertical-partitioning RDF layout (Abadi et al., SW-Store) as plain
+    partitioned Parquet. A constant-predicate triple pattern (every
+    pattern the reference's ontology queries use, sparql_query.py:89-143)
+    then reads ONLY its predicate's directory: the pattern's ``p ==
+    <iri>`` filter is a partition filter, not a scan filter.
+
+    The reference stores ontologies in Oxigraph for this; here the store
+    IS the lake — no extra service, same pruning, and the content stays
+    joinable with every other table.
+    """
+    from science_datalake_spark.sources.sinks import write_parquet_partitioned
+
+    write_parquet_partitioned(triples, path, ["p"], cluster_cols=("s",))
+
+
+def read_triple_store(spark: SparkSession, path: str) -> DataFrame:
+    """Load a write_triple_store layout back as the (s, p, o, lang)
+    relation sparql_select consumes. The partition column comes back as
+    ``p`` (string); constant-predicate patterns prune to directories."""
+    df = spark.read.parquet(path)
+    # partition values decode as strings already; normalize column order
+    return df.select("s", "p", "o", "lang")

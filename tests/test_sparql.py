@@ -369,3 +369,49 @@ def test_path_lang_tagged_literal_endpoint(spark):
     assert {r["s"] for r in sparql_select(t, q).collect()} == {"e/y"}
     q = f'SELECT ?s WHERE {{ ?s <{B}>+ "Physik"@en }}'
     assert {r["s"] for r in sparql_select(t, q).collect()} == {"e/x", "e/z"}
+
+
+def test_triple_store_roundtrip_prunes_and_queries(spark, tmp_path):
+    """S17 write side: write_triple_store persists predicate-partitioned
+    triples; a constant-predicate pattern prunes to its directory
+    (PartitionFilters on p) and sparql_select over the reloaded store
+    returns the same rows as the in-memory relation."""
+    from science_datalake_spark.sparql import (
+        quads_to_triples_df,
+        read_triple_store,
+        write_triple_store,
+    )
+
+    B = "http://www.w3.org/2004/02/skos/core#broader"
+    L = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    quads = [
+        ("e/a", B, "e/b", None),
+        ("e/b", B, "e/c", None),
+        ("e/a", L, "Alpha", "en"),
+        ("e/b", L, "Beta", "en"),
+    ]
+    t = quads_to_triples_df(spark, quads)
+    store = str(tmp_path / "store")
+    write_triple_store(t, store)
+    back = read_triple_store(spark, store)
+    q = f'SELECT ?x ?l WHERE {{ ?x <{B}> ?y . ?x <{L}> ?l }}'
+    mem = sorted(map(tuple, sparql_select(t, q).collect()))
+    disk = sorted(map(tuple, sparql_select(back, q).collect()))
+    assert mem == disk and len(disk) == 2
+    plan = (
+        back.filter(back["p"] == B)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and B in plan
+
+
+def test_cli_sparql_over_triple_store(spark, tmp_path, capsys):
+    from science_datalake_spark.cli import main
+    from science_datalake_spark.sparql import quads_to_triples_df, write_triple_store
+
+    B = "http://www.w3.org/2004/02/skos/core#broader"
+    t = quads_to_triples_df(spark, [("e/dl", B, "e/ml", None)])
+    store = str(tmp_path / "store2")
+    write_triple_store(t, store)
+    rc = main(["sparql", store, f"SELECT ?c WHERE {{ ?c <{B}> ?p }}"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "e/dl" in out
