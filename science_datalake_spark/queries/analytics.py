@@ -638,7 +638,10 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffering), NOT Spark's ``percentile``/``median`` aggregate: the
     buffering aggregate was this bench's slowest entry (~2× slower here,
     OOM-prone at 100 TB group sizes). The algebraic aggregates run in a
-    separate single-shuffle pass and broadcast-join onto the quantiles.
+    separate single-shuffle pass and broadcast-join onto the quantiles —
+    measured FASTER than the one-pass fused mode here (the saved 0.4 s
+    aggregation pass costs less than fused mode's second in-partition
+    sort over wider rows; see exact_group_quantiles extra_aggs notes).
     For sketch-accuracy profiling use stats.approx_stats_profile."""
     from science_datalake_spark.operators.stats import exact_group_quantiles
 

@@ -331,6 +331,60 @@ def test_exact_group_quantiles_single_scan_no_join(spark):
             assert abs(a - b) < 1e-9, (k, got[k], expect[k])
 
 
+def test_exact_group_quantiles_fused_mode(spark):
+    """Fused mode (extra_aggs/carry_cols) must match the separate-pass
+    answer on a nasty input: NULL values inside a group (ranked nulls-last,
+    excluded from quantiles but counted by COUNT(*)), a NULL group key,
+    and an ALL-NULL group (survives with NULL quantiles — SQL aggregate
+    semantics, no compensating join). The plan must stay join-free with
+    one scan."""
+    from science_datalake_spark.operators.stats import exact_group_quantiles
+
+    rows = [(f"g{i % 3}", float(i * 7 % 23), float(i % 5)) for i in range(40)]
+    rows += [("g0", None, 9.0), ("g1", None, 1.0)]  # nulls inside groups
+    rows += [(None, 4.0, 2.0), (None, 8.0, 3.0)]  # NULL group key
+    rows += [("gnull", None, 7.0), ("gnull", None, 7.0)]  # all-NULL group
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE, w DOUBLE")
+
+    out = exact_group_quantiles(
+        df,
+        ["k"],
+        "v",
+        (0.25, 0.5),
+        ("q25", "q50"),
+        carry_cols=["w"],
+        extra_aggs={
+            "n": F.count("*"),
+            "avg_v": F.avg("__v"),
+            "sum_w": F.sum("w"),
+        },
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("FileScan") + plan.count("Scan ExistingRDD") <= 1
+
+    expect = {
+        r["k"]: (r["q25"], r["q50"], r["n"], r["avg_v"], r["sum_w"])
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q25"),
+            F.expr("percentile(v, 0.5)").alias("q50"),
+            F.count("*").alias("n"),
+            F.avg("v").alias("avg_v"),
+            F.sum("w").alias("sum_w"),
+        )
+        .collect()
+    }
+    got = {r["k"]: (r["q25"], r["q50"], r["n"], r["avg_v"], r["sum_w"]) for r in out.collect()}
+    assert got.keys() == expect.keys()
+    for k in expect:
+        for a, b in zip(got[k], expect[k]):
+            if a is None or b is None:
+                assert a is None and b is None, (k, got[k], expect[k])
+            else:
+                assert abs(a - b) < 1e-9, (k, got[k], expect[k])
+
+
 def test_redact_pii_replaces_all_classes(spark):
     from science_datalake_spark.operators.textops import (
         dup_bigram_fraction,
