@@ -395,3 +395,60 @@ def fingerprint_overlap_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: DataFrame,
+    threshold: float,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate pruning made tractable by clustering — pairwise cosine
+    runs ONLY inside a cluster (the coarse quantizer's bucket), never
+    across the corpus. The semantic sibling of MinHash-LSH above: LSH
+    buckets by lexical shingles, this buckets by embedding cluster.
+
+    Keep rule (deterministic greedy-by-id; the paper keeps one arbitrary
+    representative per epsilon-neighborhood): a row is DROPPED iff some
+    smaller-id row in the SAME cluster is within ``cosine >= threshold``
+    of it. Cosine is rounded to ``round_digits`` BEFORE the threshold
+    test so the boundary decision is engine-portable (the DuckDB oracle
+    rounds identically).
+
+    Returns ``(id, bucket, semantic_dup)`` — callers anti-filter
+    ``semantic_dup`` to materialize the pruned corpus, or aggregate it
+    for dedup-rate monitoring.
+
+    Scale: assignment is map-only (centroids broadcast, ivf_assign); the
+    intra-cluster self-join is keyed on bucket with cost O(Σ bucket²) —
+    the cluster count k is the knob that bounds bucket sizes (SemDeDup
+    runs k in the tens of thousands at web scale, keeping clusters at
+    ~corpus/k vectors). The dropped-id set is near-linear and joins back
+    with one broadcastable left join. No all-pairs stage anywhere.
+    """
+    from science_datalake_spark.operators.similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.select(
+        "bucket", F.col(id_col).alias("__ia"), F.col("vec").alias("__va")
+    )
+    b = assigned.select(
+        "bucket", F.col(id_col).alias("__ib"), F.col("vec").alias("__vb")
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .filter(
+            F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+            >= F.lit(threshold)
+        )
+        .select(F.col("__ib").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.select(id_col, "bucket").join(dropped, id_col, "left").select(
+        id_col, "bucket", F.coalesce("__dup", F.lit(False)).alias("semantic_dup")
+    )

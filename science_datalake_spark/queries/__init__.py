@@ -57,10 +57,12 @@ def query(
 # has driver CORRECTNESS evidence, plus the NEW unify_coverage flagship
 # row; FOUR double-green (r03+r04) entries rotate to aux/local-parity:
 # agg_pivot_status, events_hourly_gapfill, agg_rollup, events_user_stats.
-# Round-5 also added sparql_path_ancestors as aux-only (no driver row yet
-# — round-6 rotation candidate). Union of r04+r05 rows covers every other
-# query. bench.py times driver AND aux queries, so rotation never removes
-# a query from the performance evidence.
+# Round-5 also added six aux-only queries (no driver rows yet — round-6
+# rotation candidates): sparql_path_ancestors, events_view_click_attrib,
+# text_quality_gate, dedup_semantic, corpus_pack_greedy, web_domain_cap.
+# Union of r04+r05 rows covers every other query. bench.py times driver
+# AND aux queries, so rotation never removes a query from the
+# performance evidence.
 DRIVER_ORDER: list[str] = [
     "doi_normalize",
     "case_coalesce",

@@ -441,6 +441,57 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
 
 
+@query(
+    "dedup_semantic",
+    aux=True,
+    oracle=f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cent_vec
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    asg AS (
+        SELECT c.vec_id, c.v, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round({_COS.format(a='c.v', b='ct.cent_vec')}, 6) DESC,
+                            ct.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents ct
+    ),
+    assigned AS (SELECT vec_id, v, cent_id AS bucket FROM asg WHERE rn = 1),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({_COS.format(a='a.v', b='b.v')}, 4) >= 0.35
+    )
+    SELECT a.bucket, count(*) AS n_vecs, count(d.vec_id) AS n_dup
+    FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    GROUP BY a.bucket
+    ORDER BY a.bucket
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster the embedding space with the same 8-exemplar
+    coarse quantizer the IVF tier uses, then drop any vector whose cluster
+    holds a smaller-id vector within cosine >= 0.35 (threshold chosen to
+    exercise real drops on the synthetic corpus — ~15% prune rate).
+    Reported as per-cluster (size, dropped) counts — the dedup-rate
+    monitoring surface. The DuckDB oracle replays the identical
+    assign/pair/drop pipeline relationally (operators/dedup.py
+    semantic_dedup)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = S.exemplar_centroids(e, "vec_id", "embedding", k=8)
+    sem = D.semantic_dedup(e, "vec_id", "embedding", cents, threshold=0.35)
+    return (
+        sem.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.count(F.when(F.col("semantic_dup"), 1)).alias("n_dup"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _bucket_sql(col: str) -> str:
     return " || ".join(
         f"(CASE WHEN {col}[{i}] > 0 THEN '1' ELSE '0' END)" for i in range(1, 7)
@@ -732,6 +783,132 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_docs = d.filter(F.col("doc_id") % 25 == 0)
     corpus = d.filter(F.col("doc_id") % 25 != 0)
     return decontaminate(corpus, eval_docs, "doc_id", max_overlap=0.5).orderBy("doc_id")
+
+
+@query(
+    "corpus_pack_greedy",
+    aux=True,
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS tok,
+               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    state AS (
+        SELECT shard, rn, tok, 0 AS bin, tok AS fill FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.tok,
+               CASE WHEN s.fill > 0 AND s.fill + d.tok > 256
+                    THEN s.bin + 1 ELSE s.bin END,
+               CASE WHEN s.fill > 0 AND s.fill + d.tok > 256
+                    THEN d.tok ELSE s.fill + d.tok END
+        FROM state s JOIN toks d ON d.shard = s.shard AND d.rn = s.rn + 1
+    )
+    SELECT shard, CAST(bin AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM state
+    GROUP BY shard, bin
+    ORDER BY shard, bin
+    """,
+)
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: whole documents first-fit-sequentially packed
+    into 256-token training bins, 8 shards, doc_id order — reported as
+    per-(shard, bin) document/token counts (operators/packing.pack_greedy,
+    the applyInPandas stateful packer; the DuckDB twin replays the same
+    sequential state as a recursive CTE)."""
+    from science_datalake_spark.operators.packing import pack_greedy, packing_stats
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(0)).alias(
+            "tok"
+        ),
+    )
+    packed = pack_greedy(d, "tok", 256, "shard", ["doc_id"])
+    return packing_stats(packed, "tok", "shard").orderBy("shard", "bin")
+
+
+@query(
+    "web_domain_cap",
+    aux=True,
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'https://www.site' || CAST(doc_id % 12 AS VARCHAR)
+                               || '.com/page/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN 'HTTP://SITE' || CAST(doc_id % 12 AS VARCHAR)
+                               || '.COM/page/' || CAST(doc_id AS VARCHAR) || '/'
+                   WHEN 2 THEN 'site' || CAST(doc_id % 12 AS VARCHAR)
+                               || '.com/page/' || CAST(doc_id AS VARCHAR) || '?utm=x'
+                   ELSE 'https://cdn.site' || CAST(doc_id % 12 AS VARCHAR)
+                               || '.com/page/' || CAST(doc_id AS VARCHAR) || '#frag'
+               END AS url
+        FROM documents
+    ),
+    hosts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_extract(
+                       regexp_replace(
+                           regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                           '[#?].*$', ''),
+                       '^([^/]+)', 1)),
+                   '^www\\.', '') AS host
+        FROM urls
+    ),
+    doms AS (
+        SELECT doc_id,
+               CASE WHEN regexp_matches(host, '[^.]+\\.[^.]+$')
+                    THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1)
+                    ELSE host END AS domain
+        FROM hosts
+    ),
+    ranked AS (
+        SELECT domain,
+               row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        FROM doms
+    )
+    SELECT domain, count(*) AS n_docs,
+           count(CASE WHEN rn <= 5 THEN 1 END) AS n_kept
+    FROM ranked
+    GROUP BY domain
+    ORDER BY domain
+    """,
+)
+def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation source-diversity control: four wild URL spellings per
+    page (www + scheme case + tracking params + cdn subdomain) normalize
+    to one registrable domain, then each domain is capped at 5 documents
+    (operators/web.domain_cap) — the C4/RefinedWeb anti-mega-domain step.
+    Reported as per-domain (total, kept) counts; the DuckDB oracle
+    evaluates the identical regexp pipeline."""
+    from science_datalake_spark.operators.web import domain_cap
+
+    d = table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 12).cast("string")
+    i = (F.col("doc_id") % 4 + 1).cast("int")
+    ident = F.col("doc_id").cast("string")
+    pre = F.element_at(F.lit(["https://www.", "HTTP://", "", "https://cdn."]), i)
+    site = F.when(i == 2, F.concat(F.lit("SITE"), k, F.lit(".COM"))).otherwise(
+        F.concat(F.lit("site"), k, F.lit(".com"))
+    )
+    post = F.element_at(F.lit(["", "/", "?utm=x", "#frag"]), i)
+    urls = d.select(
+        "doc_id", F.concat(pre, site, F.lit("/page/"), ident, post).alias("url")
+    )
+    capped = domain_cap(urls, "url", max_per_domain=5, order_cols=["doc_id"])
+    return (
+        capped.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("domain_kept"), 1)).alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
 
 
 # STRING (not VARCHAR): valid in BOTH dialects — Spark requires a length

@@ -602,6 +602,57 @@ def test_lsh_candidate_pairs_bucket_cap_guards_degenerate_corpus(spark):
         sigs.unpersist()
 
 
+def test_semantic_dedup_dominated_rule(spark):
+    """semantic_dedup's keep rule, verified against a brute-force python
+    mirror: a row is dropped IFF some smaller-id row in its cluster is
+    within cosine >= threshold. Cross-cluster near-identical vectors must
+    NOT pair (that is the SemDeDup cost model — candidate search never
+    leaves the cluster), and the centroid relation must broadcast."""
+    import math
+
+    from science_datalake_spark.operators.dedup import semantic_dedup
+    from science_datalake_spark.operators.similarity import exemplar_centroids
+
+    vecs = {
+        0: [1.0, 0.0, 0.0],
+        1: [0.0, 1.0, 0.0],
+        2: [0.98, 0.02, 0.0],  # near vec 0 → same cluster, dropped
+        3: [0.02, 0.98, 0.0],  # near vec 1 → same cluster, dropped
+        4: [0.6, 0.59, 0.0],  # diagonal: one cluster, far from exemplar peers
+        5: [0.97, 0.03, 0.0],  # near 0 and 2 → dropped (dominated by 0)
+        6: [0.0, 0.0, 1.0],  # orthogonal: kept wherever it lands
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = exemplar_centroids(df, "vec_id", "embedding", k=2)
+    out = semantic_dedup(df, "vec_id", "embedding", cents, threshold=0.9)
+    rows = {r["vec_id"]: (r["bucket"], r["semantic_dup"]) for r in out.collect()}
+    assert set(rows) == set(vecs)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    # python mirror of assignment (cents = vecs 0 and 1) + dominated rule
+    def bucket(v):
+        scored = sorted(
+            ((round(cos(v, vecs[c]), 6), -c) for c in (0, 1)), reverse=True
+        )
+        return -scored[0][1]
+
+    for i, v in vecs.items():
+        expect_bucket = bucket(v)
+        expect_drop = any(
+            j < i and bucket(vecs[j]) == expect_bucket and round(cos(v, vecs[j]), 4) >= 0.9
+            for j in vecs
+        )
+        assert rows[i] == (expect_bucket, expect_drop), (i, rows[i])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
 def test_exact_group_quantiles_null_key_group_with_counts(spark):
     """group_counts is a pure performance parameter: a NULL group key must
     produce the same quantile row through the counts join (null-safe
@@ -650,3 +701,128 @@ def test_quality_gate_reason_order_and_keep(spark):
     # doc 5: stop ratio 10/200 = 0.05 -> passes the floor, fails the 0.10
     # language threshold -> non_english (rule ORDER is what's asserted)
     assert out[5] == ("non_english", False)
+
+
+def test_pack_greedy_matches_python_mirror_and_is_partition_invariant(spark):
+    """pack_greedy vs a plain-python first-fit mirror on a nasty input:
+    an oversized document (> budget → own bin, overflowed), a NULL token
+    count (packs as 0), exact-fit boundaries. Repartitioning the input
+    arbitrarily must not change a single assignment (the UDF re-sorts
+    within the shard group)."""
+    from science_datalake_spark.operators.packing import pack_greedy
+
+    rows = [
+        (0, 0, 60),
+        (1, 0, 50),  # 60+50=110 > 100 → new bin
+        (2, 0, 500),  # oversized → own (fresh) bin
+        (3, 0, 10),  # after overflow → new bin
+        (4, 0, 90),  # 10+90=100 = budget → fits
+        (5, 0, 1),  # 101 > 100 → new bin
+        (6, 1, None),  # null → 0 tokens
+        (7, 1, 100),
+        (8, 1, 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, shard LONG, tok LONG")
+
+    def mirror(group):
+        bins, b, fill = {}, 0, 0
+        for i, t in group:
+            t = t or 0
+            if fill > 0 and fill + t > 100:
+                b, fill = b + 1, 0
+            fill += t
+            bins[i] = b
+        return bins
+
+    expect = {}
+    for shard in (0, 1):
+        expect.update(mirror([(i, t) for i, s, t in rows if s == shard]))
+
+    out = pack_greedy(df, "tok", 100, "shard", ["doc_id"])
+    got = {r["doc_id"]: r["bin"] for r in out.collect()}
+    assert got == expect, (got, expect)
+
+    shuffled = pack_greedy(
+        df.repartition(7, "tok"), "tok", 100, "shard", ["doc_id"]
+    )
+    assert {r["doc_id"]: r["bin"] for r in shuffled.collect()} == expect
+
+
+def test_pack_contiguous_matches_sql_window_twin(spark):
+    """pack_contiguous (concat-and-split accounting) must equal the plain
+    SQL running-sum formulation, and stay a single-shuffle window plan
+    (no Join, no extra Exchange beyond the shard hash partition)."""
+    from science_datalake_spark.operators.packing import pack_contiguous
+
+    rows = [(i, i % 3, (i * 37) % 120 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, shard LONG, tok LONG")
+    out = pack_contiguous(df, "tok", 200, "shard", ["doc_id"])
+    df.createOrReplaceTempView("pack_in")
+    twin = spark.sql(
+        """
+        SELECT doc_id,
+               CAST(floor(coalesce(sum(tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 200)
+                 AS LONG) AS bin
+        FROM pack_in
+        """
+    )
+    got = {r["doc_id"]: r["bin"] for r in out.collect()}
+    assert got == {r["doc_id"]: r["bin"] for r in twin.collect()}
+    # sparkPlan (pre-AQE) renders once — executedPlan's adaptive wrapper
+    # repeats the subtree, double-counting Exchange nodes
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_url_normalization_collapses_wild_spellings(spark):
+    """normalize_url must map all four wild spellings of one page to a
+    single dedup key; url_host/registrable_domain handle subdomains,
+    scheme case, tracking params, and single-label hosts (localhost)."""
+    from science_datalake_spark.operators.web import (
+        normalize_url,
+        registrable_domain,
+        url_host,
+    )
+
+    spellings = [
+        "https://www.Site3.com/page/7",
+        "HTTP://SITE3.COM/page/7/",
+        "site3.com/page/7?utm=x&ref=abc",
+        "https://site3.com/page/7#frag",
+    ]
+    df = spark.createDataFrame([(u,) for u in spellings], "url STRING")
+    keys = {r[0] for r in df.select(normalize_url(F.col("url"))).collect()}
+    assert keys == {"site3.com/page/7"}, keys
+
+    hosts = spark.createDataFrame(
+        [
+            ("https://cdn.assets.site.co/x", "cdn.assets.site.co", "site.co"),
+            ("http://localhost/x", "localhost", "localhost"),
+            ("www.a.com", "a.com", "a.com"),
+            (None, None, None),
+        ],
+        "url STRING, want_host STRING, want_dom STRING",
+    )
+    got = hosts.select(
+        "want_host",
+        "want_dom",
+        url_host(F.col("url")).alias("h"),
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    for r in got:
+        assert r["h"] == r["want_host"], r
+        assert r["d"] == r["want_dom"], r
+
+
+def test_domain_cap_keeps_n_per_domain_deterministically(spark):
+    from science_datalake_spark.operators.web import domain_cap
+
+    rows = [(i, f"https://www.d{i % 2}.com/p/{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    out = domain_cap(df, "url", max_per_domain=2, order_cols=["doc_id"])
+    kept = sorted(r["doc_id"] for r in out.filter("domain_kept").collect())
+    assert kept == [0, 1, 2, 3]  # first 2 per domain in doc_id order
+    assert out.count() == 10  # annotates, never drops
