@@ -172,6 +172,80 @@ def exact_group_quantiles(
     return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
 
 
+def exact_group_quantiles_parallel(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``exact_group_quantiles`` for LOW-CARDINALITY keys: the window path
+    hash-partitions by the group key, so with 3 groups on a 1000-core
+    cluster THREE tasks sort the whole corpus — the classic
+    low-cardinality window serialization. This variant keeps every core
+    busy via distributed two-phase ranking:
+
+      1. ``repartitionByRange(num_partitions, keys…, value)`` — sampled
+         range partitioning spreads each group's values across MANY
+         partitions in sorted ranges (ties may straddle a boundary;
+         harmless — equal values give identical quantile contributions
+         under any tie order).
+      2. local ranks: row_number within (partition_id, keys) — the
+         follow-up hash shuffle on (partition_id, keys) keeps parallelism
+         at num_partitions, and in-partition sort cost is 1/Nth.
+      3. global rank = local rank + the cumulative count of earlier
+         partitions' rows for the same group — the offsets relation is
+         tiny (num_partitions × |groups| rows; broadcast) and comes from
+         a count aggregate over the same partitioning.
+      4. the same conditional-sum interpolation as the window path.
+
+    Measured at sf0.1 / local[32] this LOSES to the window path (~1.8 s
+    vs ~1.0 s — extra sampling pass + two more stages dwarf the sort
+    savings at 600 K rows), which is why agg_stats_profile does not use
+    it; it exists for the shape where the window path cannot scale:
+    corpus >> cores × group-count. NULL group keys are handled (null-safe
+    join); NULL values are excluded like the window path.
+    """
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100))}" for q in quantiles]
+    keys = list(keys)
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    r = (
+        df.select(*keys, F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .repartitionByRange(num_partitions, *[F.col(k) for k in keys], F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    lw = Window.partitionBy("__pid", *keys).orderBy("__v")
+    r = r.withColumn("__lidx", F.row_number().over(lw) - 1)
+    counts = r.groupBy("__pid", *keys).agg(F.count("*").alias("__c"))
+    ow = (
+        Window.partitionBy(*keys)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn("__off", F.coalesce(F.sum("__c").over(ow), F.lit(0)))
+    tot = counts.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+
+    def _null_safe_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+        renamed = right.select(
+            *[F.col(c).alias(f"__r_{c}") for c in on],
+            *[c for c in right.columns if c not in on],
+        )
+        cond = None
+        for c in on:
+            eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        return left.join(F.broadcast(renamed), cond).drop(*[f"__r_{c}" for c in on])
+
+    r = _null_safe_join(r, offs.select("__pid", *keys, "__off"), ["__pid", *keys])
+    r = _null_safe_join(r, tot, keys)
+    r = r.withColumn("__idx", F.col("__lidx") + F.col("__off"))
+    return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
+
+
 def _quantile_contrib_aggs(quantiles: Sequence[float], out_names: Sequence[str]) -> list:
     """Conditional-sum interpolation aggregates over (__v, __idx, __n)."""
     aggs = []

@@ -826,3 +826,33 @@ def test_domain_cap_keeps_n_per_domain_deterministically(spark):
     kept = sorted(r["doc_id"] for r in out.filter("domain_kept").collect())
     assert kept == [0, 1, 2, 3]  # first 2 per domain in doc_id order
     assert out.count() == 10  # annotates, never drops
+
+
+def test_exact_group_quantiles_parallel_matches_window_path(spark):
+    """The range-partitioned two-phase ranking (the low-cardinality-keys
+    scale path) must reproduce the window path exactly: ties straddling
+    partition boundaries, NULL group keys, NULL values, and tiny groups."""
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles,
+        exact_group_quantiles_parallel,
+    )
+
+    rows = [(f"g{i % 2}", float((i * 13) % 7)) for i in range(300)]  # heavy ties
+    rows += [(None, float(i)) for i in range(20)]  # NULL group key
+    rows += [("solo", 42.0), ("g0", None)]  # 1-row group, NULL value
+    df = spark.createDataFrame(rows, "k STRING, v DOUBLE")
+    qs = (0.25, 0.5, 0.75, 0.95)
+    want = {
+        r["k"]: tuple(r[n] for n in ("p25", "p50", "p75", "p95"))
+        for r in exact_group_quantiles(df, ["k"], "v", qs).collect()
+    }
+    got = {
+        r["k"]: tuple(r[n] for n in ("p25", "p50", "p75", "p95"))
+        for r in exact_group_quantiles_parallel(
+            df, ["k"], "v", qs, num_partitions=11
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        for a, b in zip(got[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], want[k])
