@@ -166,6 +166,40 @@ def cmd_sparql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_update(args: argparse.Namespace) -> int:
+    """The reference's headline `update` lifecycle (datalake_cli.py
+    cmd_update: download → convert → views → materialize) over local
+    NDJSON snapshot directories — ingest is file-incremental (unchanged
+    files skip via checkpoint), the materialization is count-verified,
+    and the run ends with the sanity suite; non-zero exit on any failed
+    check, like the reference's verification step."""
+    from science_datalake_spark.pipeline import run_pipeline
+    from science_datalake_spark.session import get_spark
+
+    source_dirs = {
+        name: path
+        for name, path in (
+            ("openalex", args.openalex),
+            ("s2ag", args.s2ag),
+            ("sciscinet", args.sciscinet),
+            ("retractions", args.retractions),
+            ("code_links", args.code_links),
+            ("fulltext", args.fulltext),
+        )
+        if path is not None
+    }
+    spark = get_spark("sds-update")
+    result = run_pipeline(spark, source_dirs, args.work_dir)
+    for name, n in result.ingested_rows.items():
+        print(f"{name}: {n} rows staged")
+    print(f"unified_papers: {result.unified_rows} rows")
+    if result.fulltext_rows:
+        print(f"fulltext_papers: {result.fulltext_rows} rows")
+    for check in result.sanity:
+        print(f"sanity {'PASS' if check.passed else 'FAIL'}: {check.name} — {check.detail}")
+    return 0 if result.ok else 3
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="science-datalake-spark")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -181,6 +215,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("triples", help="ontology file (.ttl/.nt/.rdf) or parquet triples")
     sp.add_argument("query", help="SPARQL SELECT (BGP + OPTIONAL/UNION/FILTER)")
     sp.set_defaults(fn=cmd_sparql)
+    up = sub.add_parser("update")
+    up.add_argument("--work-dir", required=True)
+    up.add_argument("--openalex", required=True, help="NDJSON snapshot dir")
+    up.add_argument("--s2ag", required=True)
+    up.add_argument("--sciscinet", required=True)
+    up.add_argument("--retractions")
+    up.add_argument("--code-links", dest="code_links")
+    up.add_argument("--fulltext")
+    up.set_defaults(fn=cmd_update)
     args = p.parse_args(argv)
     return args.fn(args)
 

@@ -70,3 +70,29 @@ def test_full_pipeline(spark, tmp_path):
         str(tmp_path / "lake"),
     )
     assert result2.unified_rows == 221
+
+
+def test_cli_update_subcommand(spark, tmp_path, capsys):
+    """`science-datalake-spark update` — the reference's headline CLI
+    lifecycle — wires run_pipeline end-to-end: per-source staging report,
+    count-verified materialization, sanity gate driving the exit code."""
+    from science_datalake_spark.cli import main
+
+    _dump_ndjson(fixtures.works_b(spark), tmp_path / "cli_src" / "openalex")
+    _dump_ndjson(fixtures.papers_a(spark), tmp_path / "cli_src" / "s2ag")
+    _dump_ndjson(fixtures.metrics_c(spark), tmp_path / "cli_src" / "sciscinet")
+
+    rc = main(
+        [
+            "update",
+            "--work-dir", str(tmp_path / "cli_lake"),
+            "--openalex", str(tmp_path / "cli_src" / "openalex"),
+            "--s2ag", str(tmp_path / "cli_src" / "s2ag"),
+            "--sciscinet", str(tmp_path / "cli_src" / "sciscinet"),
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "unified_papers: 221 rows" in out
+    assert "sanity FAIL" not in out
+    assert (tmp_path / "cli_lake" / "unified_papers.parquet").exists()
