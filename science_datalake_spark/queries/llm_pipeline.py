@@ -448,7 +448,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
         SELECT vec_id AS cent_id, v AS cent_vec
-        FROM corpus ORDER BY vec_id LIMIT 8
+        FROM corpus ORDER BY vec_id LIMIT 16
     ),
     asg AS (
         SELECT c.vec_id, c.v, ct.cent_id,
@@ -457,12 +457,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ct.cent_id) AS rn
         FROM corpus c CROSS JOIN cents ct
     ),
-    assigned AS (SELECT vec_id, v, cent_id AS bucket FROM asg WHERE rn = 1),
+    assigned AS (
+        SELECT vec_id, v, cent_id AS bucket,
+               sqrt(list_dot_product(v, v)) AS nrm
+        FROM asg WHERE rn = 1
+    ),
+    -- norm-form cosine dot/(nrm_a*nrm_b): matches the Spark operator's
+    -- per-vector precomputed norms bit-for-bit (same op order)
     dropped AS (
         SELECT DISTINCT b.vec_id
         FROM assigned a JOIN assigned b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round({_COS.format(a='a.v', b='b.v')}, 4) >= 0.35
+        WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
     )
     SELECT a.bucket, count(*) AS n_vecs, count(d.vec_id) AS n_dup
     FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
@@ -471,16 +477,18 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: cluster the embedding space with the same 8-exemplar
-    coarse quantizer the IVF tier uses, then drop any vector whose cluster
-    holds a smaller-id vector within cosine >= 0.35 (threshold chosen to
-    exercise real drops on the synthetic corpus — ~15% prune rate).
-    Reported as per-cluster (size, dropped) counts — the dedup-rate
-    monitoring surface. The DuckDB oracle replays the identical
-    assign/pair/drop pipeline relationally (operators/dedup.py
+    """SemDeDup: cluster the embedding space with a 16-exemplar coarse
+    quantizer (k=16, not the IVF demo's 8: intra-cluster pair count is
+    Σ bucket² ≈ corpus²/k, and SemDeDup's own recipe scales k with the
+    corpus — at sf0.1 k=16 halves the pair workload), then drop any
+    vector whose cluster holds a smaller-id vector within cosine >= 0.35
+    (threshold chosen to exercise real drops on the synthetic corpus —
+    ~15% prune rate). Reported as per-cluster (size, dropped) counts —
+    the dedup-rate monitoring surface. The DuckDB oracle replays the
+    identical assign/pair/drop pipeline relationally (operators/dedup.py
     semantic_dedup)."""
     e = table(spark, sf_dir, "embeddings")
-    cents = S.exemplar_centroids(e, "vec_id", "embedding", k=8)
+    cents = S.exemplar_centroids(e, "vec_id", "embedding", k=16)
     sem = D.semantic_dedup(e, "vec_id", "embedding", cents, threshold=0.35)
     return (
         sem.groupBy("bucket")
@@ -790,9 +798,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     aux=True,
     oracle="""
     WITH RECURSIVE toks AS (
-        SELECT doc_id, doc_id % 8 AS shard,
+        SELECT doc_id, doc_id % 64 AS shard,
                coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS tok,
-               row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+               row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
         FROM documents
     ),
     state AS (
@@ -814,15 +822,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: whole documents first-fit-sequentially packed
-    into 256-token training bins, 8 shards, doc_id order — reported as
+    into 256-token training bins, 64 shards, doc_id order — reported as
     per-(shard, bin) document/token counts (operators/packing.pack_greedy,
     the applyInPandas stateful packer; the DuckDB twin replays the same
-    sequential state as a recursive CTE)."""
+    sequential state as a recursive CTE). 64 shards, not 8: the shard
+    count bounds BOTH engines' sequential depth (the CTE iterates
+    max-rows-per-shard times — %8 at sf0.1 made the oracle a pathological
+    12-15 s denominator that would flatter the bench's compute-bound
+    ratio; re-sharding keeps the comparison honest AND is the scale
+    knob: more shards = more parallelism, shorter sequential chains)."""
     from science_datalake_spark.operators.packing import pack_greedy, packing_stats
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
-        (F.col("doc_id") % 8).alias("shard"),
+        (F.col("doc_id") % 64).alias("shard"),
         F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(0)).alias(
             "tok"
         ),

@@ -630,6 +630,14 @@ def test_semantic_dedup_dominated_rule(spark):
     rows = {r["vec_id"]: (r["bucket"], r["semantic_dup"]) for r in out.collect()}
     assert set(rows) == set(vecs)
 
+    # the numpy (default) and sql engines must agree row-for-row
+    sql_out = semantic_dedup(
+        df, "vec_id", "embedding", cents, threshold=0.9, engine="sql"
+    )
+    assert rows == {
+        r["vec_id"]: (r["bucket"], r["semantic_dup"]) for r in sql_out.collect()
+    }
+
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
         return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
@@ -649,7 +657,10 @@ def test_semantic_dedup_dominated_rule(spark):
         )
         assert rows[i] == (expect_bucket, expect_drop), (i, rows[i])
 
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # sql engine: the intra-cluster join must not be a cartesian — the
+    # small side broadcasts (numpy engine has no join at all: mapInPandas
+    # + per-bucket applyInPandas)
+    plan = sql_out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
