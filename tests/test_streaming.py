@@ -239,3 +239,82 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (F.col("delay_us") <= 0) | (F.col("delay_us") > 90 * 60 * 1_000_000)
     )
     assert bad.count() == 0
+
+def test_stream_pack_greedy_state_carries_open_bin(spark, tmp_path):
+    """Streaming greedy packing must equal the batch packer run over the
+    arrival-ordered concatenation — in particular, a bin left partially
+    full by micro-batch N must be topped up by batch N+1's first docs
+    (the state carry-over), and bin ids must stay monotone per shard."""
+    import os as _os
+
+    from science_datalake_spark.streaming.packing import pack_stream
+
+    src = tmp_path / "pack_src"
+    src.mkdir()
+    rows_by_file = []
+    doc = 0
+    for fi in range(4):
+        rows = []
+        for _ in range(10):
+            rows.append({"doc_id": doc, "shard": doc % 2, "tok": (doc * 37) % 90 + 10})
+            doc += 1
+        rows_by_file.append(rows)
+        with open(src / f"docs-{fi}.json", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        _os.utime(src / f"docs-{fi}.json", (1700000000 + fi, 1700000000 + fi))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, shard LONG, tok LONG")
+        .option("maxFilesPerTrigger", 2)
+        .json(str(src))
+    )
+    q = (
+        pack_stream(stream, budget=200)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("pack_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pack"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["shard"], r["doc_id"]): r["bin"]
+        for r in spark.sql("SELECT * FROM pack_test").collect()
+    }
+
+    # python mirror over the arrival order: micro-batch = 2 files, docs
+    # sorted by doc_id within (shard, batch)
+    expect = {}
+    state = {}  # shard -> (bin, fill)
+    for batch_files in (rows_by_file[0] + rows_by_file[1], rows_by_file[2] + rows_by_file[3]):
+        for shard in (0, 1):
+            docs = sorted(
+                (r for r in batch_files if r["shard"] == shard),
+                key=lambda r: r["doc_id"],
+            )
+            b, fill = state.get(shard, (0, 0))
+            for r in docs:
+                t = r["tok"]
+                if fill > 0 and fill + t > 200:
+                    b, fill = b + 1, 0
+                fill += t
+                expect[(shard, r["doc_id"])] = b
+            state[shard] = (b, fill)
+
+    assert got == expect
+    # the carry-over actually happened: some bin spans the batch boundary
+    spans = {
+        s
+        for s in (0, 1)
+        if any(
+            expect[(s, r["doc_id"])] == state_bin
+            for r in rows_by_file[2] + rows_by_file[3]
+            if r["shard"] == s
+            for state_bin in [
+                max(expect[(s, r2["doc_id"])] for r2 in rows_by_file[0] + rows_by_file[1] if r2["shard"] == s)
+            ]
+        )
+    }
+    assert spans, "test data never exercised the cross-batch bin carry-over"
