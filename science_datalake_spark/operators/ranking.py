@@ -93,3 +93,50 @@ def tfidf_vectors(df: DataFrame, id_col: str, text_col: str, num_features: int =
     tf = htf.transform(words)
     idf_model = IDF(inputCol="__tf", outputCol="tfidf").fit(tf)
     return idf_model.transform(tf).select(id_col, "tfidf"), idf_model
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-model quality score per document: average negative log
+    probability under a self-trained unigram LM — the relational form of
+    the CCNet/Dolma "perplexity filter" (those use KenLM n-gram models;
+    a unigram LM over the corpus itself is the dependency-free tier, and
+    the plan is unchanged if the vocab relation is swapped for an
+    externally-trained one). High scores = rare-token-heavy documents
+    (OCR noise, boilerplate codes); low scores = common-token text.
+
+    Plan: the token explode collapses IMMEDIATELY to per-(doc, token)
+    counts, and everything else — the vocabulary, the corpus total, the
+    scoring join, the weighted per-doc average — derives from that one
+    relation, so the (id, token) Exchange is shared: the FINAL adaptive
+    plan shows 2 ReusedExchange nodes and the corpus+explode computes
+    once (the naive explode-feeds-everything form ran 3 independent
+    scans; reuse appears at AQE runtime, not in the pre-execution
+    plan). The corpus total is a 1-row broadcast
+    aggregate folded into the plan (the bm25_scores discipline — zero
+    jobs run in this function). The dtf⨝vocab join keys on the token;
+    AQE broadcasts the vocab side when it fits, and at 100 TB both sides
+    hash-partition on the token — stopword-key skew is bounded because
+    both sides are pre-aggregated before the join.
+
+    Returns (id, n_tokens, avg_neg_logprob) — token-weighted average of
+    −ln(count/total), rounded to 4 (cross-engine ln() agrees well under
+    4-decimal rounding of an average).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__tok"),
+    )
+    dtf = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__n"))
+    vocab = dtf.groupBy("__tok").agg(F.sum("__n").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = dtf.join(vocab, "__tok").crossJoin(F.broadcast(total))
+    return (
+        scored.withColumn("__lp", -F.log(F.col("__cnt") / F.col("__total")))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("__n") * F.col("__lp")) / F.sum("__n"), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )

@@ -57,17 +57,18 @@ def query(
 # has driver CORRECTNESS evidence, plus the NEW unify_coverage flagship
 # row; FOUR double-green (r03+r04) entries rotate to aux/local-parity:
 # agg_pivot_status, events_hourly_gapfill, agg_rollup, events_user_stats.
-# Round-5 also added six aux-only queries (no driver rows yet — round-6
-# rotation candidates): sparql_path_ancestors, events_view_click_attrib,
-# text_quality_gate, dedup_semantic, corpus_pack_greedy, web_domain_cap.
-# Union of r04+r05 rows covers every other query. bench.py times driver
-# AND aux queries, so rotation never removes a query from the
-# performance evidence.
+# Late-round-5 second rotation: three of the seven NEW round-5 queries
+# (dedup_semantic, corpus_pack_greedy, web_domain_cap) promote to the
+# driver so the new operators get r05 driver rows; three r04-green
+# stable entries (case_coalesce, json_extract, sample_deterministic)
+# rest in aux. Remaining round-6 rotation candidates (aux-only, local
+# parity only): sparql_path_ancestors, events_view_click_attrib,
+# text_quality_gate, text_unigram_logprob. Union of r04+r05 rows covers
+# every other query. bench.py times driver AND aux queries, so rotation
+# never removes a query from the performance evidence.
 DRIVER_ORDER: list[str] = [
     "doi_normalize",
-    "case_coalesce",
     "date_try_cast",
-    "json_extract",
     "array_explode_pos",
     "distinct_projection",
     "extract_doc_tokens",
@@ -96,7 +97,6 @@ DRIVER_ORDER: list[str] = [
     "window_dedup_top1",
     "window_topk_per_group",
     "topk_global",
-    "sample_deterministic",
     "inverted_index_reconstruct",
     "text_pii_redact",
     "text_repetition_stats",
@@ -111,6 +111,9 @@ DRIVER_ORDER: list[str] = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_semantic",
+    "corpus_pack_greedy",
+    "web_domain_cap",
     "sim_cosine_topk",
     "sim_knn_label_vote",
     "sim_ann_bucketed",

@@ -213,6 +213,7 @@ def doi_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "case_coalesce",
+    aux=True,  # rotated to aux mid-round-5 (r04 driver row green; local parity continues)
     oracle="""
     SELECT
         CASE l_returnflag WHEN 'R' THEN 'returned'
@@ -315,6 +316,7 @@ def date_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "json_extract",
+    aux=True,  # rotated to aux mid-round-5 (r04 driver row green; local parity continues)
     oracle="""
     SELECT event_type,
            count(*) AS n,
@@ -892,6 +894,7 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_deterministic",
+    aux=True,  # rotated to aux mid-round-5 (r04 driver row green; local parity continues)
     oracle="""
     SELECT count(*) AS n_sampled,
            CAST(round(avg(l_extendedprice), 2) AS DOUBLE) AS avg_price,

@@ -20,6 +20,7 @@ from science_datalake_spark.operators import textops as T
 from science_datalake_spark.queries import query
 
 _WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_WORDS_LOWER = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _NUM_HASHES = 8
 _SIMHASH_BITS = 16
 
@@ -443,7 +444,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_semantic",
-    aux=True,
+    # promoted to the driver registry mid-round-5 (new-op driver evidence)
     oracle=f"""
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
@@ -795,7 +796,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pack_greedy",
-    aux=True,
+    # promoted to the driver registry mid-round-5 (new-op driver evidence)
     oracle="""
     WITH RECURSIVE toks AS (
         SELECT doc_id, doc_id % 64 AS shard,
@@ -845,8 +846,44 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "web_domain_cap",
+    "text_unigram_logprob",
     aux=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_LOWER}) AS tok FROM documents
+    ),
+    dtf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, sum(n) AS cnt FROM dtf GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+        SELECT d.doc_id, d.n, -ln(v.cnt / tot.total) AS lp
+        FROM dtf d JOIN vocab v USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(round(sum(n * lp) / sum(n), 4) AS DOUBLE) AS avg_neg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY avg_neg_logprob DESC, doc_id
+    LIMIT 50
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filter (the CCNet/Dolma perplexity step, unigram
+    tier): score every document by average −ln p(token) under a
+    self-trained unigram LM, surface the 50 most 'surprising' documents
+    (rare-token-heavy → OCR junk / boilerplate codes). One explode feeds
+    vocab + scoring; corpus total is a broadcast 1-row agg
+    (operators/ranking.unigram_logprob_scores)."""
+    from science_datalake_spark.operators.ranking import unigram_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(d, "doc_id", "text")
+    return out.orderBy(F.desc("avg_neg_logprob"), "doc_id").limit(50)
+
+
+@query(
+    "web_domain_cap",
+    # promoted to the driver registry mid-round-5 (new-op driver evidence)
     oracle="""
     WITH urls AS (
         SELECT doc_id,
