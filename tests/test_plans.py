@@ -149,3 +149,26 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_oracle, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_new_driver_queries_plan_shapes(spark, sf_oracle):
+    """Round-5 promoted queries keep their scale-critical shapes:
+    corpus_pack_greedy = ONE shuffle (the shard group) into a single
+    stateful pandas group-map; web_domain_cap = ONE window exchange, no
+    join; dedup_semantic = Arrow plan nodes (mapInPandas assignment +
+    per-bucket group-map), never a cartesian product."""
+    pack = QUERIES["corpus_pack_greedy"](spark, sf_oracle)
+    p = plans.physical_plan(pack)
+    assert "FlatMapGroupsInPandas" in p, p
+    # shard shuffle + packing_stats agg + final sort are the only exchanges
+    assert plans.count_exchanges(pack) <= 3, p
+
+    dom = QUERIES["web_domain_cap"](spark, sf_oracle)
+    p = plans.physical_plan(dom)
+    assert "Join" not in p, p
+    assert "Window" in p, p
+
+    sem = QUERIES["dedup_semantic"](spark, sf_oracle)
+    p = plans.physical_plan(sem)
+    assert "FlatMapGroupsInPandas" in p and "MapInPandas" in p, p
+    assert "CartesianProduct" not in p, p
