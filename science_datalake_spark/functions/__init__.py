@@ -51,8 +51,13 @@ def synth_doi(key: Column, suffix: Column) -> Column:
     unify_coverage plan that compounded into a tree Catalyst spent
     ~2.5 s analyzing/optimizing per run (driver CPU, zero cluster work;
     execution itself was 0.06 s). The flat form cut plan-build+optimize
-    ~3× (measured; see BENCH_NOTES)."""
-    m = (key % 4 + 1).cast("int")
+    ~3× (measured; see BENCH_NOTES).
+
+    Defined over NON-NEGATIVE keys (all callers synthesize from row
+    counts / moduli): pmod keeps negative keys total (they cycle through
+    the same four formats) instead of the plain ``%`` form, whose
+    negative remainder made element_at throw INVALID_INDEX_OF_ZERO."""
+    m = (F.pmod(key, F.lit(4)) + 1).cast("int")
     base = F.concat(F.lit("10."), (key + 1000).cast("string"))
     pre = F.element_at(F.lit(["", "https://doi.org/", "HTTPS://DOI.ORG/", "doi.org/"]), m)
     mid = F.element_at(F.lit(["/j.", "/x", "/Y", "/z"]), m)

@@ -521,21 +521,33 @@ def _semantic_dedup_numpy(
     import pandas as pd
 
     cent_rows = sorted(
-        centroids.select("cent_id", "cent_vec").collect(), key=lambda r: r["cent_id"]
+        (
+            r
+            for r in centroids.select("cent_id", "cent_vec").collect()
+            if r["cent_vec"] is not None  # NULL centroid never wins; drop
+        ),
+        key=lambda r: r["cent_id"],
     )
     if not cent_rows:
         raise ValueError("semantic_dedup needs a non-empty centroid codebook")
     cent_ids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     cmat = np.array([list(r["cent_vec"]) for r in cent_rows], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cc = (cmat * cmat).sum(axis=1)
 
     def assign(batches):
         for pdf in batches:
             v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # denominator sqrt(vv*cc) — the SQL/oracle op order, not
+            # sqrt(vv)*sqrt(cc) (last-ulp divergence, review finding)
             with np.errstate(invalid="ignore", divide="ignore"):
-                sims = (v @ cmat.T) / (
-                    np.sqrt((v * v).sum(axis=1, keepdims=True)) * cnorm[None, :]
+                sims = (v @ cmat.T) / np.sqrt(
+                    (v * v).sum(axis=1, keepdims=True) * cc[None, :]
                 )
+            # NaN (zero-norm vector OR degenerate centroid column) must
+            # never win: np.argmax treats NaN as max (review finding) —
+            # map to -inf so the tie falls to the lowest cent_id, like
+            # the SQL engine's nulls-last ordering
+            sims = np.where(np.isnan(sims), -np.inf, sims)
             best = np.argmax(_round_half_away(sims, 6), axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "vec": pdf[vec_col], "bucket": cent_ids[best]}

@@ -170,6 +170,9 @@ def ivf_assign(
     written bucketed/partitioned by ``bucket`` at scale so probes prune
     files."""
     rows = centroids.select("cent_id", "cent_vec").collect()
+    # a NULL centroid vector can never win an assignment (the window
+    # formulation ranked its NULL sim last) — drop it at build time
+    rows = [r for r in rows if r["cent_vec"] is not None]
     if not rows:
         raise ValueError("ivf_assign needs a non-empty centroid codebook")
     # The codebook rides as ONE ROW — array<struct<i,cc,v>> — broadcast
@@ -203,7 +206,13 @@ def ivf_assign(
     def score(cent):
         s = F.round(dot(F.col("__v"), cent["v"]) / F.sqrt(vv * cent["cc"]), 6)
         s = F.when(s == 0.0, F.lit(0.0)).otherwise(s)  # fold -0.0 into 0.0
-        return F.struct((-s).alias("ns"), cent["i"].alias("cent_id"))
+        # NULL sim (NULL input vector / zero-norm division under non-ANSI)
+        # must sort LAST like the window path's desc-nulls-last — a bare
+        # NULL struct field sorts FIRST under array_min and a degenerate
+        # centroid would capture the whole corpus (review finding); NaN
+        # needs no guard (it already sorts greatest)
+        ns = F.coalesce(-s, F.lit(float("inf")))
+        return F.struct(ns.alias("ns"), cent["i"].alias("cent_id"))
 
     best = F.array_min(F.transform(F.col("__codebook"), score))
     return c.select(

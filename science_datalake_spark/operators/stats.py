@@ -156,14 +156,8 @@ def exact_group_quantiles(
         # group to SQL aggregation (the window path ranks it like any
         # other partition), and a plain equi-join would silently drop it
         # — a performance parameter must not change results
-        counts = group_counts.select(
-            *[F.col(k).alias(f"__k_{k}") for k in keys], F.col("__nv").alias("__n")
-        )
-        cond = None
-        for k in keys:
-            c = F.col(k).eqNullSafe(F.col(f"__k_{k}"))
-            cond = c if cond is None else (cond & c)
-        r = r.join(counts, cond).drop(*[f"__k_{k}" for k in keys])
+        counts = group_counts.select(*keys, F.col("__nv").alias("__n"))
+        r = _null_safe_join(r, counts, keys, broadcast=False)
     else:
         desc = Window.partitionBy(*keys).orderBy(F.desc("__v"), F.desc("__uid"))
         r = r.withColumn("__ridx", F.row_number().over(desc) - 1).withColumn(
@@ -228,22 +222,35 @@ def exact_group_quantiles_parallel(
     )
     offs = counts.withColumn("__off", F.coalesce(F.sum("__c").over(ow), F.lit(0)))
     tot = counts.groupBy(*keys).agg(F.sum("__c").alias("__n"))
-
-    def _null_safe_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
-        renamed = right.select(
-            *[F.col(c).alias(f"__r_{c}") for c in on],
-            *[c for c in right.columns if c not in on],
-        )
-        cond = None
-        for c in on:
-            eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        return left.join(F.broadcast(renamed), cond).drop(*[f"__r_{c}" for c in on])
-
-    r = _null_safe_join(r, offs.select("__pid", *keys, "__off"), ["__pid", *keys])
-    r = _null_safe_join(r, tot, keys)
+    # fold the per-group total INTO the offsets frame first (tiny×tiny)
+    # so the corpus side is probed by ONE broadcast join, not two
+    side = _null_safe_join(
+        offs.select("__pid", *keys, "__off"), tot, keys, broadcast=False
+    )
+    r = _null_safe_join(r, side, ["__pid", *keys])
     r = r.withColumn("__idx", F.col("__lidx") + F.col("__off"))
     return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
+
+
+def _null_safe_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], broadcast: bool = True
+) -> DataFrame:
+    """Equi-join where NULL join keys MATCH (eqNullSafe on every key) —
+    a NULL group key is a real group to SQL aggregation, and a plain
+    equi-join would silently drop it. ``broadcast`` force-broadcasts the
+    right side (leave False to let Catalyst/AQE choose when the right
+    side may be large)."""
+    renamed = right.select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        *[c for c in right.columns if c not in on],
+    )
+    if broadcast:
+        renamed = F.broadcast(renamed)
+    cond = None
+    for c in on:
+        eq = F.col(c).eqNullSafe(F.col(f"__r_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    return left.join(renamed, cond).drop(*[f"__r_{c}" for c in on])
 
 
 def _quantile_contrib_aggs(quantiles: Sequence[float], out_names: Sequence[str]) -> list:

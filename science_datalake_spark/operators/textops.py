@@ -210,3 +210,42 @@ def quality_gate(
         "reject_reason": reason,
         "keep": reason.isNull(),
     }
+
+
+def chunk_text(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+) -> "DataFrame":
+    """Overlapping fixed-width character chunks — the RAG/embedding prep
+    slicer (long documents must be cut to the encoder's context window;
+    overlap keeps boundary-straddling content retrievable). One row per
+    chunk: (id, chunk_idx, chunk_start, chunk).
+
+    Pure codegen: sequence() enumerates 1-based start offsets at stride
+    ``chunk_chars - overlap``, posexplode emits chunks row-at-a-time —
+    the expansion streams through the generator, no arrays of chunks are
+    ever materialized per document, no UDF, no shuffle. NULL/empty texts
+    produce no chunks (filter before the explode, so the generator input
+    is never NULL).
+
+    Scale: map-only. Feed the output straight to the embedding seam
+    (operators/embedding.py) or dedup — chunk_start makes the chunk id
+    (doc id, start) stable under re-chunking with the same parameters.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    starts = F.sequence(F.lit(1), F.length(F.col(text_col)), F.lit(step))
+    return (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col), F.col(text_col), F.posexplode(starts).alias("chunk_idx", "__s"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("__s").alias("chunk_start"),
+            F.substring(F.col(text_col), F.col("__s"), chunk_chars).alias("chunk"),
+        )
+    )

@@ -46,12 +46,14 @@ def normalize_url(url: Column) -> Column:
     """Canonical dedup key for URL-level exact dedup: lowercased
     www-stripped host + path with query/fragment and any trailing ``/``
     removed. Two spellings of the same page (scheme case, www, tracking
-    params, trailing slash) collapse to one key."""
+    params, trailing slash) collapse to one key. The host half IS
+    ``url_host`` (shared expression, not a re-implementation — the
+    dedup key and ``domain_cap``'s domains must agree on what a host
+    is)."""
     rest = F.regexp_replace(url, _SCHEME, "")
     rest = F.regexp_replace(rest, "[#?].*$", "")
-    host = F.regexp_replace(F.lower(F.regexp_extract(rest, "^([^/]+)", 1)), r"^www\.", "")
     path = F.regexp_replace(F.regexp_replace(rest, "^[^/]+", ""), "/+$", "")
-    return F.concat(host, path)
+    return F.concat(url_host(url), path)
 
 
 def domain_cap(

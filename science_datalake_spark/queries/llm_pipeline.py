@@ -882,6 +882,30 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_rag",
+    aux=True,
+    oracle="""
+    SELECT doc_id,
+           CAST(floor((gs.i - 1) / 100) AS INTEGER) AS chunk_idx,
+           CAST(gs.i AS INTEGER) AS chunk_start,
+           substr(text, CAST(gs.i AS INTEGER), 120) AS chunk
+    FROM documents, LATERAL unnest(generate_series(1, len(text), 100)) gs(i)
+    WHERE len(text) > 0
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def text_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: 120-char chunks with 20-char overlap (stride
+    100) over every document — the map-only generator pipeline feeding
+    the embedding seam (operators/textops.chunk_text); chunk_start keys
+    chunks stably for downstream dedup."""
+    d = table(spark, sf_dir, "documents")
+    return T.chunk_text(d, "doc_id", "text", chunk_chars=120, overlap=20).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
     "web_domain_cap",
     # promoted to the driver registry mid-round-5 (new-op driver evidence)
     oracle="""

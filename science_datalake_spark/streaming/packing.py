@@ -27,14 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
 
-PACK_OUTPUT = StructType(
-    [
-        StructField("shard", LongType()),
-        StructField("doc_id", LongType()),
-        StructField("tok", LongType()),
-        StructField("bin", LongType()),
-    ]
-)
+from science_datalake_spark.operators.packing import greedy_fill
 
 #: (next bin id, fill of the open bin)
 PACK_STATE = StructType(
@@ -48,25 +41,15 @@ def _make_pack_fn(tokens_col: str, budget: int, order_cols: Sequence[str]):
     def pack_group(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        shard = key[0]
         rows = pd.concat(list(pdfs)).sort_values(order, kind="mergesort")
         b, fill = state.get if state.exists else (0, 0)
-        bins: list[int] = []
-        for t in rows[tokens_col]:
-            t = 0 if t is None or t != t else int(t)
-            if fill > 0 and fill + t > budget:
-                b, fill = b + 1, 0
-            fill += t
-            bins.append(b)
+        # the SAME first-fit loop as the batch packer — the stream ==
+        # batch-twin guarantee depends on sharing it, not copying it
+        bins, b, fill = greedy_fill(rows[tokens_col], budget, b, fill)
         state.update((b, fill))
-        yield pd.DataFrame(
-            {
-                "shard": shard,
-                "doc_id": rows["doc_id"].to_numpy(),
-                "tok": rows[tokens_col].fillna(0).astype("int64").to_numpy(),
-                "bin": bins,
-            }
-        )
+        rows = rows.reset_index(drop=True)
+        rows["bin"] = bins
+        yield rows
 
     return pack_group
 
@@ -75,14 +58,20 @@ def pack_stream(
     stream: DataFrame,
     tokens_col: str = "tok",
     budget: int = 256,
+    shard_col: str = "shard",
     order_cols: Sequence[str] = ("doc_id",),
 ) -> DataFrame:
-    """Append-mode packed assignments for a (shard, doc_id, tok) stream.
-    Every arriving document is emitted exactly once with its bin id; the
-    open bin's fill persists in state."""
-    return stream.groupBy("shard").applyInPandasWithState(
+    """Append-mode packed assignments: every arriving row is emitted
+    exactly once, with all its input columns plus ``bin``; the open
+    bin's fill persists in state per ``shard_col`` group. Column names
+    are honored, mirroring the batch packer's signature (the output
+    schema derives from the stream's own schema)."""
+    out_schema = StructType(
+        list(stream.schema.fields) + [StructField("bin", LongType())]
+    )
+    return stream.groupBy(shard_col).applyInPandasWithState(
         _make_pack_fn(tokens_col, budget, order_cols),
-        outputStructType=PACK_OUTPUT,
+        outputStructType=out_schema,
         stateStructType=PACK_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

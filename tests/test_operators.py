@@ -867,3 +867,72 @@ def test_exact_group_quantiles_parallel_matches_window_path(spark):
     for k in want:
         for a, b in zip(got[k], want[k]):
             assert abs(a - b) < 1e-9, (k, got[k], want[k])
+
+
+def test_ivf_assign_degenerate_centroid_never_captures(spark):
+    """A zero-norm (or NULL) centroid yields NULL/NaN cosine for every
+    vector; it must rank LAST (the window formulation's desc-nulls-last),
+    never capture the corpus — regression for the array_min NULL-struct
+    ordering bug in both the SQL expression path and the numpy engine."""
+    from science_datalake_spark.operators.dedup import semantic_dedup
+    from science_datalake_spark.operators.similarity import ivf_assign
+    from science_datalake_spark.util import local_df
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = local_df(
+        spark,
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None)],
+        "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
+    )
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in ivf_assign(corpus, cents, "vec_id", "embedding").collect()
+    }
+    assert got == {1: 1, 2: 2}, got
+
+    for engine in ("numpy", "sql"):
+        sem = {
+            r["vec_id"]: r["bucket"]
+            for r in semantic_dedup(
+                corpus, "vec_id", "embedding", cents, 0.9, engine=engine
+            ).collect()
+        }
+        assert sem == {1: 1, 2: 2}, (engine, sem)
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    """chunk_text: overlap reconstructs the document (each chunk's first
+    `overlap` chars == previous chunk's last `overlap` chars), short docs
+    yield one chunk, empty/NULL docs yield none, and the plan stays
+    map-only (no Exchange)."""
+    from science_datalake_spark.operators.textops import chunk_text
+
+    rows = [
+        (1, "abcdefghijklmnopqrstuvwxyz"),  # 26 chars → chunks at 1, 11, 21
+        (2, "short"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = chunk_text(df, "doc_id", "text", chunk_chars=12, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0): (1, "abcdefghijkl"),
+        (1, 1): (11, "klmnopqrstuv"),
+        (1, 2): (21, "uvwxyz"),
+        (2, 0): (1, "short"),
+    }, got
+    # consecutive chunks overlap by exactly `overlap` chars
+    assert got[(1, 0)][1][-2:] == got[(1, 1)][1][:2]
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_text(df, "doc_id", "text", chunk_chars=10, overlap=10)
