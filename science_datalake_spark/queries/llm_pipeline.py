@@ -882,6 +882,83 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_pack_contiguous",
+    aux=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, doc_id % 64 AS shard,
+               coalesce(len(regexp_split_to_array(trim(text), '\\s+')), 0) AS tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT shard, doc_id, tok,
+               coalesce(sum(tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        FROM toks
+    )
+    SELECT shard, CAST(floor(bef / 256) AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM cum
+    GROUP BY shard, bin
+    ORDER BY shard, bin
+    """,
+)
+def corpus_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concat-and-split packing accounting (GPT-style pretraining
+    cuts the concatenated token stream every 256 tokens; documents may
+    straddle cuts) — pure running-frame window cumsum
+    (operators/packing.pack_contiguous), the native sibling of the
+    stateful greedy packer."""
+    from science_datalake_spark.operators.packing import (
+        pack_contiguous,
+        packing_stats,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("shard"),
+        F.coalesce(F.size(F.split(F.trim(F.col("text")), r"\s+")), F.lit(0)).alias(
+            "tok"
+        ),
+    )
+    packed = pack_contiguous(d, "tok", 256, "shard", ["doc_id"])
+    return packing_stats(packed, "tok", "shard").orderBy("shard", "bin")
+
+
+@query(
+    "text_vocab_zipf",
+    aux=True,
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_WORDS_LOWER}) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
+    SELECT tok, n,
+           CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank
+    FROM vocab
+    ORDER BY rank
+    LIMIT 30
+    """,
+)
+def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head (top-30 terms by frequency with Zipf rank)
+    — the vocabulary-health check run before tokenizer training; one
+    explode + one groupBy + TakeOrdered."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "tok")
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(30)
+    )
+
+
+@query(
     "text_chunk_rag",
     aux=True,
     oracle="""
