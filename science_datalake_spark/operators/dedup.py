@@ -94,6 +94,10 @@ def with_word_ngrams(df: DataFrame, text_col: str, n: int = 3, out: str = "ng") 
     concat_ws(' ', slice(words, i, n)))`` allocates a fresh n-element
     array PER ELEMENT and ran 3.4× slower on the same corpus (3.0s →
     0.9s at sf0.1) — per-element slice allocation is the whole gap.
+    (Round-5 re-measure: in a NON-repartitioned single-task explode the
+    ranking briefly inverted, but with the _spread repartition every
+    real consumer uses, zip_with stayed 2.5-3× faster; both forms emit
+    identical strings, so a future swap is oracle-invisible either way.)
     """
     df = df.withColumn("__words", F.split(F.trim(F.col(text_col)), r"\s+"))
     cnt = f"(size(__words) - {n - 1})"
