@@ -149,6 +149,10 @@ def _register_convenience_views(spark: SparkSession, present: set[str]) -> None:
 
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+#: operator declaration of events.ts's physical shape for stores whose
+#: Parquet footer the driver cannot probe (values: nanos | ntz | tz | absent)
+EVENTS_TS_KIND_ENV = "SPARK_GRAFT_EVENTS_TS_KIND"
+
 
 def _events_ts_kind(path: str) -> str:
     """Classify the physical type of ``events.ts`` from the Parquet footer.
@@ -160,8 +164,10 @@ def _events_ts_kind(path: str) -> str:
     UTC-adjusted micros (``'tz'``). ``'absent'`` = no such column / not a
     timestamp; callers then leave the frame untouched. ``'unknown'`` = the
     footer could not be probed (e.g. a remote URI whose filesystem pyarrow
-    cannot reach from the driver); callers must fall back to the tolerant
-    read path rather than assuming the column is well-shaped.
+    cannot reach from the driver); ``table()`` then reads tolerantly and —
+    if the column comes back as ambiguous int64 — refuses to guess between
+    nanos and epoch-micros (a 1000× misscale either way) unless the
+    operator declares the shape via ``EVENTS_TS_KIND_ENV``.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -251,20 +257,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     kind = _events_ts_kind(path) if name == "events" else "absent"
+    if kind == "unknown":
+        # unprobeable remote footer: the operator may declare the shape
+        # explicitly instead of the engine guessing (see the bigint
+        # branch below for why guessing is unsafe)
+        override = os.environ.get(EVENTS_TS_KIND_ENV, "").strip().lower()
+        if override in ("nanos", "ntz", "tz", "absent"):
+            kind = override
     if kind in ("nanos", "unknown"):
-        # 'unknown' (unprobeable remote footer) takes the same defensive
-        # path: the conf only changes how NANOS columns are decoded, and
-        # the normalization below keys on the OBSERVED dtype, so micros /
-        # ntz files read under it come out identical.
+        # the conf is needed to even READ a nanos file (Spark errors on
+        # TIMESTAMP(NANOS) otherwise); it only changes how NANOS columns
+        # decode, so micros/ntz files read under it come out identical
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events":
         dt = dict(df.dtypes).get("ts")
-        if dt == "bigint" and kind in ("nanos", "unknown"):
-            # only a footer-proved (or unprobeable-remote) nanos column is
+        if dt == "bigint" and kind == "nanos":
+            # only a footer-proved (or operator-declared) nanos column is
             # epoch-nanos; a PLAIN int64 ts ('absent' kind) stays bigint —
             # normalizing it would silently misscale epoch-micros by 1000
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "bigint" and kind == "unknown":
+            # ambiguous: an int64 ts under an unprobeable footer is either
+            # TIMESTAMP(NANOS) (needs DIV 1000) or plain epoch-micros
+            # (must NOT be divided) — guessing either way silently
+            # misscales one of them 1000x, so fail loud with remediation
+            raise ValueError(
+                f"events.ts at {path} reads as int64 but the Parquet footer "
+                "could not be probed from the driver, so the physical shape "
+                "(TIMESTAMP(NANOS) vs plain epoch-micros int64) is unknown. "
+                f"Declare it via {EVENTS_TS_KIND_ENV}=nanos (normalize) or "
+                f"{EVENTS_TS_KIND_ENV}=absent (leave as bigint)."
+            )
         elif dt == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _TABLE_CACHE[key] = df

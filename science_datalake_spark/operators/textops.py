@@ -195,13 +195,15 @@ def quality_gate(
     n = token_count(text)
     dup_bi = dup_bigram_fraction(text)
     stop = stopword_ratio(text)
-    lang = predict_lang(text, threshold=lang_threshold)
     reason = (
         F.when(n < min_tokens, "too_short")
         .when(n > max_tokens, "too_long")
         .when(dup_bi > max_dup_bigram, "repetitive")
         .when(stop < min_stopword, "low_stopword")
-        .when(lang != "en", "non_english")
+        # == predict_lang(text, lang_threshold) != "en", expressed on the
+        # stop ratio ALREADY computed above (predict_lang would re-derive
+        # the whole tokens()+stopword subtree — review finding)
+        .when(stop < lang_threshold, "non_english")
     )
     return {
         "n_tokens": n,

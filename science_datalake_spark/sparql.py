@@ -469,10 +469,14 @@ def _filter_column(ast, columns: set[str]) -> Column:
 def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     """Evaluate one group graph pattern to a DataFrame of variable columns."""
 
-    def pattern_df(s: _Term, p: _Term, o: _Term) -> DataFrame:
-        df = triples
+    def bind_endpoints(df: DataFrame, slots: list[tuple[str, _Term]]) -> DataFrame:
+        """Shared endpoint binding for triple patterns AND property paths:
+        variables project-and-rename, a repeated variable becomes an
+        equality filter, constants filter in place (lang-tagged literal
+        constants additionally filter on ``lang``). One source of truth —
+        a semantics fix here reaches both callers (review finding)."""
         rename: dict[str, str] = {}
-        for pos, t in (("s", s), ("p", p), ("o", o)):
+        for pos, t in slots:
             if t.kind == "var":
                 if t.value in rename.values():
                     prev = next(c for c, v in rename.items() if v == t.value)
@@ -481,9 +485,14 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     rename[pos] = t.value
             else:
                 df = df.filter(F.col(pos) == t.value)
-                if t.kind == "lit" and t.lang is not None:
+                # lang filter only where the relation carries it (the
+                # closure pair relation of a property path does not)
+                if t.kind == "lit" and t.lang is not None and "lang" in df.columns:
                     df = df.filter(F.col("lang") == t.lang)
         return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
+
+    def pattern_df(s: _Term, p: _Term, o: _Term) -> DataFrame:
+        return bind_endpoints(triples, [("s", s), ("p", p), ("o", o)])
 
     def path_df(s: _Term, path: _Path, o: _Term) -> DataFrame:
         """``s pred*/pred+ o`` → a two-column relation of endpoint pairs.
@@ -540,18 +549,7 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                 const = s.value if s.kind != "var" else o.value
                 zero = local_df(spark, [(const, const)], "a STRING, d STRING")
             pairs = pairs.unionByName(zero).distinct()
-        df = pairs
-        rename: dict[str, str] = {}
-        for pos, t in (("a", s), ("d", o)):
-            if t.kind == "var":
-                if t.value in rename.values():
-                    prev = next(c for c, v in rename.items() if v == t.value)
-                    df = df.filter(F.col(pos) == F.col(prev))
-                else:
-                    rename[pos] = t.value
-            else:
-                df = df.filter(F.col(pos) == t.value)
-        return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
+        return bind_endpoints(pairs, [("a", s), ("d", o)])
 
     def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:
@@ -628,7 +626,12 @@ def write_triple_store(triples: DataFrame, path: str) -> None:
 def read_triple_store(spark: SparkSession, path: str) -> DataFrame:
     """Load a write_triple_store layout back as the (s, p, o, lang)
     relation sparql_select consumes. The partition column comes back as
-    ``p`` (string); constant-predicate patterns prune to directories."""
+    ``p`` (string); constant-predicate patterns prune to directories.
+    A plain (s, p, o) triples parquet — no lang-tagged literals — is
+    padded with a NULL lang column instead of rejected (the CLI accepted
+    such files before the store layout existed; review finding)."""
     df = spark.read.parquet(path)
+    if "lang" not in df.columns:
+        df = df.withColumn("lang", F.lit(None).cast("string"))
     # partition values decode as strings already; normalize column order
     return df.select("s", "p", "o", "lang")

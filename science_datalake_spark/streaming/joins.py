@@ -81,7 +81,8 @@ def view_click_attribution(
 ) -> DataFrame:
     """Attribution over ONE event stream split by type: each view joined to
     the clicks the same user made within ``max_delay`` after it. Returns
-    (user_id, view_id, view_ts, click_id, click_ts, delay_s)."""
+    (user_id, view_id, view_ts, click_id, click_ts, delay_us) — the delay
+    is MICROseconds (unix_micros difference)."""
     views = events.filter(F.col("event_type") == "view").select(
         "user_id", "ts", F.col("event_id").alias("view_id")
     )

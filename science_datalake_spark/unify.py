@@ -226,15 +226,23 @@ def build_unified_papers_grouped(
     reference-shaped implementation (W1 pattern); this is the plan to
     reach for when the fan-in dominates a pipeline.
     """
-    _MAX = F.lit(2**62).cast("long")
-
     def _ord(cite: str, ident: str) -> F.Column:
-        # the citation widens to long (order-preserving for any numeric
-        # input); the id keeps its NATIVE type — casting a numeric id to
-        # string would order "10" before "9" and silently diverge from
-        # the windowed build's asc(id)
+        # encodes desc_nulls_last(citation), asc(id) as an ASCENDING
+        # struct: a null flag field first (nulls rank last, no sentinel
+        # value that a real citation could collide with), then the
+        # NEGATED citation as DOUBLE — double, not long: a long cast
+        # truncates fractional citation metrics and could pick a
+        # different top-1 row than the windowed build (review finding;
+        # doubles are exact for integer citations < 2^53, far beyond any
+        # real citation count). NaN citations map to -inf so they rank
+        # FIRST like the windowed desc ordering (NaN > all doubles).
+        # The id keeps its NATIVE type — casting a numeric id to string
+        # would order "10" before "9" and silently diverge from asc(id).
+        cd = F.col(cite).cast("double")
+        c = F.when(F.isnan(cd), F.lit(float("-inf"))).otherwise(-cd)
         return F.struct(
-            F.coalesce(-F.col(cite).cast("long"), _MAX).alias("c"),
+            F.when(F.col(cite).isNull(), 1).otherwise(0).alias("n"),
+            c.alias("c"),
             F.col(ident).alias("i"),
         )
 

@@ -201,3 +201,39 @@ def test_plain_int64_ts_stays_bigint(spark, tmp_path):
         1_700_000_000_000_000,
         1_700_000_001_500_000,
     ]
+
+
+def test_unknown_ts_kind_int64_raises_unless_declared(spark, tmp_path, monkeypatch):
+    """'unknown' (unprobeable footer) + int64 ts is AMBIGUOUS — nanos vs
+    plain epoch-micros differ 1000x — so table() must refuse to guess:
+    descriptive error naming the declaration env var; with the shape
+    declared, each declaration behaves like its footer-proved twin."""
+    import pyarrow as pa
+    import pytest
+
+    import science_datalake_spark.catalog as cat
+
+    nanos_dir = _write_events(
+        tmp_path, "unk_nanos_sf", pa.timestamp("ns"), [1_700_000_000_000_000_000]
+    )
+    monkeypatch.setattr(cat, "_events_ts_kind", lambda path: "unknown")
+    cat._TABLE_CACHE.clear()
+    with pytest.raises(ValueError, match=cat.EVENTS_TS_KIND_ENV):
+        cat.table(spark, nanos_dir, "events")
+
+    monkeypatch.setenv(cat.EVENTS_TS_KIND_ENV, "nanos")
+    cat._TABLE_CACHE.clear()
+    df = cat.table(spark, nanos_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.select(F.unix_micros("ts")).first()[0] == 1_700_000_000_000_000
+
+    # a plain-int64 micros file under declared 'absent' stays bigint
+    plain_dir = _write_events(
+        tmp_path, "unk_plain_sf", pa.int64(), [1_700_000_000_000_000]
+    )
+    monkeypatch.setenv(cat.EVENTS_TS_KIND_ENV, "absent")
+    cat._TABLE_CACHE.clear()
+    df2 = cat.table(spark, plain_dir, "events")
+    assert dict(df2.dtypes)["ts"] == "bigint"
+    assert df2.select("ts").first()[0] == 1_700_000_000_000_000
+    cat._TABLE_CACHE.clear()

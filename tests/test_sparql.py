@@ -415,3 +415,22 @@ def test_cli_sparql_over_triple_store(spark, tmp_path, capsys):
     rc = main(["sparql", store, f"SELECT ?c WHERE {{ ?c <{B}> ?p }}"])
     out = capsys.readouterr().out
     assert rc == 0 and "e/dl" in out
+
+
+def test_read_triple_store_pads_missing_lang(spark, tmp_path):
+    """A plain (s,p,o) triples parquet — no lang column — must load with
+    a NULL lang pad instead of failing (the CLI accepted such files
+    before the partitioned store layout existed — review finding)."""
+    from science_datalake_spark.sparql import read_triple_store, sparql_select
+
+    p = str(tmp_path / "sopo.parquet")
+    spark.createDataFrame(
+        [("ex:a", "ex:knows", "ex:b"), ("ex:b", "ex:knows", "ex:c")],
+        "s STRING, p STRING, o STRING",
+    ).write.parquet(p)
+    triples = read_triple_store(spark, p)
+    assert triples.columns == ["s", "p", "o", "lang"]
+    rows = sparql_select(
+        triples, "SELECT ?x ?y WHERE { ?x <ex:knows> ?y }"
+    ).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {("ex:a", "ex:b"), ("ex:b", "ex:c")}

@@ -137,3 +137,45 @@ def test_grouped_build_equals_windowed_build(spark):
     a0 = build_unified_papers(oa, s2, sci)
     b0 = build_unified_papers_grouped(oa, s2, sci)
     assert sorted(map(tuple, a0.collect())) == sorted(map(tuple, b0.collect()))
+
+
+def test_grouped_build_handles_fractional_citations(spark):
+    """The grouped build's argmin order key must NOT truncate fractional
+    citation metrics (a long cast tied 10.9 with 10.2 and let the id
+    tie-break pick the WRONG top-1 row — review finding): with
+    DOUBLE-typed citations both builds must keep the 10.9 row."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.unify import (
+        build_unified_papers,
+        build_unified_papers_grouped,
+    )
+
+    def src_oa(rows):
+        return spark.createDataFrame(
+            rows,
+            "id STRING, doi STRING, title STRING, publication_year INT, "
+            "cited_by_count DOUBLE, is_retracted BOOLEAN",
+        )
+
+    oa = src_oa(
+        [
+            ("B", "10.1/x", "t", 2020, 10.9, False),
+            ("A", "10.1/x", "t", 2020, 10.2, False),
+            ("C", "10.2/y", "t", 2021, None, False),  # null citation ranks last
+            ("D", "10.2/y", "t", 2021, 1.0, False),
+        ]
+    )
+    s2 = spark.createDataFrame(
+        [(1, ("10.1/x",), "t", 2020, 5)],
+        "corpusid LONG, externalids STRUCT<DOI:STRING>, title STRING, year INT, citationcount LONG",
+    )
+    sci = spark.createDataFrame(
+        [("P1", "10.1/x", 3, "0.5")],
+        "paperid STRING, doi STRING, citation_count LONG, disruption STRING",
+    )
+    a = build_unified_papers(oa, s2, sci)
+    b = build_unified_papers_grouped(oa, s2, sci)
+    wa = {r["doi"]: r["openalex_id"] for r in a.collect()}
+    wb = {r["doi"]: r["openalex_id"] for r in b.collect()}
+    assert wa == wb == {"10.1/x": "B", "10.2/y": "D"}, (wa, wb)
