@@ -1243,3 +1243,117 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_funnel",
+    aux=True,
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_click_after_view,
+           (SELECT count(*) FROM s3) AS n_purchase_after_click,
+           CAST(round((SELECT count(*) FROM s3) * 1.0
+                 / (SELECT count(*) FROM s1), 4) AS DOUBLE) AS conversion
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each step counts users
+    whose first step-N event happens strictly AFTER their first step-N-1
+    event — the sequential-pattern OLAP staple. Three cascaded
+    min-aggregations + semi-join-shaped equi-joins on user_id (the key
+    every stage shares, so the shuffles co-locate); no window, no UDF."""
+    e = table(spark, sf_dir, "events")
+    s1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+    return counts.select(
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.round(
+            F.col("n_purchase_after_click") * F.lit(1.0) / F.col("n_view"), 4
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    aux=True,
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS INTEGER)
+               AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity week,
+    counted in each subsequent week they stay active — the product-
+    analytics staple. Two aggregations + one user-keyed join; the
+    countDistinct at (cohort, offset) grain is the only expand."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (F.unix_seconds(F.col("wk")) - F.unix_seconds(F.col("cohort")))
+                / F.lit(604800)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
