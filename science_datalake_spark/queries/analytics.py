@@ -1357,3 +1357,66 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Fixed-iteration power iteration unrolled as CTE stages (DuckDB
+    disallows aggregation in a recursive CTE member; with the iteration
+    count fixed, unrolling IS the natural relational form)."""
+    stages = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        stages.append(
+            f"""c{i} AS (
+        SELECT e.dst AS node, sum(r.rank / deg.d) AS c
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ),
+    r{i} AS (
+        SELECT nodes.node,
+               round(0.15 / nn.n + 0.85 * coalesce(c{i}.c, 0), 9) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN c{i} ON c{i}.node = nodes.node
+    )"""
+        )
+    body = ",\n    ".join(stages)
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {body}
+    SELECT node, CAST(round(rank, 6) AS DOUBLE) AS pagerank
+    FROM r{iters}
+    ORDER BY pagerank DESC, node
+    LIMIT 20
+    """
+
+
+@query("graph_pagerank", aux=True, oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part→supplier co-purchase graph (3 power
+    iterations, damping 0.85, per-iteration round-9 so the DuckDB
+    unrolled twin iterates on identical inputs): the citation-impact
+    ranking pattern as a pure DataFrame loop
+    (operators/graph.pagerank)."""
+    from science_datalake_spark.operators.graph import pagerank
+
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    )
+    pr = pagerank(edges, iters=3, damping=0.85, iter_round=9)
+    return (
+        pr.select("node", F.round(F.col("rank"), 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(20)
+    )

@@ -936,3 +936,31 @@ def test_chunk_text_overlap_and_edges(spark):
 
     with pytest.raises(ValueError):
         chunk_text(df, "doc_id", "text", chunk_chars=10, overlap=10)
+
+
+def test_pagerank_matches_python_mirror(spark):
+    """pagerank vs a plain-python power-iteration mirror on a small graph
+    (same simplified dangling semantics: leaked mass is not
+    redistributed), including a dangling-IN node and a sink node."""
+    from science_datalake_spark.operators.graph import pagerank
+
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    # 'd' has no in-edges; no sink-free guarantee needed — all nodes here
+    # have out-edges except none (every node with edges out appears in E)
+    df = spark.createDataFrame(E, "src STRING, dst STRING")
+    iters, d = 4, 0.85
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters, damping=d).collect()}
+
+    nodes = sorted({x for e in E for x in e})
+    out = {}
+    for s, _ in E:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for s, t in E:
+            contrib[t] += rank[s] / out[s]
+        rank = {n: (1 - d) / len(nodes) + d * contrib[n] for n in nodes}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
