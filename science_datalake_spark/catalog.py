@@ -264,6 +264,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         override = os.environ.get(EVENTS_TS_KIND_ENV, "").strip().lower()
         if override in ("nanos", "ntz", "tz", "absent"):
             kind = override
+        elif override:
+            # a typo'd declaration must not silently fall through to the
+            # ambiguity error that tells the operator to set the very
+            # variable they believe they already set
+            raise ValueError(
+                f"{EVENTS_TS_KIND_ENV}={override!r} is not a recognized "
+                "events.ts shape; use one of: nanos, ntz, tz, absent"
+            )
     if kind in ("nanos", "unknown"):
         # the conf is needed to even READ a nanos file (Spark errors on
         # TIMESTAMP(NANOS) otherwise); it only changes how NANOS columns

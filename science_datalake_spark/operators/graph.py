@@ -350,6 +350,7 @@ def pagerank(
     damping: float = 0.85,
     iter_round: int | None = None,
     checkpoint_every: int = 5,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """PageRank by power iteration — the second iterative graph workload
     beside connected_components (citation-impact ranking over a 100 TB
@@ -372,8 +373,17 @@ def pagerank(
     then cannot accumulate across iterations. ``checkpoint_every``
     truncates lineage with a localCheckpoint every N rounds (the plan
     doubles per iteration otherwise; same discipline as
-    connected_components)."""
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    connected_components).
+
+    ``dedup_edges=True`` (default) treats the input as a SIMPLE graph —
+    repeated (src, dst) rows collapse to one edge. A citation MULTIGRAPH
+    where multiplicity should weight the contribution (cited 100× by one
+    paper ≠ cited once) passes ``dedup_edges=False``: duplicate rows then
+    each contribute rank/out_degree, which IS integer edge weighting
+    (out-degree counts duplicates too)."""
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    if dedup_edges:
+        e = e.distinct()
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))

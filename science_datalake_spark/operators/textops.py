@@ -202,8 +202,11 @@ def quality_gate(
         .when(stop < min_stopword, "low_stopword")
         # == predict_lang(text, lang_threshold) != "en", expressed on the
         # stop ratio ALREADY computed above (predict_lang would re-derive
-        # the whole tokens()+stopword subtree — review finding)
-        .when(stop < lang_threshold, "non_english")
+        # the whole tokens()+stopword subtree — review finding). The
+        # isNull leg preserves predict_lang's NULL-text behavior (NULL
+        # ratio → 'other' → reject) even under ANSI mode, where the
+        # length rules never fire on NULL
+        .when(stop.isNull() | (stop < lang_threshold), "non_english")
     )
     return {
         "n_tokens": n,

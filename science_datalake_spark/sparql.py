@@ -469,12 +469,17 @@ def _filter_column(ast, columns: set[str]) -> Column:
 def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     """Evaluate one group graph pattern to a DataFrame of variable columns."""
 
-    def bind_endpoints(df: DataFrame, slots: list[tuple[str, _Term]]) -> DataFrame:
+    def bind_endpoints(
+        df: DataFrame, slots: list[tuple[str, _Term]], lang_applicable: bool
+    ) -> DataFrame:
         """Shared endpoint binding for triple patterns AND property paths:
         variables project-and-rename, a repeated variable becomes an
-        equality filter, constants filter in place (lang-tagged literal
-        constants additionally filter on ``lang``). One source of truth —
-        a semantics fix here reaches both callers (review finding)."""
+        equality filter, constants filter in place. ``lang_applicable``:
+        triple patterns filter lang-tagged literal constants on the
+        relation's ``lang`` column (a missing column fails LOUD, as a
+        malformed triples input should); a property path's closure pair
+        relation has no lang notion, so path endpoints keep the original
+        value-only match."""
         rename: dict[str, str] = {}
         for pos, t in slots:
             if t.kind == "var":
@@ -485,14 +490,14 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     rename[pos] = t.value
             else:
                 df = df.filter(F.col(pos) == t.value)
-                # lang filter only where the relation carries it (the
-                # closure pair relation of a property path does not)
-                if t.kind == "lit" and t.lang is not None and "lang" in df.columns:
+                if t.kind == "lit" and t.lang is not None and lang_applicable:
                     df = df.filter(F.col("lang") == t.lang)
         return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
 
     def pattern_df(s: _Term, p: _Term, o: _Term) -> DataFrame:
-        return bind_endpoints(triples, [("s", s), ("p", p), ("o", o)])
+        return bind_endpoints(
+            triples, [("s", s), ("p", p), ("o", o)], lang_applicable=True
+        )
 
     def path_df(s: _Term, path: _Path, o: _Term) -> DataFrame:
         """``s pred*/pred+ o`` → a two-column relation of endpoint pairs.
@@ -549,7 +554,7 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                 const = s.value if s.kind != "var" else o.value
                 zero = local_df(spark, [(const, const)], "a STRING, d STRING")
             pairs = pairs.unionByName(zero).distinct()
-        return bind_endpoints(pairs, [("a", s), ("d", o)])
+        return bind_endpoints(pairs, [("a", s), ("d", o)], lang_applicable=False)
 
     def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:

@@ -216,7 +216,8 @@ def build_unified_papers_grouped(
     top-1-by-citation row as ``min_by(struct(cols), order_key)`` — the
     argmin aggregate replaces three window sorts, the spine distinct, and
     three fan-in joins. ``order_key`` encodes ``desc_nulls_last(citation),
-    asc(id)`` as an ascending struct ``(null→2^62 else -citation, id)``;
+    asc(id)`` as an ascending struct ``(null_flag, nan_flag,
+    -citation_as_double, id)`` — see ``_ord`` for why each field exists;
     rows from other sources carry a NULL order key, which min_by ignores,
     so absence falls out as a NULL struct exactly like a left join.
 
@@ -228,21 +229,23 @@ def build_unified_papers_grouped(
     """
     def _ord(cite: str, ident: str) -> F.Column:
         # encodes desc_nulls_last(citation), asc(id) as an ASCENDING
-        # struct: a null flag field first (nulls rank last, no sentinel
-        # value that a real citation could collide with), then the
-        # NEGATED citation as DOUBLE — double, not long: a long cast
-        # truncates fractional citation metrics and could pick a
+        # struct: a null flag first (nulls rank last, no sentinel value a
+        # real citation could collide with), then a NaN class flag (the
+        # windowed desc order ranks NaN strictly ABOVE +inf, and no
+        # double can sort below -inf, so NaN gets its own leading field
+        # instead of a -inf sentinel that +inf citations would tie with),
+        # then the NEGATED citation as DOUBLE — double, not long: a long
+        # cast truncates fractional citation metrics and could pick a
         # different top-1 row than the windowed build (review finding;
         # doubles are exact for integer citations < 2^53, far beyond any
-        # real citation count). NaN citations map to -inf so they rank
-        # FIRST like the windowed desc ordering (NaN > all doubles).
-        # The id keeps its NATIVE type — casting a numeric id to string
-        # would order "10" before "9" and silently diverge from asc(id).
+        # real citation count). The id keeps its NATIVE type — casting a
+        # numeric id to string would order "10" before "9" and silently
+        # diverge from asc(id).
         cd = F.col(cite).cast("double")
-        c = F.when(F.isnan(cd), F.lit(float("-inf"))).otherwise(-cd)
         return F.struct(
             F.when(F.col(cite).isNull(), 1).otherwise(0).alias("n"),
-            c.alias("c"),
+            F.when(F.isnan(cd), 0).otherwise(1).alias("nanc"),
+            F.when(F.isnan(cd), F.lit(0.0)).otherwise(-cd).alias("c"),
             F.col(ident).alias("i"),
         )
 

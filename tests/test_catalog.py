@@ -236,4 +236,13 @@ def test_unknown_ts_kind_int64_raises_unless_declared(spark, tmp_path, monkeypat
     df2 = cat.table(spark, plain_dir, "events")
     assert dict(df2.dtypes)["ts"] == "bigint"
     assert df2.select("ts").first()[0] == 1_700_000_000_000_000
+
+    # a typo'd declaration fails loud, naming the bad value
+    monkeypatch.setenv(cat.EVENTS_TS_KIND_ENV, "nano")
     cat._TABLE_CACHE.clear()
+    with pytest.raises(ValueError, match="not a recognized"):
+        cat.table(spark, nanos_dir, "events")
+
+    cat._TABLE_CACHE.clear()
+    # don't leak the nanos conf into later tests (sibling-test discipline)
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")

@@ -941,12 +941,12 @@ def test_chunk_text_overlap_and_edges(spark):
 def test_pagerank_matches_python_mirror(spark):
     """pagerank vs a plain-python power-iteration mirror on a small graph
     (same simplified dangling semantics: leaked mass is not
-    redistributed), including a dangling-IN node and a sink node."""
+    redistributed): 'd' is a source-only node (no in-edges) and 'e' is a
+    genuine SINK (no out-edges — its rank mass leaks each round, the
+    documented simplified-PR behavior this test pins)."""
     from science_datalake_spark.operators.graph import pagerank
 
-    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
-    # 'd' has no in-edges; no sink-free guarantee needed — all nodes here
-    # have out-edges except none (every node with edges out appears in E)
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "e")]
     df = spark.createDataFrame(E, "src STRING, dst STRING")
     iters, d = 4, 0.85
     got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters, damping=d).collect()}
