@@ -57,15 +57,18 @@ def query(
 # has driver CORRECTNESS evidence, plus the NEW unify_coverage flagship
 # row; FOUR double-green (r03+r04) entries rotate to aux/local-parity:
 # agg_pivot_status, events_hourly_gapfill, agg_rollup, events_user_stats.
-# Late-round-5 second rotation: three of the seven NEW round-5 queries
+# Late-round-5 second rotation: three of the NEW round-5 queries
 # (dedup_semantic, corpus_pack_greedy, web_domain_cap) promote to the
 # driver so the new operators get r05 driver rows; three r04-green
 # stable entries (case_coalesce, json_extract, sample_deterministic)
 # rest in aux. Remaining round-6 rotation candidates (aux-only, local
-# parity only): sparql_path_ancestors, events_view_click_attrib,
-# text_quality_gate, text_unigram_logprob. Union of r04+r05 rows covers
-# every other query. bench.py times driver AND aux queries, so rotation
-# never removes a query from the performance evidence.
+# parity only — no driver history): sparql_path_ancestors,
+# events_view_click_attrib, text_quality_gate, text_unigram_logprob,
+# text_chunk_rag, text_vocab_zipf, corpus_pack_contiguous,
+# events_funnel, events_cohort_retention, graph_pagerank. Union of
+# r04+r05 rows covers every other query. bench.py times driver AND aux
+# queries, so rotation never removes a query from the performance
+# evidence.
 DRIVER_ORDER: list[str] = [
     "doi_normalize",
     "date_try_cast",
