@@ -586,3 +586,68 @@ def _semantic_dedup_numpy(
         "semantic_dup boolean",
     )
     return out
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures: band-bucketed candidate
+    generation + exact Hamming verification — the pair-finding stage that
+    completes the SimHash family (signatures alone don't name dup pairs).
+
+    Pigeonhole guarantee: two signatures within Hamming distance ``h``
+    differ in at most ``h`` of the ``bands`` equal-width bit bands, so
+    they SHARE at least ``bands - h`` bands; any shared band makes them
+    a candidate. With the defaults (4 bands, max_hamming 2 < 4) recall
+    is exact: every qualifying pair shares ≥ 2 bands and is generated.
+    Candidates are then verified by exact bitwise Hamming distance
+    (a filter over the 2 signatures' differing positions — pure codegen).
+
+    Scale: the self-join keys on (band index, band value) — the LSH
+    bucket discipline, cost O(Σ bucket²), never all-pairs; the verify
+    filter runs only on candidates. Returns distinct
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the pigeonhole recall guarantee"
+        )
+    width = bits // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), b * width + 1, width)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.expr(
+        f"size(filter(sequence(1, {bits}), "
+        "i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))"
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

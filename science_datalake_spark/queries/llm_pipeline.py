@@ -189,6 +189,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS).orderBy("doc_id")
 
 
+def _simhash_pairs_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _CLUSTER_SOURCES)
+    sig_body = _simhash_oracle().rsplit("ORDER BY", 1)[0].replace(
+        "FROM documents", f"FROM documents WHERE source IN ({srcs})"
+    )
+    ham = (
+        "len(list_filter(generate_series(1, 16), "
+        "i -> substr(ha, i, 1) != substr(hb, i, 1)))"
+    )
+    return f"""
+    WITH sig AS ({sig_body}),
+    bands AS (
+        SELECT doc_id, simhash, gs.b AS band,
+               substr(simhash, gs.b * 4 + 1, 4) AS val
+        FROM sig, LATERAL unnest(generate_series(0, 3)) gs(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val
+                    AND a.doc_id < b.doc_id
+    ),
+    scored AS (SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming FROM cand)
+    SELECT id_a, id_b, hamming FROM scored
+    WHERE hamming <= 2
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash_pairs", aux=True, oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash pair-finding stage: 4-bit band buckets generate
+    candidates (pigeonhole: Hamming ≤ 2 of 16 bits ⇒ ≥ 2 of 4 bands
+    shared — exact recall), exact bitwise Hamming verifies
+    (operators/dedup.simhash_candidate_pairs), on the same 4-source
+    shard as the clustering demo."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_CLUSTER_SOURCES))
+        .select("doc_id", "text")
+    )
+    sigs = D.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS)
+    pairs = D.simhash_candidate_pairs(
+        sigs, "doc_id", bits=_SIMHASH_BITS, bands=4, max_hamming=2
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

@@ -964,3 +964,39 @@ def test_pagerank_matches_python_mirror(spark):
     assert set(got) == set(nodes)
     for n in nodes:
         assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
+
+
+def test_simhash_candidate_pairs_pigeonhole_recall(spark):
+    """Band-bucketed SimHash pairs must find EVERY pair within
+    max_hamming (pigeonhole recall is exact when max_hamming < bands) —
+    verified against a brute-force all-pairs Hamming scan — and must
+    reject invalid band/threshold combos."""
+    import itertools
+
+    import pytest
+
+    from science_datalake_spark.operators.dedup import simhash_candidate_pairs
+
+    sigs = [
+        (1, "0000111100001111"),
+        (2, "0000111100001110"),  # d(1,2)=1
+        (3, "0000111100111111"),  # d(1,3)=2? positions 11,12... compute below
+        (4, "1111000011110000"),  # far from all
+        (5, "0000111100001111"),  # identical to 1
+    ]
+    df = spark.createDataFrame(sigs, "doc_id LONG, simhash STRING")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_candidate_pairs(df, "doc_id", bits=16, bands=4, max_hamming=2).collect()
+    }
+    expect = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(sigs, 2):
+        d = sum(x != y for x, y in zip(ha, hb))
+        if d <= 2:
+            expect[(ia, ib)] = d
+    assert got == expect, (got, expect)
+
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(df, "doc_id", bits=16, bands=5)
+    with pytest.raises(ValueError):
+        simhash_candidate_pairs(df, "doc_id", bits=16, bands=4, max_hamming=4)
