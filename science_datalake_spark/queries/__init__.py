@@ -51,29 +51,20 @@ def query(
     return deco
 
 
-# Driver-facing order. Round-5 rotation (round-4 verdict "Next round"
-# #1/#5): the three round-4 aux-only queries (text_pii_redact,
-# text_repetition_stats, dedup_winnow_overlap) rotate IN so every operator
-# has driver CORRECTNESS evidence, plus the NEW unify_coverage flagship
-# row; FOUR double-green (r03+r04) entries rotate to aux/local-parity:
-# agg_pivot_status, events_hourly_gapfill, agg_rollup, events_user_stats.
-# Late-round-5 second rotation: three of the NEW round-5 queries
-# (dedup_semantic, corpus_pack_greedy, web_domain_cap) promote to the
-# driver so the new operators get r05 driver rows; three r04-green
-# stable entries (case_coalesce, json_extract, sample_deterministic)
-# rest in aux. Remaining round-6 rotation candidates (aux-only, local
-# parity only — no driver history): sparql_path_ancestors,
-# events_view_click_attrib, text_quality_gate, text_unigram_logprob,
-# text_chunk_rag, text_vocab_zipf, corpus_pack_contiguous,
-# events_funnel, events_cohort_retention, graph_pagerank. Union of
-# r04+r05 rows covers every other query. bench.py times driver AND aux
-# queries, so rotation never removes a query from the performance
-# evidence.
+# Driver-facing order. Round-6 rotation (round-5 verdict "Next round" #1):
+# the ELEVEN queries that had never received a driver CORRECTNESS row
+# (dedup_simhash_pairs, corpus_pack_contiguous, events_funnel,
+# events_cohort_retention, events_view_click_attrib, graph_pagerank,
+# sparql_path_ancestors, text_chunk_rag, text_quality_gate,
+# text_unigram_logprob, text_vocab_zipf) rotate IN; eleven double-green
+# (r04+r05) stable entries (doi_normalize, date_try_cast,
+# array_explode_pos, distinct_projection, proj_computed_columns,
+# proj_struct_strings, filter_predicates, union_null_padded, agg_having,
+# window_topk_per_group, topk_global) rest in aux/local-parity. After
+# this rotation r05 ∪ r06 covers ALL registered queries with driver
+# evidence. bench.py times driver AND aux queries, so rotation never
+# removes a query from the performance evidence.
 DRIVER_ORDER: list[str] = [
-    "doi_normalize",
-    "date_try_cast",
-    "array_explode_pos",
-    "distinct_projection",
     "extract_doc_tokens",
     "q1_pricing_summary",
     "q3_top_unshipped_orders",
@@ -83,10 +74,6 @@ DRIVER_ORDER: list[str] = [
     "text_token_stats",
     "text_quality_langid",
     "ontology_skos_khop",
-    "proj_computed_columns",
-    "proj_struct_strings",
-    "filter_predicates",
-    "union_null_padded",
     "join_expression_key",
     "join_anti_semi",
     "join_left_coverage_flags",
@@ -95,11 +82,8 @@ DRIVER_ORDER: list[str] = [
     "agg_filtered_distinct",
     "agg_stats_profile",
     "agg_upset_flags",
-    "agg_having",
     "agg_conditional_rates",
     "window_dedup_top1",
-    "window_topk_per_group",
-    "topk_global",
     "inverted_index_reconstruct",
     "text_pii_redact",
     "text_repetition_stats",
@@ -120,6 +104,17 @@ DRIVER_ORDER: list[str] = [
     "sim_cosine_topk",
     "sim_knn_label_vote",
     "sim_ann_bucketed",
+    "dedup_simhash_pairs",
+    "corpus_pack_contiguous",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_view_click_attrib",
+    "graph_pagerank",
+    "sparql_path_ancestors",
+    "text_chunk_rag",
+    "text_quality_gate",
+    "text_unigram_logprob",
+    "text_vocab_zipf",
 ]
 
 

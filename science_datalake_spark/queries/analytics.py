@@ -25,6 +25,7 @@ from science_datalake_spark.queries import query
 
 @query(
     "proj_computed_columns",
+    aux=True,
     oracle="""
     SELECT doc_id,
            'doc:' || CAST(doc_id AS VARCHAR) AS doc_uri,
@@ -56,6 +57,7 @@ def proj_computed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "proj_struct_strings",
+    aux=True,
     oracle="""
     SELECT (s).cname AS cust_name,
            (s).seg   AS segment,
@@ -104,6 +106,7 @@ def proj_struct_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "filter_predicates",
+    aux=True,
     oracle="""
     SELECT p_type, count(*) AS n, CAST(round(avg(p_retailprice), 2) AS DOUBLE) AS avg_price
     FROM part
@@ -140,6 +143,7 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_null_padded",
+    aux=True,
     oracle="""
     SELECT src, id, label, val FROM (
         SELECT 'orders' AS src, o_orderkey AS id, o_orderpriority AS label,
@@ -181,6 +185,7 @@ def union_null_padded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doi_normalize",
+    aux=True,
     oracle="""
     SELECT doc_id, raw_doi,
            lower(coalesce(nullif(regexp_extract(lower(raw_doi), 'doi\\.org/(.+)$', 1), ''),
@@ -259,6 +264,7 @@ def case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "date_try_cast",
+    aux=True,
     oracle="""
     WITH mixed AS (
         SELECT o_orderdate, o_totalprice,
@@ -346,6 +352,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "array_explode_pos",
+    aux=True,
     oracle="""
     SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, words[i] AS word
     FROM (
@@ -739,6 +746,7 @@ def agg_upset_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_having",
+    aux=True,
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
            CAST(round(sum(o_totalprice), 2) AS DOUBLE) AS lifetime_value
@@ -791,6 +799,7 @@ def agg_conditional_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "distinct_projection",
+    aux=True,
     oracle="""
     SELECT DISTINCT o_orderstatus, o_orderpriority
     FROM orders
@@ -844,6 +853,7 @@ def window_dedup_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_topk_per_group",
+    aux=True,
     oracle="""
     SELECT o_orderpriority, rank, o_orderkey, o_totalprice
     FROM (
@@ -873,6 +883,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "topk_global",
+    aux=True,
     oracle="""
     SELECT o_orderkey, o_totalprice, o_orderpriority
     FROM orders
@@ -1247,7 +1258,6 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel",
-    aux=True,
     oracle="""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events
@@ -1313,7 +1323,6 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_cohort_retention",
-    aux=True,
     oracle="""
     WITH firsts AS (
         SELECT user_id, date_trunc('week', min(ts)) AS cohort FROM events
@@ -1400,7 +1409,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     """
 
 
-@query("graph_pagerank", aux=True, oracle=_pagerank_oracle())
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part→supplier co-purchase graph (3 power
     iterations, damping 0.85, per-iteration round-9 so the DuckDB

@@ -219,7 +219,7 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-@query("dedup_simhash_pairs", aux=True, oracle=_simhash_pairs_oracle())
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash pair-finding stage: 4-bit band buckets generate
     candidates (pigeonhole: Hamming ≤ 2 of 16 bits ⇒ ≥ 2 of 4 bands
@@ -898,7 +898,6 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_logprob",
-    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest({_WORDS_LOWER}) AS tok FROM documents
@@ -934,7 +933,6 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pack_contiguous",
-    aux=True,
     oracle="""
     WITH toks AS (
         SELECT doc_id, doc_id % 64 AS shard,
@@ -979,7 +977,6 @@ def corpus_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_vocab_zipf",
-    aux=True,
     oracle=f"""
     WITH toks AS (SELECT unnest({_WORDS_LOWER}) AS tok FROM documents),
     vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok)
@@ -1011,7 +1008,6 @@ def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunk_rag",
-    aux=True,
     oracle="""
     SELECT doc_id,
            CAST(floor((gs.i - 1) / 100) AS INTEGER) AS chunk_idx,
@@ -1271,7 +1267,6 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_view_click_attrib",
-    aux=True,
     oracle="""
     WITH v AS (
         SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
@@ -1308,7 +1303,6 @@ def events_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_gate",
-    aux=True,
     oracle=f"""
     WITH base AS (
         SELECT doc_id,

@@ -182,7 +182,6 @@ def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_path_ancestors",
-    aux=True,
     oracle=f"""
     WITH RECURSIVE edges(child, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),
