@@ -507,6 +507,27 @@ def _round_half_away(x, digits: int):
     return np.sign(x) * np.floor(np.abs(x) * p + 0.5) / p
 
 
+def _vec_matrix(series, dim: int):
+    """NULL/ragged-tolerant (n, dim) float64 matrix from a pandas Series of
+    array rows. ``np.array(series.tolist())`` crashes (or silently builds an
+    object-dtype array) on None or wrong-length rows; here those rows become
+    ZERO vectors, whose zero norm yields NaN sims downstream — reproducing
+    the SQL engine's NULL-sim semantics exactly: the row assigns to the
+    lowest cent_id (NaN → -inf before argmax) and is never marked a dup nor
+    marks another row (NaN >= threshold is False), matching ivf_assign's
+    nulls-last coalesce and the pair filter dropping NULL sims. Rows whose
+    length differs from the codebook dim are treated as NULL (the SQL
+    zip_with pads with NULL → NULL dot → same outcome)."""
+    import numpy as np
+
+    vals = series.tolist()
+    m = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            m[i] = v
+    return m
+
+
 def _semantic_dedup_numpy(
     corpus: DataFrame,
     id_col: str,
@@ -540,7 +561,7 @@ def _semantic_dedup_numpy(
 
     def assign(batches):
         for pdf in batches:
-            v = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            v = _vec_matrix(pdf[vec_col], cmat.shape[1])
             # denominator sqrt(vv*cc) — the SQL/oracle op order, not
             # sqrt(vv)*sqrt(cc) (last-ulp divergence, review finding)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -565,7 +586,7 @@ def _semantic_dedup_numpy(
 
     def scan_bucket(pdf):
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        v = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        v = _vec_matrix(pdf["vec"], cmat.shape[1])
         nrm = np.sqrt((v * v).sum(axis=1))
         # dot/(nrm_a*nrm_b) — the same structure as the SQL/oracle form
         # (dot first, divide second), minimizing float-path divergence

@@ -902,6 +902,44 @@ def test_ivf_assign_degenerate_centroid_never_captures(spark):
         assert sem == {1: 1, 2: 2}, (engine, sem)
 
 
+def test_semantic_dedup_null_and_ragged_vectors(spark):
+    """NULL / wrong-length embedding rows must not crash the numpy engine
+    (np.array on None/ragged lists throws or goes object-dtype — advisor
+    finding) and must match the SQL engine's NULL-sim semantics on BOTH
+    engines: the row assigns to the lowest cent_id, is never marked a dup,
+    and never causes a real vector to be dropped."""
+    from science_datalake_spark.operators.dedup import semantic_dedup
+    from science_datalake_spark.util import local_df
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),  # NULL embedding
+            (3, [1.0]),  # ragged: wrong dim vs the 2-d codebook
+            (4, [0.99, 0.01]),  # true near-dup of 1 — must still be caught
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = local_df(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cent_id BIGINT, cent_vec ARRAY<DOUBLE>",
+    )
+    results = {}
+    for engine in ("numpy", "sql"):
+        results[engine] = {
+            r["vec_id"]: (r["bucket"], r["semantic_dup"])
+            for r in semantic_dedup(
+                corpus, "vec_id", "embedding", cents, 0.9, engine=engine
+            ).collect()
+        }
+    assert results["numpy"] == results["sql"], results
+    got = results["numpy"]
+    assert got[2] == (0, False), got  # NULL → lowest cent_id, never dup
+    assert got[3] == (0, False), got  # ragged → same NULL-sim treatment
+    assert got[1] == (0, False) and got[4] == (0, True), got
+
+
 def test_chunk_text_overlap_and_edges(spark):
     """chunk_text: overlap reconstructs the document (each chunk's first
     `overlap` chars == previous chunk's last `overlap` chars), short docs
