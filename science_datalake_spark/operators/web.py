@@ -61,21 +61,71 @@ def domain_cap(
     url_col: str,
     max_per_domain: int,
     order_cols: Sequence[str],
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` rows per registrable domain, chosen
     in ``order_cols`` order (deterministic — pass a quality score desc +
     unique id tiebreak). Adds ``domain`` and ``domain_kept`` (rank <=
     cap) rather than filtering, so callers can audit drop rates per
-    domain before committing. One window shuffle keyed on the domain;
-    the usual hot-domain skew is EXACTLY what the cap bounds — every
-    partition's work is min(domain size, cap-ish) after the running-rank
-    short-circuits."""
+    domain before committing.
+
+    Salted threshold cap — a single ``row_number() OVER (PARTITION BY
+    domain)`` would place ALL rows of one domain in ONE task and fully
+    sort them (row_number sorts the whole partition; there is no
+    running-rank short-circuit), so a C4-scale mega-domain with hundreds
+    of millions of pages becomes a single straggler-reducer. Instead the
+    corpus is never windowed at all:
+
+    1. survivor scan (tiny): rank within ``(domain, salt)`` where salt =
+       xxhash64(order_cols) mod ``salt_buckets`` — the mega-domain
+       spreads over ``salt_buckets`` tasks, and the ``rank <= cap``
+       filter lets Spark insert a partial ``WindowGroupLimit`` BEFORE
+       the exchange, so at most cap rows per (domain, salt) per map
+       partition ever shuffle. Any row with salted-local rank > cap
+       provably has global rank > cap, so the survivors contain every
+       true top-cap row.
+    2. per-domain threshold: the cap-th smallest survivor order-key
+       (lexicographic struct over ``order_cols``) from <=
+       salt_buckets*cap rows per domain — a one-row-per-domain table.
+    3. the corpus side is a map-only broadcast join against that
+       threshold table: ``kept = key <= threshold`` (or the domain has
+       fewer than cap rows). No shuffle, no sort, no window touches the
+       full corpus.
+
+    Output is identical to the one-window form whenever ``order_cols``
+    is a total order with non-NULL keys (equality-tested) — exactly the
+    documented determinism contract; key ties beyond the tiebreak or
+    NULL order values would make the one-window form itself
+    nondeterministic. At extreme domain cardinality (threshold table too
+    big to broadcast) Spark falls back per its broadcast threshold to a
+    shuffled hash join, which AQE skew-splits — still sort-free on the
+    corpus."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("domain").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))
-        .withColumn("__rank", F.row_number().over(w))
-        .withColumn("domain_kept", F.col("__rank") <= F.lit(max_per_domain))
-        .drop("__rank")
+    order = [F.col(c) for c in order_cols]
+    key = F.struct(*order)
+    base = df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
+    # struct comparison is lexicographic over its fields, so ordering by
+    # the key struct IS the multi-column asc order of ``order_cols``
+    w1 = Window.partitionBy("domain", "__salt").orderBy("__k")
+    survivors = (
+        base.select("domain", key.alias("__k"), salt.alias("__salt"))
+        .withColumn("__lrank", F.row_number().over(w1))
+        .filter(F.col("__lrank") <= F.lit(max_per_domain))
     )
+    thr = survivors.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("__n_surv"),
+        # cap-th smallest survivor key; NULL (via get past the end) when
+        # the domain holds fewer than cap rows — then everything is kept
+        F.get(F.sort_array(F.collect_list("__k")), max_per_domain - 1).alias(
+            "__thr"
+        ),
+    ).withColumnRenamed("domain", "__thr_domain")
+    out = base.join(
+        F.broadcast(thr), F.col("domain").eqNullSafe(F.col("__thr_domain")), "left"
+    ).withColumn(
+        "domain_kept",
+        (F.col("__n_surv") < F.lit(max_per_domain)) | (key <= F.col("__thr")),
+    )
+    return out.drop("__thr_domain", "__n_surv", "__thr")

@@ -839,6 +839,47 @@ def test_domain_cap_keeps_n_per_domain_deterministically(spark):
     assert out.count() == 10  # annotates, never drops
 
 
+def test_domain_cap_two_phase_equals_one_window(spark):
+    """The salted two-phase cap must reproduce the single-window form
+    row-for-row on a skewed corpus (one mega-domain, several small ones,
+    a 1-row domain, rows == cap exactly), for several salt_buckets
+    settings including 1 (degenerate = the one-window plan in two
+    steps)."""
+    from pyspark.sql import Window
+
+    from science_datalake_spark.operators.web import (
+        domain_cap,
+        registrable_domain,
+        url_host,
+    )
+
+    rows = [(i, f"https://mega.com/p/{i}") for i in range(200)]  # mega-domain
+    rows += [(1000 + i, f"https://small{i % 5}.org/x/{i}") for i in range(25)]
+    rows += [(2000, "https://solo.net/only")]
+    rows += [(3000 + i, "https://exact.io/c") for i in range(3)]  # == cap
+    rows += [(4000 + i, None) for i in range(5)]  # NULL url -> NULL domain
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    want = {
+        (r["doc_id"], r["domain"], r["domain_kept"])
+        for r in df.withColumn(
+            "domain", registrable_domain(url_host(F.col("url")))
+        )
+        .withColumn("domain_kept", F.row_number().over(w) <= 3)
+        .collect()
+    }
+    for buckets in (1, 4, 32):
+        got = {
+            (r["doc_id"], r["domain"], r["domain_kept"])
+            for r in domain_cap(
+                df, "url", max_per_domain=3, order_cols=["doc_id"],
+                salt_buckets=buckets,
+            ).collect()
+        }
+        assert got == want, buckets
+
+
 def test_exact_group_quantiles_parallel_matches_window_path(spark):
     """The range-partitioned two-phase ranking (the low-cardinality-keys
     scale path) must reproduce the window path exactly: ties straddling

@@ -154,8 +154,8 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_oracle, tmp_path):
 def test_new_driver_queries_plan_shapes(spark, sf_oracle):
     """Round-5 promoted queries keep their scale-critical shapes:
     corpus_pack_greedy = ONE shuffle (the shard group) into a single
-    stateful pandas group-map; web_domain_cap = ONE window exchange, no
-    join; dedup_semantic = Arrow plan nodes (mapInPandas assignment +
+    stateful pandas group-map; web_domain_cap = salted survivor window +
+    broadcast threshold join; dedup_semantic = Arrow plan nodes (mapInPandas assignment +
     per-bucket group-map), never a cartesian product."""
     pack = QUERIES["corpus_pack_greedy"](spark, sf_oracle)
     p = plans.physical_plan(pack)
@@ -165,8 +165,16 @@ def test_new_driver_queries_plan_shapes(spark, sf_oracle):
 
     dom = QUERIES["web_domain_cap"](spark, sf_oracle)
     p = plans.physical_plan(dom)
-    assert "Join" not in p, p
-    assert "Window" in p, p
+    # salted threshold cap: the only window runs over (domain, __salt)
+    # with a partial WindowGroupLimit ahead of its exchange (at most cap
+    # rows per group per map partition shuffle), so no single task ever
+    # sorts a whole mega-domain...
+    assert "__salt" in p, p
+    assert "WindowGroupLimit" in p, p
+    # ...and the corpus side joins the one-row-per-domain threshold
+    # table map-only — broadcast, never a sort-merge of the corpus
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
     sem = QUERIES["dedup_semantic"](spark, sf_oracle)
     p = plans.physical_plan(sem)
