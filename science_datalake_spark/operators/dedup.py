@@ -319,6 +319,7 @@ def winnowing_fingerprints(
     k: int = 8,
     w: int = 4,
     hash_fn: str = "md5",
+    max_chars: int = 256 * 1024,
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS rolling-hash scheme):
     hash every character k-gram, slide a window of ``w`` consecutive
@@ -335,9 +336,25 @@ def winnowing_fingerprints(
     window-min selection are transform/slice/array_min lambdas inside one
     projection — no UDF, no shuffle until the caller aggregates. md5
     (hex-string mins, engine-portable for the DuckDB twin) or xxhash64
-    (long mins, the fast path). Scale: O(len·w) comparisons per document,
-    map-only; _spread the input first when files are few (same guidance
-    as minhash_signatures).
+    (long mins, the fast path — ~12x smaller per-row intermediates; prefer
+    it at scale). Scale: O(len·w) comparisons per document, map-only;
+    _spread the input first when files are few (same guidance as
+    minhash_signatures).
+
+    Giant-document guard (``max_chars``): the gram array holds ONE hash
+    PER CHARACTER POSITION, so a multi-MB full-text row would build a
+    ~100+ MB single-row value (GC/OOM hazard). Documents longer than
+    ``max_chars`` therefore take a chunked branch: split into
+    ``max_chars``-stride chunks OVERLAPPING by k+w-2 chars — winnowing is
+    exactly closed under such chunking (every w-gram window spans k+w-1
+    chars, so it lies wholly inside the chunk whose stride covers its
+    start; chunk windows are doc windows because chunks are substrings) —
+    fingerprint each chunk as its own row (per-task memory bounded by
+    ``max_chars`` regardless of document size), then distinct per (id,
+    fp) to restore the per-document set semantics. The distinct's shuffle
+    touches ONLY the oversized documents; the common path stays map-only
+    and byte-identical to before. Output row-set is equal for any split
+    (equality-tested).
     """
     if hash_fn == "md5":
         hash_expr = "md5(substring(__t, i, {k}))"
@@ -364,11 +381,31 @@ def winnowing_fingerprints(
         f"i -> array_min(slice(__h, i, {w})))) "
         f"ELSE CAST(array() AS ARRAY<{hash_type}>) END"
     )
-    return (
-        df.select(F.col(id_col), F.col(text_col).alias("__t"))
-        .withColumn("__h", F.expr(grams))
-        .select(F.col(id_col), F.explode(F.expr(mins)).alias("fp"))
+    src = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+
+    def fps(frame: DataFrame) -> DataFrame:
+        return frame.withColumn("__h", F.expr(grams)).select(
+            F.col(id_col), F.explode(F.expr(mins)).alias("fp")
+        )
+
+    # NULL text joins neither branch — same zero-row outcome as the CASE
+    # guards gave it before the split
+    short = fps(src.filter(F.length("__t") <= max_chars))
+    chunk_len = max_chars + k + w - 2  # stride + boundary overlap
+    long_chunks = (
+        src.filter(F.length("__t") > max_chars)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"sequence(1, length(__t), {max_chars})")
+            ).alias("__s"),
+            "__t",
+        )
+        .select(
+            F.col(id_col), F.expr(f"substring(__t, __s, {chunk_len})").alias("__t")
+        )
     )
+    return short.unionByName(fps(long_chunks).distinct())
 
 
 def fingerprint_overlap_pairs(

@@ -545,6 +545,43 @@ def test_winnowing_short_and_null_docs_no_crash(spark):
     assert by_doc.get(5, 0) >= 1
 
 
+def test_winnowing_chunked_giant_doc_equals_unchunked(spark):
+    """The max_chars chunked branch (giant-document guard) must produce
+    the EXACT fingerprint row-set of the map-only path for any split
+    point: repeated content straddling chunk boundaries, duplicate
+    fingerprints across chunks (the per-doc distinct), chunk tails
+    shorter than a window, and docs exactly at the threshold."""
+    import random
+
+    from science_datalake_spark.operators.dedup import winnowing_fingerprints
+
+    rng = random.Random(7)
+    blob = "".join(rng.choice("abcdef ") for _ in range(997))
+    docs = spark.createDataFrame(
+        [
+            (1, blob * 9),  # ~9 KB with massive cross-chunk repetition
+            (2, "".join(rng.choice("xyzw. ") for _ in range(5000))),
+            (3, "z" * 1000),  # threshold-exact: stays on the map-only path
+            (4, "tail" * 251),  # 1004 chars: 4-char final chunk, no window
+        ],
+        "doc_id INT, text STRING",
+    )
+    for hf in ("md5", "xxhash64"):
+        want = {
+            (r["doc_id"], r["fp"])
+            for r in winnowing_fingerprints(
+                docs, "doc_id", "text", k=8, w=4, hash_fn=hf, max_chars=10**9
+            ).collect()
+        }
+        got = {
+            (r["doc_id"], r["fp"])
+            for r in winnowing_fingerprints(
+                docs, "doc_id", "text", k=8, w=4, hash_fn=hf, max_chars=1000
+            ).collect()
+        }
+        assert got == want, hf
+
+
 def test_pii_counts_shielded_by_redaction_order(spark):
     """An IP must not also count as a phone: each class is counted on
     text with preceding classes redacted, matching redact_pii exactly."""
