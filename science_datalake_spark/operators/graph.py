@@ -351,6 +351,7 @@ def pagerank(
     iter_round: int | None = None,
     checkpoint_every: int = 5,
     dedup_edges: bool = True,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank by power iteration — the second iterative graph workload
     beside connected_components (citation-impact ranking over a 100 TB
@@ -380,7 +381,15 @@ def pagerank(
     where multiplicity should weight the contribution (cited 100× by one
     paper ≠ cited once) passes ``dedup_edges=False``: duplicate rows then
     each contribute rank/out_degree, which IS integer edge weighting
-    (out-degree counts duplicates too)."""
+    (out-degree counts duplicates too).
+
+    ``tol``: L1 convergence early-exit — when set, ``iters`` becomes a
+    CAP and the loop stops once sum(|rank_i - rank_{i-1}|) <= tol. This
+    trades the tol=None contract of ZERO in-loop driver actions for one
+    delta aggregation per iteration; each iteration then materializes
+    through an eager localCheckpoint (the delta action would otherwise
+    replay the whole lineage every round, and the prev-rank-carrying
+    build references the previous frame twice)."""
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     if dedup_edges:
         e = e.distinct()
@@ -407,11 +416,28 @@ def pagerank(
         )
         if iter_round is not None:
             new_rank = F.round(new_rank, iter_round)
-        ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+        if tol is None:
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["__d"], "left")
+                .crossJoin(F.broadcast(nn))
+                .select("node", new_rank.alias("rank"))
+            )
+            if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+                ranks = ranks.localCheckpoint(eager=False)
+            continue
+        # convergence mode: build from the rank frame itself (same node
+        # set as `nodes`) so the previous rank rides along for the delta
+        stepped = (
+            ranks.withColumnRenamed("rank", "__prev")
+            .join(contrib, F.col("node") == contrib["__d"], "left")
             .crossJoin(F.broadcast(nn))
-            .select("node", new_rank.alias("rank"))
+            .select("node", "__prev", new_rank.alias("rank"))
+            .localCheckpoint(eager=True)
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=False)
+        delta = stepped.agg(
+            F.sum(F.abs(F.col("rank") - F.col("__prev"))).alias("d")
+        ).first()["d"]
+        ranks = stepped.select("node", "rank")
+        if delta is not None and delta <= tol:
+            break
     return ranks

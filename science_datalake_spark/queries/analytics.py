@@ -1368,10 +1368,17 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_oracle(iters: int = 3) -> str:
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Fixed-iteration power iteration unrolled as CTE stages (DuckDB
     disallows aggregation in a recursive CTE member; with the iteration
-    count fixed, unrolling IS the natural relational form)."""
+    count fixed, unrolling IS the natural relational form). The teleport
+    and damping literals are generated from the SAME Python floats the
+    Spark side folds into its plan (repr round-trips exactly), not
+    hand-written decimals: a hardcoded ``0.15`` parses to the double one
+    ulp BELOW Python's ``1.0 - 0.85`` (advisor finding) — per-iteration
+    rounding makes a flip unlikely, but the engines should agree to the
+    bit."""
+    teleport, damp = repr(1.0 - damping), repr(damping)
     stages = []
     for i in range(1, iters + 1):
         prev = f"r{i - 1}"
@@ -1385,7 +1392,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     ),
     r{i} AS (
         SELECT nodes.node,
-               round(0.15 / nn.n + 0.85 * coalesce(c{i}.c, 0), 9) AS rank
+               round({teleport} / nn.n + {damp} * coalesce(c{i}.c, 0), 9) AS rank
         FROM nodes CROSS JOIN nn
         LEFT JOIN c{i} ON c{i}.node = nodes.node
     )"""

@@ -1082,6 +1082,37 @@ def test_pagerank_matches_python_mirror(spark):
         assert abs(got[n] - rank[n]) < 1e-12, (n, got[n], rank[n])
 
 
+def test_pagerank_tol_early_exit(spark):
+    """With tol set, iters is a CAP: a graph whose ranks have converged
+    must stop early and return ranks identical to the full fixed-
+    iteration run. A symmetric 2-cycle converges to the uniform
+    distribution after ONE iteration (delta 0 at iteration 2), so
+    tol-mode with a huge cap must equal the 2-iteration fixed run."""
+    from science_datalake_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src STRING, dst STRING"
+    )
+    fixed = {
+        r["node"]: r["rank"] for r in pagerank(df, iters=2, damping=0.85).collect()
+    }
+    capped = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=50, damping=0.85, tol=1e-15).collect()
+    }
+    assert capped == fixed == {"a": 0.5, "b": 0.5}
+
+    # a non-trivial graph under loose tol still matches the uncapped
+    # run's node set and sums to ~1 minus the documented dangling leak
+    E = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    g = spark.createDataFrame(E, "src STRING, dst STRING")
+    got = {r["node"]: r["rank"] for r in pagerank(g, iters=30, tol=1e-9).collect()}
+    ref = {r["node"]: r["rank"] for r in pagerank(g, iters=30).collect()}
+    assert set(got) == set(ref)
+    for n in ref:
+        assert abs(got[n] - ref[n]) < 1e-6, (n, got[n], ref[n])
+
+
 def test_simhash_candidate_pairs_pigeonhole_recall(spark):
     """Band-bucketed SimHash pairs must find EVERY pair within
     max_hamming (pigeonhole recall is exact when max_hamming < bands) —
