@@ -200,21 +200,32 @@ def exact_group_quantiles_parallel(
     it; it exists for the shape where the window path cannot scale:
     corpus >> cores × group-count. NULL group keys are handled (null-safe
     join); NULL values are excluded like the window path.
+
+    The repartitioned+pid frame is PERSISTED for the op's duration (the
+    dedup cache-lifetime discipline, released once the small aggregate
+    materializes): repartitionByRange SAMPLES its boundaries, and the
+    offsets subtree and the rank subtree must observe the SAME boundaries
+    — without the persist, correctness silently rode on
+    spark.sql.exchange.reuse deduplicating the two identical exchange
+    subtrees (advisor finding); disabled reuse or a future plan change
+    defeating canonicalization would mismatch offsets against local
+    ranks, corrupting global ranks.
     """
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    r = (
+    base = (
         df.select(*keys, F.col(value_col).alias("__v"))
         .filter(F.col("__v").isNotNull())
         .repartitionByRange(num_partitions, *[F.col(k) for k in keys], F.col("__v"))
         .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     lw = Window.partitionBy("__pid", *keys).orderBy("__v")
-    r = r.withColumn("__lidx", F.row_number().over(lw) - 1)
-    counts = r.groupBy("__pid", *keys).agg(F.count("*").alias("__c"))
+    r = base.withColumn("__lidx", F.row_number().over(lw) - 1)
+    counts = base.groupBy("__pid", *keys).agg(F.count("*").alias("__c"))
     ow = (
         Window.partitionBy(*keys)
         .orderBy("__pid")
@@ -229,7 +240,10 @@ def exact_group_quantiles_parallel(
     )
     r = _null_safe_join(r, side, ["__pid", *keys])
     r = r.withColumn("__idx", F.col("__lidx") + F.col("__off"))
-    return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
+    out = r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
+    from science_datalake_spark.operators.dedup import _materialize_release
+
+    return _materialize_release(out, base, slot="group_quantiles_parallel")
 
 
 def _null_safe_join(

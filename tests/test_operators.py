@@ -946,6 +946,24 @@ def test_exact_group_quantiles_parallel_matches_window_path(spark):
         for a, b in zip(got[k], want[k]):
             assert abs(a - b) < 1e-9, (k, got[k], want[k])
 
+    # correctness must not ride on exchange reuse deduplicating the two
+    # range-exchange subtrees (the persist pins one set of sampled
+    # boundaries) — advisor finding
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        noreuse = {
+            r["k"]: tuple(r[n] for n in ("p25", "p50", "p75", "p95"))
+            for r in exact_group_quantiles_parallel(
+                df, ["k"], "v", qs, num_partitions=11
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", "true")
+    assert noreuse.keys() == want.keys()
+    for k in want:
+        for a, b in zip(noreuse[k], want[k]):
+            assert abs(a - b) < 1e-9, (k, noreuse[k], want[k])
+
 
 def test_ivf_assign_degenerate_centroid_never_captures(spark):
     """A zero-norm (or NULL) centroid yields NULL/NaN cosine for every
