@@ -10,6 +10,8 @@ sums) is generated programmatically.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -435,10 +437,10 @@ _COS = (
 )
 
 
-@query(
-    "sim_ivf_topk",
-    aux=True,
-    oracle=f"""
+# shared by sim_ivf_topk (in-session cached index) and sim_ivf_durable
+# (write→read→probe lifecycle): the two MUST be result-identical, so they
+# check against the same relational twin
+_IVF_TOPK_ORACLE = f"""
     WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     cents AS (
         SELECT vec_id AS cent_id, v AS cent_vec
@@ -476,8 +478,10 @@ _COS = (
     SELECT query_id, cand_id, sim, rank FROM ranked
     WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
-)
+    """
+
+
+@query("sim_ivf_topk", aux=True, oracle=_IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8-exemplar coarse quantizer → per-vector bucket assignment
     (map-only, centroids broadcast) → queries probe their 2 nearest
@@ -488,6 +492,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index build amortized across calls (ivf_index slot cache): repeat
     # executions — bench best-of-3, a served ANN workload — time PROBING
     cents, assigned = S.ivf_index(e, "vec_id", "embedding", k=8, cache_key=sf_dir)
+    q = e.filter(F.col("vec_id") < 12)
+    out = S.ivf_topk(assigned, cents, q, "vec_id", "embedding", k=5, n_probe=2)
+    return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
+
+
+def _ivf_durable_path(sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sdl_ivf_index_{tag}")
+
+
+@query("sim_ivf_durable", aux=True, oracle=_IVF_TOPK_ORACLE)
+def sim_ivf_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable IVF lifecycle end-to-end: ivf_index_write persists the
+    index (assignment Hive-partitioned by bucket + k-row codebook),
+    ivf_index_read loads it back, and the probe runs against the
+    partition-pruned scan. Build-if-missing keyed on the corpus dir —
+    exactly the cross-job amortization the layout exists for (the first
+    call is the batch index build; every later call times read+probe
+    only). Results must be byte-identical to sim_ivf_topk's in-memory
+    path, so both share one oracle; the probe's bucket pruning is
+    asserted in tests/test_plans.py."""
+    e = table(spark, sf_dir, "embeddings")
+    path = _ivf_durable_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "centroids")):
+        S.ivf_index_write(e, "vec_id", "embedding", path, k=8)
+    cents, assigned = S.ivf_index_read(spark, path)
     q = e.filter(F.col("vec_id") < 12)
     out = S.ivf_topk(assigned, cents, q, "vec_id", "embedding", k=5, n_probe=2)
     return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")

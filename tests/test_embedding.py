@@ -206,3 +206,24 @@ def test_ivf_index_write_read_roundtrip_and_pruning(spark, sf_smoke, tmp_path):
     one_bucket = assigned_disk.filter(F.col("bucket") == 0)
     plan = one_bucket._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
+
+    # the probe join itself must prune too: with broadcast probes, dynamic
+    # partition pruning injects the probed-bucket IN-filter into the scan
+    probe_plan = got_disk._jdf.queryExecution().sparkPlan().toString()
+    assert "dynamicpruning" in probe_plan, probe_plan
+
+
+def test_sim_ivf_durable_query_matches_in_memory(spark, sf_smoke):
+    """The registered sim_ivf_durable query (write -> read -> probe) must
+    return exactly sim_ivf_topk's rows — the shared-oracle contract —
+    including on a second call that skips the build (read-only path)."""
+    from science_datalake_spark.queries import load_aux
+    from science_datalake_spark.queries.llm_pipeline import _ivf_durable_path
+    import shutil
+
+    aq, _ = load_aux()
+    shutil.rmtree(_ivf_durable_path(sf_smoke), ignore_errors=True)
+    want = sorted(map(tuple, aq["sim_ivf_topk"](spark, sf_smoke).collect()))
+    first = sorted(map(tuple, aq["sim_ivf_durable"](spark, sf_smoke).collect()))
+    again = sorted(map(tuple, aq["sim_ivf_durable"](spark, sf_smoke).collect()))
+    assert first == want and again == want
