@@ -239,3 +239,54 @@ def sparql_path_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     """
     return sparql_select(triples, q).orderBy("concept")
+
+
+@query(
+    "sparql_count_group",
+    aux=True,
+    oracle=f"""
+    WITH broader(c, parent) AS (VALUES
+        ('{_C}physics',   '{_C}science'),
+        ('{_C}quantum',   '{_C}physics'),
+        ('{_C}optics',    '{_C}physics'),
+        ('{_C}qft',       '{_C}quantum'),
+        ('{_C}chemistry', '{_C}science'),
+        ('{_C}biology',   '{_C}science')
+    ),
+    labels(c, label) AS (VALUES
+        ('{_C}physics',   'Physik'),
+        ('{_C}physics',   'Physics'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology')
+    )
+    SELECT b.parent, count(*) AS n_rows, count(DISTINCT b.c) AS n_children
+    FROM broader b JOIN labels l ON l.c = b.c
+    GROUP BY b.parent
+    ORDER BY b.parent
+    """,
+)
+def sparql_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 COUNT aggregates with GROUP BY — the ontology-statistics
+    shape (children and solution counts per parent term) that the
+    reference serves from Oxigraph (sparql_query.py:89-143). The
+    translator delegates to a DataFrame groupBy (one partial-combinable
+    hash aggregate); physics' two prefLabels (en + de) make n_rows
+    diverge from n_children, pinning the COUNT(*) vs COUNT(DISTINCT ?v)
+    distinction against the relational twin."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?parent (COUNT(*) AS ?n_rows) (COUNT(DISTINCT ?c) AS ?n_children)
+    WHERE {
+        ?c skos:broader ?parent ;
+           skos:prefLabel ?label .
+    }
+    GROUP BY ?parent
+    """
+    return sparql_select(triples, q).orderBy("parent")

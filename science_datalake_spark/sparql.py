@@ -31,8 +31,14 @@ Supported subset:
   matches: a constant end matches itself; a var-var pattern pairs every
   graph term with itself (SPARQL ZeroLengthPath semantics). Variable
   predicates with a modifier raise — same cue as below.
-No other property paths / subqueries / aggregates — those are the cue to
-materialize a view with the DataFrame API instead. Path evaluation runs
+- aggregates, minimal: ``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` /
+  ``(COUNT(DISTINCT ?v) AS ?n)`` in the SELECT list with ``GROUP BY
+  ?a ?b`` — the ontology-statistics shape (term counts per namespace /
+  per predicate). Delegates to a DataFrame groupBy; the SPARQL 1.1
+  projection restriction (non-aggregate SELECT vars must be grouped) is
+  enforced at parse time.
+No other property paths / subqueries / set functions (SUM/AVG/...) —
+those are the cue to materialize a view with the DataFrame API instead. Path evaluation runs
 the closure's fixed-point loop EAGERLY (one count action per round);
 everything else stays lazy. Caveat vs full SPARQL
 semantics: a variable bound to NULL by OPTIONAL/UNION padding does not
@@ -93,6 +99,17 @@ class _Group:
 
     elements: list = field(default_factory=list)  # ("bgp", [(s,p,o)...]) | ("optional", _Group) | ("union", [_Group,...])
     filters: list = field(default_factory=list)  # filter ASTs
+
+
+@dataclass(frozen=True)
+class _Agg:
+    """``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` / ``(COUNT(DISTINCT
+    ?v) AS ?n)`` in a SELECT list. COUNT(?v) counts BOUND solutions only
+    (SPARQL's error-skipping semantics == SQL count's null-skipping)."""
+
+    var: str | None  # None == COUNT(*)
+    distinct: bool
+    out: str
 
 
 _TOKEN = re.compile(
@@ -170,7 +187,7 @@ class _Parser:
         distinct = self.at_word("DISTINCT")
         if distinct:
             self.i += 1
-        select_vars: list[str] = []
+        select_list: list[str | _Agg] = []
         star = False
         while not self.at_word("WHERE"):
             t = self.peek()
@@ -179,13 +196,30 @@ class _Parser:
             kind, val, _ = t
             if val == "*":
                 star = True
+                self.i += 1
             elif kind == "var":
-                select_vars.append(val[1:])
+                select_list.append(val[1:])
+                self.i += 1
+            elif val == "(":
+                select_list.append(self.parse_select_agg())
             else:
                 raise SparqlError(f"unexpected token in SELECT list: {val!r}")
-            self.i += 1
         self.i += 1  # WHERE
         group = self.parse_group()
+        group_by: list[str] = []
+        if self.at_word("GROUP"):
+            self.i += 1
+            if not self.at_word("BY"):
+                raise SparqlError("expected BY after GROUP")
+            self.i += 1
+            while True:
+                t = self.peek()
+                if t is None or t[0] != "var":
+                    break
+                group_by.append(t[1][1:])
+                self.i += 1
+            if not group_by:
+                raise SparqlError("GROUP BY requires at least one ?variable")
         limit = None
         if self.at_word("LIMIT"):
             self.i += 1
@@ -198,7 +232,54 @@ class _Parser:
             raise SparqlError(f"trailing tokens: {[t[1] for t in self.toks[self.i:]]}")
         if not group.elements:
             raise SparqlError("empty graph pattern")
-        return select_vars, star, distinct, group, limit
+        aggs = [a for a in select_list if isinstance(a, _Agg)]
+        plain = [v for v in select_list if isinstance(v, str)]
+        if aggs and star:
+            raise SparqlError("SELECT * cannot be combined with aggregates")
+        if group_by and not aggs:
+            raise SparqlError("GROUP BY requires an aggregate in the SELECT list")
+        if aggs:
+            # SPARQL 1.1 projection restriction: every non-aggregate
+            # result variable must be a GROUP BY variable
+            stray = [v for v in plain if v not in group_by]
+            if stray:
+                raise SparqlError(
+                    f"non-aggregate SELECT variables not in GROUP BY: {stray}"
+                )
+        return select_list, star, distinct, group, limit, group_by
+
+    def parse_select_agg(self) -> _Agg:
+        """``( COUNT ( [DISTINCT] * | ?v ) AS ?name )`` — the minimal
+        SPARQL 1.1 aggregate surface (ontology statistics queries; other
+        set functions are the documented cue to use the DataFrame API)."""
+        self.expect("(")
+        t = self.next()
+        if t[0] != "word" or t[1].upper() != "COUNT":
+            raise SparqlError(
+                f"unsupported aggregate {t[1]!r} (only COUNT is supported)"
+            )
+        self.expect("(")
+        distinct = self.at_word("DISTINCT")
+        if distinct:
+            self.i += 1
+        arg = self.next()
+        if arg[1] == "*":
+            if distinct:
+                raise SparqlError("COUNT(DISTINCT *) is not supported")
+            var = None
+        elif arg[0] == "var":
+            var = arg[1][1:]
+        else:
+            raise SparqlError(f"COUNT argument must be * or a ?variable, got {arg[1]!r}")
+        self.expect(")")
+        if not self.at_word("AS"):
+            raise SparqlError("aggregate needs an (expr AS ?name) alias")
+        self.i += 1
+        alias = self.next()
+        if alias[0] != "var":
+            raise SparqlError(f"AS requires a ?variable, got {alias[1]!r}")
+        self.expect(")")
+        return _Agg(var, distinct, alias[1][1:])
 
     def term(self, tok: tuple[str, str, str | None]) -> _Term:
         kind, val, lang = tok
@@ -594,15 +675,36 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Run a SPARQL SELECT (BGP + OPTIONAL/UNION/FILTER subset) against the
-    triples relation."""
-    select_vars, star, distinct, group, limit = _Parser(query).parse()
+    """Run a SPARQL SELECT (BGP + OPTIONAL/UNION/FILTER subset, plus
+    COUNT aggregates with GROUP BY) against the triples relation.
+    Aggregation delegates to a DataFrame groupBy — one partial-combinable
+    hash aggregate keyed on the GROUP BY variables."""
+    select_list, star, distinct, group, limit, group_by = _Parser(query).parse()
     out = _eval_group(triples, group)
-    if not star:
-        missing = [v for v in select_vars if v not in out.columns]
+    aggs = [a for a in select_list if isinstance(a, _Agg)]
+    if aggs:
+        needed = set(group_by) | {a.var for a in aggs if a.var is not None}
+        missing = sorted(v for v in needed if v not in out.columns)
+        if missing:
+            raise SparqlError(f"variables not bound in pattern: {missing}")
+        exprs = []
+        for a in aggs:
+            if a.var is None:
+                exprs.append(F.count(F.lit(1)).alias(a.out))
+            elif a.distinct:
+                exprs.append(F.count_distinct(F.col(a.var)).alias(a.out))
+            else:
+                exprs.append(F.count(F.col(a.var)).alias(a.out))
+        grouped = out.groupBy(*group_by) if group_by else out.groupBy()
+        out = grouped.agg(*exprs)
+        # project in SELECT-list order (group keys may interleave with
+        # the aggregate aliases)
+        out = out.select(*[v if isinstance(v, str) else v.out for v in select_list])
+    elif not star:
+        missing = [v for v in select_list if v not in out.columns]
         if missing:
             raise SparqlError(f"SELECT variables not bound in pattern: {missing}")
-        out = out.select(*select_vars)
+        out = out.select(*select_list)
     if distinct:
         out = out.distinct()
     if limit is not None:

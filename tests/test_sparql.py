@@ -434,3 +434,82 @@ def test_read_triple_store_pads_missing_lang(spark, tmp_path):
         triples, "SELECT ?x ?y WHERE { ?x <ex:knows> ?y }"
     ).collect()
     assert {(r["x"], r["y"]) for r in rows} == {("ex:a", "ex:b"), ("ex:b", "ex:c")}
+
+
+# -- aggregates (COUNT + GROUP BY) ----------------------------------------
+
+
+def test_count_group_by(spark, triples):
+    """COUNT(*) per group delegates to a DataFrame groupBy: children per
+    parent over skos:broader."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?parent (COUNT(*) AS ?n) WHERE { ?c skos:broader ?parent . }
+    GROUP BY ?parent
+    """
+    got = {(r["parent"], r["n"]) for r in sparql_select(triples, q).collect()}
+    assert got == {("http://ex.org/ml", 2), ("http://ex.org/dl", 1)}
+
+
+def test_count_var_skips_unbound_and_global_agg(spark, triples):
+    """COUNT(?v) counts bound solutions only (OPTIONAL-unbound rows are
+    skipped, SPARQL error-skipping == SQL null-skipping), and without
+    GROUP BY the aggregate is global: 4 concepts, 3 with a broader."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT (COUNT(?c) AS ?concepts) (COUNT(?p) AS ?with_parent) WHERE {
+        ?c a skos:Concept .
+        OPTIONAL { ?c skos:broader ?p . }
+    }
+    """
+    row = sparql_select(triples, q).collect()
+    assert len(row) == 1
+    assert (row[0]["concepts"], row[0]["with_parent"]) == (4, 3)
+
+
+def test_count_distinct(spark, triples):
+    """COUNT(DISTINCT ?v): 5 prefLabel rows but 4 distinct subjects."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT (COUNT(DISTINCT ?c) AS ?n) (COUNT(?l) AS ?labels)
+    WHERE { ?c skos:prefLabel ?l . }
+    """
+    row = sparql_select(triples, q).collect()[0]
+    assert (row["n"], row["labels"]) == (4, 5)
+
+
+def test_agg_projection_restriction_and_errors(spark, triples):
+    """SPARQL 1.1 rules enforced at parse time: ungrouped result vars,
+    GROUP BY without an aggregate, non-COUNT set functions, missing AS,
+    SELECT * with aggregates."""
+    bad = [
+        # ?c is not in GROUP BY
+        "SELECT ?c (COUNT(*) AS ?n) WHERE { ?c ?p ?o . } GROUP BY ?p",
+        # GROUP BY without aggregate
+        "SELECT ?p WHERE { ?c ?p ?o . } GROUP BY ?p",
+        # unsupported set function
+        "SELECT (SUM(?o) AS ?n) WHERE { ?c ?p ?o . }",
+        # missing alias
+        "SELECT (COUNT(*)) WHERE { ?c ?p ?o . }",
+        # star + aggregate
+        "SELECT * (COUNT(*) AS ?n) WHERE { ?c ?p ?o . }",
+        # COUNT(DISTINCT *)
+        "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?c ?p ?o . }",
+    ]
+    for q in bad:
+        with pytest.raises(SparqlError):
+            sparql_select(triples, q)
+
+
+def test_count_group_by_plan_is_hash_aggregate(spark, triples):
+    """The aggregate must land as a partial-combinable hash aggregate on
+    the grouped variable, not a window or a collect."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?parent (COUNT(*) AS ?n) WHERE { ?c skos:broader ?parent . }
+    GROUP BY ?parent
+    """
+    df = sparql_select(triples, q)
+    p = plans.physical_plan(df)
+    assert "HashAggregate" in p, p
+    assert "Window" not in p, p
