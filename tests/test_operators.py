@@ -850,6 +850,13 @@ def test_url_normalization_collapses_wild_spellings(spark):
             ("https://cdn.assets.site.co/x", "cdn.assets.site.co", "site.co"),
             ("http://localhost/x", "localhost", "localhost"),
             ("www.a.com", "a.com", "a.com"),
+            # PSL two-label public suffixes: eTLD+1 takes THREE labels
+            ("https://news.bbc.co.uk/story", "news.bbc.co.uk", "bbc.co.uk"),
+            ("http://shop.example.com.au/", "shop.example.com.au", "example.com.au"),
+            ("https://example.co.uk/", "example.co.uk", "example.co.uk"),
+            # a bare public suffix has no registrable domain: fall back
+            # to the host itself (two-label rule)
+            ("https://co.uk/", "co.uk", "co.uk"),
             (None, None, None),
         ],
         "url STRING, want_host STRING, want_dom STRING",
