@@ -274,40 +274,62 @@ def simhash(
     return summed.select(id_col, F.concat(*bit_chars).alias("simhash"))
 
 
-def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_keys: bool = True,
+) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing ≥1 shingle.
 
     Returns (id_a, id_b, inter, size_a, size_b, jaccard). Intended for
     candidate VERIFICATION: at scale, feed it the LSH candidate subset, not
     a whole corpus — the shared-shingle join is quadratic in bucket size.
+
+    Plan shape (round-6 rework): per-doc dedup happens MAP-SIDE
+    (``array_distinct`` inside the row — the old explode→``distinct``
+    shuffled the whole shingle relation first), the set size is a
+    map-only ``size()`` carried THROUGH the join (it is functionally
+    dependent on the id, so it rides in the groupBy key and the two
+    post-hoc size joins disappear), and the join key is ``hash_keys``'
+    xxhash64 long (8 bytes through the shuffle instead of the shingle
+    string). Total: one shuffle for the self-join + one for the pair
+    count — nothing else. A hash collision could overcount one
+    intersection (p ≈ pair-shingle-count × 2⁻⁶⁴ — negligible);
+    ``hash_keys=False`` joins raw strings for exactness proofs.
     """
-    # persisted: the shingle relation feeds both self-join sides AND the
-    # sizes aggregate — without materialization the explode+distinct
-    # pipeline runs three times (same discipline as lsh_candidate_pairs);
+    docs = (
+        with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
+        .select(id_col, F.array_distinct("ng").alias("__ngs"))
+        .filter(F.size("__ngs") > 0)
+    )
+    key = F.xxhash64("__ng") if hash_keys else F.col("__ng")
+    # persisted: the (id, size, key) relation feeds both self-join sides;
     # released before returning via _materialize_release
     shingles = (
-        with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
-        .select(id_col, F.explode("ng").alias("__ng"))
-        .distinct()
+        docs.select(
+            F.col(id_col), F.size("__ngs").alias("__sz"), F.explode("__ngs").alias("__ng")
+        )
+        .select(id_col, "__sz", key.alias("__k"))
         .persist()
     )
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__ng") == F.col("b.__ng")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    a = shingles.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"), "__k"
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"))
+    b = shingles.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("size_b"), "__k"
+    )
     scored = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        a.join(b, "__k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
         )
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
     )
     return _materialize_release(scored, shingles, slot="ngram_jaccard_pairs")
 
