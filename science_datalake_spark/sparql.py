@@ -21,6 +21,10 @@ Supported subset:
   - ``FILTER (expr)`` with ``= != < <= > >= && || !``, parentheses,
     ``REGEX(?v, "re")``, ``CONTAINS(?v, "s")``, ``STRSTARTS(?v, "s")``,
     ``BOUND(?v)``; numeric literals compare numerically (try_cast)
+- ``ORDER BY ?v ... / ASC(?v) / DESC(?v)`` on result variables
+  (plain column ordering: NULL/unbound sorts first ascending — the
+  common case of SPARQL's type-ordered comparison; with LIMIT it lowers
+  to Spark's TakeOrderedAndProject top-k, never a global sort)
 - ``LIMIT n``
 - property paths ``pred*`` / ``pred+`` on a CONSTANT predicate (the
   ontology ancestor-walk shape, ``rdfs:subClassOf*`` /
@@ -220,6 +224,32 @@ class _Parser:
                 self.i += 1
             if not group_by:
                 raise SparqlError("GROUP BY requires at least one ?variable")
+        order_by: list[tuple[str, bool]] = []  # (var, descending)
+        if self.at_word("ORDER"):
+            self.i += 1
+            if not self.at_word("BY"):
+                raise SparqlError("expected BY after ORDER")
+            self.i += 1
+            while True:
+                t = self.peek()
+                if t is None:
+                    break
+                if t[0] == "var":
+                    order_by.append((t[1][1:], False))
+                    self.i += 1
+                elif t[0] == "word" and t[1].upper() in ("ASC", "DESC"):
+                    desc = t[1].upper() == "DESC"
+                    self.i += 1
+                    self.expect("(")
+                    v = self.next()
+                    if v[0] != "var":
+                        raise SparqlError(f"ORDER BY {t[1]}(...) requires a ?variable")
+                    self.expect(")")
+                    order_by.append((v[1][1:], desc))
+                else:
+                    break
+            if not order_by:
+                raise SparqlError("ORDER BY requires at least one sort key")
         limit = None
         if self.at_word("LIMIT"):
             self.i += 1
@@ -246,7 +276,7 @@ class _Parser:
                 raise SparqlError(
                     f"non-aggregate SELECT variables not in GROUP BY: {stray}"
                 )
-        return select_list, star, distinct, group, limit, group_by
+        return select_list, star, distinct, group, limit, group_by, order_by
 
     def parse_select_agg(self) -> _Agg:
         """``( COUNT ( [DISTINCT] * | ?v ) AS ?name )`` — the minimal
@@ -679,7 +709,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     COUNT aggregates with GROUP BY) against the triples relation.
     Aggregation delegates to a DataFrame groupBy — one partial-combinable
     hash aggregate keyed on the GROUP BY variables."""
-    select_list, star, distinct, group, limit, group_by = _Parser(query).parse()
+    select_list, star, distinct, group, limit, group_by, order_by = _Parser(
+        query
+    ).parse()
     out = _eval_group(triples, group)
     aggs = [a for a in select_list if isinstance(a, _Agg)]
     if aggs:
@@ -707,6 +739,15 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         out = out.select(*select_list)
     if distinct:
         out = out.distinct()
+    if order_by:
+        missing = [v for v, _ in order_by if v not in out.columns]
+        if missing:
+            raise SparqlError(f"ORDER BY variables not in result: {missing}")
+        out = out.orderBy(
+            *[F.desc(v) if desc else F.asc(v) for v, desc in order_by]
+        )
+        # ORDER BY + LIMIT lowers to TakeOrderedAndProject — a top-k per
+        # partition + driver merge, never a global sort of the result
     if limit is not None:
         out = out.limit(limit)
     return out
