@@ -287,6 +287,11 @@ def ngram_jaccard_pairs(
     candidate VERIFICATION: at scale, feed it the LSH candidate subset, not
     a whole corpus — the shared-shingle join is quadratic in bucket size.
 
+    Input contract: ONE ROW PER DOCUMENT ID (the shape every corpus
+    table here has). A doc split across rows must be pre-concatenated
+    (``groupBy(id).agg(concat_ws(...))``) — per-row dedup would
+    otherwise count its shingles once per fragment.
+
     Plan shape (round-6 rework): per-doc dedup happens MAP-SIDE
     (``array_distinct`` inside the row — the old explode→``distinct``
     shuffled the whole shingle relation first), the set size is a

@@ -180,18 +180,26 @@ def exact_group_quantiles_parallel(
     low-cardinality window serialization. This variant keeps every core
     busy via distributed two-phase ranking:
 
-      1. ``repartitionByRange(num_partitions, keys…, value)`` — sampled
-         range partitioning spreads each group's values across MANY
-         partitions in sorted ranges (ties may straddle a boundary;
-         harmless — equal values give identical quantile contributions
-         under any tie order).
-      2. local ranks: row_number within (partition_id, keys) — the
-         follow-up hash shuffle on (partition_id, keys) keeps parallelism
-         at num_partitions, and in-partition sort cost is 1/Nth.
+      1. value-range bucketing against DETERMINISTIC boundaries: the
+         driver computes ``num_partitions - 1`` approximate global value
+         quantiles ONCE (one sampled action) and folds them into the
+         plan as an array LITERAL; ``__pid`` = count of boundaries below
+         the value. pid is monotone in the value, equal values always
+         share a bucket, and — because the boundaries are literals —
+         every subtree that references ``__pid`` sees the SAME bucketing
+         by construction. (The previous formulation derived __pid from
+         ``spark_partition_id()`` over a sampled ``repartitionByRange``,
+         whose correctness silently rode on exchange reuse deduplicating
+         the two sampling exchanges, then on a persist whose slot-cache
+         eviction could undo it — advisor + review findings. Literal
+         boundaries remove the dependency instead of patching it.)
+      2. local ranks: row_number within (__pid, keys) — the hash shuffle
+         on (__pid, keys) keeps parallelism at num_partitions, and
+         in-partition sort cost is 1/Nth.
       3. global rank = local rank + the cumulative count of earlier
-         partitions' rows for the same group — the offsets relation is
-         tiny (num_partitions × |groups| rows; broadcast) and comes from
-         a count aggregate over the same partitioning.
+         buckets' rows for the same group — the offsets relation is
+         tiny (num_partitions × |groups| rows) and comes from a count
+         aggregate over the same bucketing.
       4. the same conditional-sum interpolation as the window path.
 
     Measured at sf0.1 / local[32] this LOSES to the window path (~1.8 s
@@ -199,30 +207,25 @@ def exact_group_quantiles_parallel(
     savings at 600 K rows), which is why agg_stats_profile does not use
     it; it exists for the shape where the window path cannot scale:
     corpus >> cores × group-count. NULL group keys are handled (null-safe
-    join); NULL values are excluded like the window path.
-
-    The repartitioned+pid frame is PERSISTED for the op's duration (the
-    dedup cache-lifetime discipline, released once the small aggregate
-    materializes): repartitionByRange SAMPLES its boundaries, and the
-    offsets subtree and the rank subtree must observe the SAME boundaries
-    — without the persist, correctness silently rode on
-    spark.sql.exchange.reuse deduplicating the two identical exchange
-    subtrees (advisor finding); disabled reuse or a future plan change
-    defeating canonicalization would mismatch offsets against local
-    ranks, corrupting global ranks.
+    join); NULL values are excluded like the window path. The value
+    column must be numeric (the boundary sampler requires it).
     """
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    base = (
-        df.select(*keys, F.col(value_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .repartitionByRange(num_partitions, *[F.col(k) for k in keys], F.col("__v"))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+    base = df.select(*keys, F.col(value_col).alias("__v")).filter(
+        F.col("__v").isNotNull()
     )
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = sorted(set(base.stat.approxQuantile("__v", probs, 0.001))) if probs else []
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col("__v")))
+    else:
+        pid = F.lit(0)
+    base = base.withColumn("__pid", pid)
     lw = Window.partitionBy("__pid", *keys).orderBy("__v")
     r = base.withColumn("__lidx", F.row_number().over(lw) - 1)
     counts = base.groupBy("__pid", *keys).agg(F.count("*").alias("__c"))
@@ -240,10 +243,7 @@ def exact_group_quantiles_parallel(
     )
     r = _null_safe_join(r, side, ["__pid", *keys])
     r = r.withColumn("__idx", F.col("__lidx") + F.col("__off"))
-    out = r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
-    from science_datalake_spark.operators.dedup import _materialize_release
-
-    return _materialize_release(out, base, slot="group_quantiles_parallel")
+    return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
 
 
 def _null_safe_join(

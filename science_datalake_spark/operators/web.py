@@ -100,6 +100,9 @@ def registrable_domain(
     host's 2-label tail is not a public suffix; the host itself when it
     has no dot or IS itself a public suffix (no registrable domain —
     mirrors PSL semantics as closely as a non-wildcard subset can)."""
+    host = F.lower(host)  # PSL probe is case-sensitive; url_host already
+    # lowercases, but a caller-supplied host column must not silently
+    # miss the set and fall back to the wrong two-label rule
     last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
     return (
@@ -163,15 +166,22 @@ def domain_cap(
     is a total order with non-NULL keys (equality-tested) — exactly the
     documented determinism contract; key ties beyond the tiebreak or
     NULL order values would make the one-window form itself
-    nondeterministic. At extreme domain cardinality (threshold table too
-    big to broadcast) Spark falls back per its broadcast threshold to a
-    shuffled hash join, which AQE skew-splits — still sort-free on the
-    corpus."""
+    nondeterministic. The threshold join is deliberately NOT
+    hint-forced: Catalyst/AQE broadcasts it while the domain count fits
+    the broadcast threshold (asserted for the common case in
+    tests/test_plans.py) and degrades to a shuffled hash join at
+    extreme domain cardinality — a forced ``F.broadcast`` would instead
+    die at the 8 GB broadcast limit on a 100M-domain crawl (review
+    finding). Still sort-free on the corpus either way."""
     from pyspark.sql import Window
 
     order = [F.col(c) for c in order_cols]
     key = F.struct(*order)
     base = df.withColumn("domain", registrable_domain(url_host(F.col(url_col))))
+    if max_per_domain <= 0:
+        # nothing can rank <= 0: flag everything dropped without building
+        # the survivor scan (whose empty left join would yield NULL flags)
+        return base.withColumn("domain_kept", F.lit(False))
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets))
     # struct comparison is lexicographic over its fields, so ordering by
     # the key struct IS the multi-column asc order of ``order_cols``
@@ -190,7 +200,7 @@ def domain_cap(
         ),
     ).withColumnRenamed("domain", "__thr_domain")
     out = base.join(
-        F.broadcast(thr), F.col("domain").eqNullSafe(F.col("__thr_domain")), "left"
+        thr, F.col("domain").eqNullSafe(F.col("__thr_domain")), "left"
     ).withColumn(
         "domain_kept",
         (F.col("__n_surv") < F.lit(max_per_domain)) | (key <= F.col("__thr")),

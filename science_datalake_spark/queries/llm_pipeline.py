@@ -498,11 +498,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_durable_path(sf_dir: str) -> str:
+    """Per-corpus scratch location for the durable index. The key folds
+    in the embeddings parquet's (mtime, size) so regenerating the
+    fixture at the same path invalidates the cached index instead of
+    silently probing a stale assignment (review finding), and carries
+    the uid so a shared /tmp never collides across users."""
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"sdl_ivf_index_{tag}")
+    ident = sf_dir
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb)
+        ident += f"|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        pass
+    tag = hashlib.md5(ident.encode()).hexdigest()[:12]
+    uid = getattr(os, "getuid", lambda: 0)()
+    return os.path.join(tempfile.gettempdir(), f"sdl_ivf_index_{uid}_{tag}")
 
 
 @query("sim_ivf_durable", aux=True, oracle=_IVF_TOPK_ORACLE)

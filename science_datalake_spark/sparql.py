@@ -276,6 +276,16 @@ class _Parser:
                 raise SparqlError(
                     f"non-aggregate SELECT variables not in GROUP BY: {stray}"
                 )
+            # alias collisions (with group vars or other aliases) would
+            # surface as an opaque runtime AMBIGUOUS_REFERENCE — keep the
+            # parse-or-SparqlError contract instead
+            seen: set[str] = set(group_by)
+            for a in aggs:
+                if a.out in seen:
+                    raise SparqlError(
+                        f"duplicate result variable ?{a.out} in SELECT list"
+                    )
+                seen.add(a.out)
         return select_list, star, distinct, group, limit, group_by, order_by
 
     def parse_select_agg(self) -> _Agg:

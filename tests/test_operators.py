@@ -567,19 +567,26 @@ def test_winnowing_chunked_giant_doc_equals_unchunked(spark):
         "doc_id INT, text STRING",
     )
     for hf in ("md5", "xxhash64"):
-        want = {
+        # MULTISET equality, not set: downstream fingerprint_overlap_pairs
+        # counts (id, fp) row multiplicity, so the chunked branch's
+        # per-doc distinct must see the same multiplicities the map-only
+        # path emits (both are exactly 1 per (id, fp): the mins
+        # expression array_distincts within the doc/chunk and the
+        # chunked branch distincts across chunks — review finding)
+        want = sorted(
             (r["doc_id"], r["fp"])
             for r in winnowing_fingerprints(
                 docs, "doc_id", "text", k=8, w=4, hash_fn=hf, max_chars=10**9
             ).collect()
-        }
-        got = {
+        )
+        got = sorted(
             (r["doc_id"], r["fp"])
             for r in winnowing_fingerprints(
                 docs, "doc_id", "text", k=8, w=4, hash_fn=hf, max_chars=1000
             ).collect()
-        }
+        )
         assert got == want, hf
+        assert len(want) == len(set(want))  # exactly one row per (id, fp)
 
 
 def test_pii_counts_shielded_by_redaction_order(spark):
@@ -922,6 +929,26 @@ def test_domain_cap_two_phase_equals_one_window(spark):
             ).collect()
         }
         assert got == want, buckets
+
+    # cap <= 0 must flag every row dropped (False, never NULL — the empty
+    # threshold join would otherwise leave three-valued-logic garbage)
+    zero = domain_cap(df, "url", max_per_domain=0, order_cols=["doc_id"])
+    flags = {r["domain_kept"] for r in zero.collect()}
+    assert flags == {False} and zero.count() == df.count()
+
+
+def test_registrable_domain_mixed_case_host(spark):
+    """The PSL probe must not be defeated by a non-lowercased caller
+    host column ('News.BBC.Co.UK' must group as bbc.co.uk, lowercased
+    like every url_host-derived domain)."""
+    from science_datalake_spark.operators.web import registrable_domain
+
+    df = spark.createDataFrame(
+        [("News.BBC.Co.UK", "bbc.co.uk"), ("Shop.EXAMPLE.Com", "example.com")],
+        "host STRING, want STRING",
+    )
+    for r in df.select("want", registrable_domain(F.col("host")).alias("d")).collect():
+        assert r["d"] == r["want"], r
 
 
 def test_exact_group_quantiles_parallel_matches_window_path(spark):

@@ -495,6 +495,11 @@ def test_agg_projection_restriction_and_errors(spark, triples):
         "SELECT * (COUNT(*) AS ?n) WHERE { ?c ?p ?o . }",
         # COUNT(DISTINCT *)
         "SELECT (COUNT(DISTINCT *) AS ?n) WHERE { ?c ?p ?o . }",
+        # alias collides with a GROUP BY variable -> would be an opaque
+        # runtime AMBIGUOUS_REFERENCE without the parse-time check
+        "SELECT ?p (COUNT(*) AS ?p) WHERE { ?c ?p ?o . } GROUP BY ?p",
+        # two aggregates sharing one alias
+        "SELECT (COUNT(*) AS ?n) (COUNT(?c) AS ?n) WHERE { ?c ?p ?o . }",
     ]
     for q in bad:
         with pytest.raises(SparqlError):
