@@ -8,9 +8,11 @@ import pytest
 
 from science_datalake_spark import plans
 from science_datalake_spark.catalog import table
-from science_datalake_spark.queries import load_all
+from science_datalake_spark.queries import load_all, load_aux
 
-QUERIES, _ = load_all()
+# plan shapes are pinned regardless of which registry a query currently
+# lives in — driver/aux rotation must never drop a plan test
+QUERIES = {**load_aux()[0], **load_all()[0]}
 
 
 @pytest.fixture(scope="module", autouse=True)
