@@ -125,6 +125,7 @@ def cmd_sparql(args: argparse.Namespace) -> int:
         SparqlError,
         quads_to_triples_df,
         sparql_select,
+        with_common_prefixes,
     )
     from science_datalake_spark.sources.ontology import (
         parse_ntriples,
@@ -156,7 +157,13 @@ def cmd_sparql(args: argparse.Namespace) -> int:
             quads = parse_turtle(text)
         triples = quads_to_triples_df(spark, quads)
     try:
-        rows = sparql_select(triples, args.query).limit(args.row_cap).collect()
+        # reference convenience (sparql_query.py:32-56): queries with no
+        # PREFIX of their own get the well-known block prepended
+        rows = (
+            sparql_select(triples, with_common_prefixes(args.query))
+            .limit(args.row_cap)
+            .collect()
+        )
     except SparqlError as e:
         print(f"rejected: {e}", file=sys.stderr)
         return 2

@@ -25,7 +25,10 @@ Supported subset:
   (plain column ordering: NULL/unbound sorts first ascending — the
   common case of SPARQL's type-ordered comparison; with LIMIT it lowers
   to Spark's TakeOrderedAndProject top-k, never a global sort)
-- ``LIMIT n``
+- ``LIMIT n`` / ``OFFSET n`` (either order)
+- ``ASK [WHERE] { ... }`` — boolean existence (LIMIT-1 probe; the
+  reference CLI's bool branch, sparql_query.py:100-104); plus the
+  reference's no-PREFIX convenience via ``with_common_prefixes``
 - property paths ``pred*`` / ``pred+`` on a CONSTANT predicate (the
   ontology ancestor-walk shape, ``rdfs:subClassOf*`` /
   ``skos:broader+``): the predicate's edge subset is closed by
@@ -185,8 +188,25 @@ class _Parser:
             if not pfx.endswith(":") or not iri.startswith("<"):
                 raise SparqlError(f"malformed PREFIX near {pfx} {iri}")
             self.prefixes[pfx[:-1]] = iri[1:-1]
+        ask = False
+        if self.at_word("ASK"):
+            # ASK [WHERE] { ... } — boolean existence query (the
+            # reference CLI's run_query handles the bool result branch,
+            # sparql_query.py:100-104)
+            self.i += 1
+            ask = True
+            if self.at_word("WHERE"):
+                self.i += 1
+            group = self.parse_group()
+            if self.i != len(self.toks):
+                raise SparqlError(
+                    f"trailing tokens after ASK: {[t[1] for t in self.toks[self.i:]]}"
+                )
+            if not group.elements:
+                raise SparqlError("empty graph pattern")
+            return [], False, False, group, None, None, [], [], ask
         if not self.at_word("SELECT"):
-            raise SparqlError("expected SELECT")
+            raise SparqlError("expected SELECT or ASK")
         self.i += 1
         distinct = self.at_word("DISTINCT")
         if distinct:
@@ -250,14 +270,25 @@ class _Parser:
                     break
             if not order_by:
                 raise SparqlError("ORDER BY requires at least one sort key")
-        limit = None
-        if self.at_word("LIMIT"):
+        limit = offset = None
+        # LIMIT and OFFSET accepted in either order (SPARQL allows both);
+        # semantics are order-independent: skip OFFSET solutions, then
+        # take LIMIT
+        while self.at_word("LIMIT") or self.at_word("OFFSET"):
+            kw = self.peek()[1].upper()
             self.i += 1
             t = self.peek()
             if t is None or t[0] != "num" or not t[1].isdigit():
-                raise SparqlError("LIMIT requires a non-negative integer")
+                raise SparqlError(f"{kw} requires a non-negative integer")
             self.i += 1
-            limit = int(t[1])
+            if kw == "LIMIT":
+                if limit is not None:
+                    raise SparqlError("duplicate LIMIT")
+                limit = int(t[1])
+            else:
+                if offset is not None:
+                    raise SparqlError("duplicate OFFSET")
+                offset = int(t[1])
         if self.i != len(self.toks):
             raise SparqlError(f"trailing tokens: {[t[1] for t in self.toks[self.i:]]}")
         if not group.elements:
@@ -286,7 +317,7 @@ class _Parser:
                         f"duplicate result variable ?{a.out} in SELECT list"
                     )
                 seen.add(a.out)
-        return select_list, star, distinct, group, limit, group_by, order_by
+        return select_list, star, distinct, group, limit, offset, group_by, order_by, ask
 
     def parse_select_agg(self) -> _Agg:
         """``( COUNT ( [DISTINCT] * | ?v ) AS ?name )`` — the minimal
@@ -719,10 +750,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     COUNT aggregates with GROUP BY) against the triples relation.
     Aggregation delegates to a DataFrame groupBy — one partial-combinable
     hash aggregate keyed on the GROUP BY variables."""
-    select_list, star, distinct, group, limit, group_by, order_by = _Parser(
-        query
-    ).parse()
+    (
+        select_list,
+        star,
+        distinct,
+        group,
+        limit,
+        offset,
+        group_by,
+        order_by,
+        ask,
+    ) = _Parser(query).parse()
     out = _eval_group(triples, group)
+    if ask:
+        # boolean existence: ANY solution -> true. limit(1) makes the
+        # existence probe stop at the first match instead of evaluating
+        # the full pattern
+        return out.limit(1).select(F.lit(True).alias("ask")).groupBy().agg(
+            F.coalesce(F.max("ask"), F.lit(False)).alias("ask")
+        )
     aggs = [a for a in select_list if isinstance(a, _Agg)]
     if aggs:
         needed = set(group_by) | {a.var for a in aggs if a.var is not None}
@@ -758,9 +804,40 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         )
         # ORDER BY + LIMIT lowers to TakeOrderedAndProject — a top-k per
         # partition + driver merge, never a global sort of the result
+    if offset is not None:
+        out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_ask(triples: DataFrame, query: str) -> bool:
+    """Run an ASK query and return the Python boolean (one driver
+    action over the LIMIT-1 existence plan)."""
+    out = sparql_select(triples, query)
+    if out.columns != ["ask"]:
+        raise SparqlError("sparql_ask requires an ASK query")
+    return bool(out.first()["ask"])
+
+
+#: The reference CLI prepends these well-known prefixes to any query
+#: that declares none (sparql_query.py:32-56) — same convenience here.
+COMMON_PREFIXES = """\
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+PREFIX obo: <http://purl.obolibrary.org/obo/>
+"""
+
+
+def with_common_prefixes(query: str) -> str:
+    """Prepend the well-known prefix block when the query declares no
+    PREFIX of its own (case-insensitive check, like the reference)."""
+    if "PREFIX" in query.upper():
+        return query
+    return COMMON_PREFIXES + query
 
 
 def write_triple_store(triples: DataFrame, path: str) -> None:

@@ -580,3 +580,56 @@ def test_order_by_plain_and_errors(spark, triples):
     ):
         with pytest.raises(SparqlError):
             sparql_select(triples, bad)
+
+
+def test_ask_queries(spark, triples):
+    """ASK returns a 1-row boolean frame; sparql_ask unwraps it. The
+    existence probe must short-circuit via limit(1)."""
+    from science_datalake_spark.sparql import sparql_ask
+
+    q_yes = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    ASK { ?c skos:broader ?p . }
+    """
+    q_no = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    ASK WHERE { ?c skos:broader <http://ex.org/nothing> . }
+    """
+    assert sparql_ask(triples, q_yes) is True
+    assert sparql_ask(triples, q_no) is False
+    df = sparql_select(triples, q_yes)
+    assert df.columns == ["ask"]
+    with pytest.raises(SparqlError):
+        sparql_ask(triples, "SELECT ?c WHERE { ?c ?p ?o . }")
+    with pytest.raises(SparqlError):
+        sparql_select(triples, "ASK { ?c ?p ?o . } LIMIT 3")  # trailing
+
+
+def test_offset_and_limit_both_orders(spark, triples):
+    """OFFSET skips solutions after ORDER BY; LIMIT/OFFSET accepted in
+    either clause order with identical semantics."""
+    base = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c skos:broader ?p . } ORDER BY ?c
+    """
+    all_rows = [r["c"] for r in sparql_select(triples, base).collect()]
+    a = [r["c"] for r in sparql_select(triples, base + " LIMIT 1 OFFSET 1").collect()]
+    b = [r["c"] for r in sparql_select(triples, base + " OFFSET 1 LIMIT 1").collect()]
+    assert a == b == [all_rows[1]]
+    with pytest.raises(SparqlError):
+        sparql_select(triples, base + " OFFSET 1 OFFSET 2")
+
+
+def test_with_common_prefixes(spark, triples):
+    """A query with no PREFIX gets the reference's well-known block; one
+    that declares its own is untouched."""
+    from science_datalake_spark.sparql import with_common_prefixes
+
+    bare = "SELECT ?c WHERE { ?c skos:broader ?p . }"
+    got = sparql_select(triples, with_common_prefixes(bare))
+    assert got.count() == 3
+    declared = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c skos:broader ?p . }
+    """
+    assert with_common_prefixes(declared) == declared
