@@ -1036,7 +1036,16 @@ def corpus_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head (top-30 terms by frequency with Zipf rank)
     — the vocabulary-health check run before tokenizer training; one
-    explode + one groupBy + TakeOrdered."""
+    explode + one groupBy + TakeOrdered.
+
+    The rank is assigned AFTER the top-k cut: ``orderBy().limit(30)``
+    lowers to TakeOrderedAndProject (per-partition top-k + driver
+    merge), and the global row_number window then runs over 30 rows. A
+    window over the full vocab — the previous form — moved EVERY
+    distinct term into one task (WindowExec's no-partition warning, a
+    single-reducer sort of a billions-row vocabulary at corpus scale);
+    ranking the already-cut top-k is order-identical because both use
+    the same (n desc, tok) total order."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
@@ -1044,12 +1053,9 @@ def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = toks.groupBy("tok").agg(F.count("*").alias("n"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("n"), "tok")
-    return (
-        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
-        .orderBy("rank")
-        .limit(30)
-    )
+    top = vocab.orderBy(F.desc("n"), "tok").limit(30)
+    w = Window.orderBy(F.desc("n"), "tok")  # 30-row input: single tiny task
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).orderBy("rank")
 
 
 @query(

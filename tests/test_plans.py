@@ -182,3 +182,13 @@ def test_new_driver_queries_plan_shapes(spark, sf_oracle):
     p = plans.physical_plan(sem)
     assert "FlatMapGroupsInPandas" in p and "MapInPandas" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_vocab_zipf_ranks_after_topk_cut(spark, sf_oracle):
+    """text_vocab_zipf must TakeOrdered-cut the vocabulary BEFORE the
+    global rank window (a full-vocab global window is a single-reducer
+    sort of every distinct term at corpus scale — sf0.1 parity-sweep
+    finding)."""
+    df = QUERIES["text_vocab_zipf"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "TakeOrderedAndProject" in p, p
