@@ -124,3 +124,62 @@ def decontaminate(
             (F.col("overlap") > max_overlap).alias("is_contaminated"),
         )
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    source_col: str,
+    alpha: float,
+    text_col: str = "text",
+    weight_digits: int = 3,
+) -> dict[str, float]:
+    """Temperature-scaled source weights: w_s ∝ (token count of s)^alpha,
+    normalized — the mT5/Pile up/down-sampling recipe (alpha=1
+    reproduces natural proportions, alpha→0 approaches uniform, the
+    usual training mixes sit at 0.3–0.7 so low-resource sources are
+    boosted without letting a mega-source dominate).
+
+    One aggregation (sum of per-doc token counts per source, map-side
+    combinable) and a |sources|-row collect. Weights are rounded
+    HALF-AWAY to ``weight_digits`` so a relational twin computing
+    ``round(pow(c, alpha) / Z, d)`` lands on the identical double and
+    ``token_budget_mix``'s Decimal threshold resolution
+    (int(Decimal(str(w)) * budget)) matches the twin's
+    DECIMAL-cast multiplication exactly — the same
+    integer-threshold-handoff discipline as the 50/30/20 mix oracle.
+    Z is summed in sorted-source order (deterministic)."""
+    import math
+
+    rows = (
+        docs.groupBy(source_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("__c"))
+        .collect()
+    )
+    pows = {
+        r[source_col]: float(r["__c"] or 0) ** alpha
+        for r in rows
+        if r[source_col] is not None
+    }
+    z = sum(pows[s] for s in sorted(pows))
+    if z == 0:
+        return {s: 0.0 for s in pows}
+    p = 10.0**weight_digits
+    return {s: math.floor(w / z * p + 0.5) / p for s, w in pows.items()}
+
+
+def temperature_mix(
+    docs: DataFrame,
+    source_col: str,
+    alpha: float,
+    budget_tokens: int,
+    id_col: str,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """``token_budget_mix`` with weights derived from the data itself via
+    ``temperature_mix_weights`` — the end-to-end temperature-sampled
+    corpus composition step."""
+    weights = temperature_mix_weights(docs, source_col, alpha, text_col)
+    return token_budget_mix(
+        docs, source_col, weights, budget_tokens, id_col, text_col, seed
+    )

@@ -17,6 +17,8 @@ index as a DataFrame; document frequencies are a broadcast-sized dimension
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -140,3 +142,57 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
             ),
         )
     )
+
+
+def score_buckets(
+    scores: DataFrame,
+    score_col: str,
+    cuts: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    round_digits: int = 3,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """CCNet-style quality bucketing: split a scored corpus into
+    ``labels`` tiers at the global score quantiles ``cuts`` (CCNet
+    buckets web text into head/middle/tail at Wikipedia-LM perplexity
+    terciles; here the score column is typically
+    ``unigram_logprob_scores``' avg_neg_logprob, where LOW = fluent).
+
+    Scale shape: the quantile thresholds come from
+    ``exact_group_quantiles_parallel`` (value-range bucketing against
+    literal boundaries — no single-task sort at any corpus size), are
+    collected as len(cuts) doubles (one driver action, the IVF-codebook
+    pattern), and the assignment is a map-only CASE against those
+    literals. Thresholds are rounded half-away to ``round_digits`` so a
+    relational twin computing ``round(quantile_cont(...), d)`` lands on
+    the identical double and every boundary comparison agrees
+    cross-engine. NULL scores get a NULL bucket (mirroring SQL CASE with
+    an explicit NULL guard), never a silent tail assignment."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError("need exactly len(cuts)+1 labels")
+    if sorted(cuts) != list(cuts):
+        raise ValueError("cuts must be ascending")
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles_parallel,
+    )
+
+    names = [f"__q{i}" for i in range(len(cuts))]
+    row = exact_group_quantiles_parallel(
+        scores.select(F.lit(0).alias("__g"), F.col(score_col)),
+        ["__g"],
+        score_col,
+        cuts,
+        out_names=names,
+        num_partitions=num_partitions,
+    ).first()
+    if row is None:  # empty input: no thresholds, everything NULL-scored
+        return scores.withColumn("bucket", F.lit(None).cast("string"))
+    p = 10.0**round_digits
+    import math
+
+    thr = [math.floor(abs(row[n]) * p + 0.5) / p * (1 if row[n] >= 0 else -1) for n in names]
+    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+    for t, lab in zip(thr, labels[:-1]):
+        expr = expr.when(F.col(score_col) <= F.lit(t), lab)
+    expr = expr.otherwise(labels[-1])
+    return scores.withColumn("bucket", expr)

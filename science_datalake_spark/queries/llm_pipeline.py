@@ -1414,3 +1414,117 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         g["reject_reason"].alias("reject_reason"),
         g["keep"].alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_ppl_buckets",
+    aux=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_WORDS_LOWER}) AS tok FROM documents
+    ),
+    dtf AS (SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, sum(n) AS cnt FROM dtf GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    scored AS (
+        SELECT d.doc_id, CAST(sum(d.n) AS BIGINT) AS n_tokens,
+               round(sum(d.n * -ln(v.cnt / tot.total)) / sum(d.n), 4) AS s
+        FROM dtf d JOIN vocab v USING (tok) CROSS JOIN tot
+        GROUP BY d.doc_id
+    ),
+    thr AS (
+        SELECT round(quantile_cont(s, 1.0/3.0), 3) AS t1,
+               round(quantile_cont(s, 2.0/3.0), 3) AS t2
+        FROM scored
+    ),
+    b AS (
+        SELECT CASE WHEN s <= thr.t1 THEN 'head'
+                    WHEN s <= thr.t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               n_tokens, s
+        FROM scored CROSS JOIN thr
+    )
+    SELECT bucket, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(round(avg(s), 4) AS DOUBLE) AS avg_score
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing at unigram-LM
+    score terciles (operators/ranking.score_buckets over
+    unigram_logprob_scores): the step that decides which third of a
+    crawl is 'Wikipedia-like' enough to train on. Thresholds are two
+    driver-collected doubles from the parallel exact-quantile path;
+    assignment is a map-only CASE."""
+    from science_datalake_spark.operators.ranking import (
+        score_buckets,
+        unigram_logprob_scores,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(d, "doc_id", "text")
+    b = score_buckets(scores, "avg_neg_logprob")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.round(F.avg("avg_neg_logprob"), 4).alias("avg_score"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "corpus_temperature_mix",
+    aux=True,
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_WORDS}) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS ord
+        FROM documents
+    ),
+    counts AS (SELECT source, sum(n_tokens) AS c FROM toks GROUP BY source),
+    z AS (SELECT sum(pow(c, 0.5)) AS z FROM counts),
+    -- round(…, 3) then DECIMAL-cast: the double lands on the identical
+    -- 3-decimal grid value the operator's python half-away round
+    -- produces, and the DECIMAL multiply is exact — so floor(w*budget)
+    -- equals the operator's int(Decimal(str(w)) * budget) threshold
+    thr AS (
+        SELECT source,
+               CAST(floor(CAST(round(pow(c, 0.5) / z.z, 3) AS DECIMAL(18,3))
+                          * 9000) AS BIGINT) AS thr
+        FROM counts, z
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_tokens_before
+        FROM toks
+    )
+    SELECT c.doc_id, c.source, CAST(c.n_tokens AS INTEGER) AS n_tokens,
+           CAST(c.cum_tokens_before AS BIGINT) AS cum_tokens_before
+    FROM cum c JOIN thr USING (source)
+    WHERE c.cum_tokens_before < thr.thr
+    ORDER BY c.source, c.doc_id
+    """,
+)
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled corpus composition (the mT5/Pile alpha
+    recipe, alpha=0.5): source weights ∝ sqrt(source token count),
+    normalized, then the deterministic seeded-hash token-budget
+    selection (operators/corpus.temperature_mix). Exercises the
+    data-derived-weights path end-to-end against a relational twin that
+    recomputes the same thresholds."""
+    from science_datalake_spark.operators.corpus import temperature_mix
+
+    d = table(spark, sf_dir, "documents")
+    mix = temperature_mix(
+        d, "source", alpha=0.5, budget_tokens=9000, id_col="doc_id"
+    )
+    return mix.select(
+        "doc_id", "source", "n_tokens", "cum_tokens_before"
+    ).orderBy("source", "doc_id")

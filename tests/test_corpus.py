@@ -65,3 +65,38 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert 0.0 < out[3]["overlap"] < 1.0
     assert out[4]["n_shingles"] == 0 and not out[4]["is_contaminated"]
     assert set(out) == {1, 2, 3, 4}  # every corpus doc gets a row
+
+
+def test_temperature_mix_weights_and_mix(spark):
+    """alpha=1 reproduces natural proportions; alpha=0 is uniform;
+    alpha=0.5 boosts the low-resource source; the end-to-end mix
+    respects the derived thresholds exactly (python Decimal mirror)."""
+    from decimal import Decimal
+
+    from science_datalake_spark.operators.corpus import (
+        temperature_mix,
+        temperature_mix_weights,
+    )
+
+    rows = []
+    for i in range(90):
+        rows.append((i, "big", "w " * 10))        # 900 tokens
+    for i in range(100, 110):
+        rows.append((i, "small", "w " * 10))      # 100 tokens
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+    w1 = temperature_mix_weights(df, "source", alpha=1.0)
+    assert w1 == {"big": 0.9, "small": 0.1}
+    w0 = temperature_mix_weights(df, "source", alpha=0.0)
+    assert w0 == {"big": 0.5, "small": 0.5}
+    wh = temperature_mix_weights(df, "source", alpha=0.5)
+    assert wh["small"] > 0.1 and wh["big"] < 0.9
+    assert abs(sum(wh.values()) - 1.0) < 2e-3  # grid rounding only
+
+    mix = temperature_mix(df, "source", alpha=0.5, budget_tokens=500, id_col="doc_id")
+    got = mix.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    picked = {r["source"]: r["t"] for r in got}
+    for s, t in picked.items():
+        thr = int(Decimal(str(wh[s])) * 500)
+        # overshoot by at most one 10-token document
+        assert t < thr + 10 + 1, (s, t, thr)

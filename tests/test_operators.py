@@ -1199,3 +1199,29 @@ def test_simhash_candidate_pairs_pigeonhole_recall(spark):
         simhash_candidate_pairs(df, "doc_id", bits=16, bands=5)
     with pytest.raises(ValueError):
         simhash_candidate_pairs(df, "doc_id", bits=16, bands=4, max_hamming=4)
+
+
+def test_score_buckets_terciles_and_edges(spark):
+    """score_buckets: tercile assignment on a known score set, NULL
+    scores get NULL buckets (never tail), validation errors, empty
+    input survives."""
+    import pytest
+
+    from science_datalake_spark.operators.ranking import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)]  # 1..9: terciles at 3.667/6.333
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id LONG, s DOUBLE")
+    out = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "s").collect()}
+    assert out[99] is None
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+    with pytest.raises(ValueError):
+        score_buckets(df, "s", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        score_buckets(df, "s", cuts=(0.7, 0.3), labels=("a", "b", "c"))
+
+    empty = spark.createDataFrame([], "doc_id LONG, s DOUBLE")
+    assert score_buckets(empty, "s").count() == 0
