@@ -254,3 +254,49 @@ def chunk_text(
             F.substring(F.col(text_col), F.col("__s"), chunk_chars).alias("chunk"),
         )
     )
+
+
+def drop_repeated_units(
+    df,
+    id_col: str,
+    text_col: str,
+    delimiter: str = "\n",
+    keep_blank: bool = True,
+):
+    """Intra-document repeated-unit removal — the Dolma/Gopher cleanup
+    that strips boilerplate repeated WITHIN one document (navigation
+    menus repeated per section, duplicated paragraphs from template
+    glitches): split on ``delimiter``, keep each unit's FIRST occurrence
+    in order, rejoin. ``keep_blank`` preserves blank units (document
+    structure) even when repeated.
+
+    Map-only: one split + one index-aware ``filter`` lambda whose
+    ``array_position`` probe is the first-occurrence test — O(units²)
+    string compares per document, all inside codegen, no UDF, no
+    shuffle. Returns the input columns plus ``cleaned`` (the rejoined
+    text), ``n_units`` and ``n_removed``. NULL text passes through as
+    NULL cleaned / NULL counts."""
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(delimiter))
+    first = lambda x, i: F.array_position(parts, x) == i + F.lit(1)  # noqa: E731
+    if keep_blank:
+        pred = lambda x, i: (F.trim(x) == "") | first(x, i)  # noqa: E731
+    else:
+        pred = first
+    kept = F.filter(parts, pred)
+    # size(NULL) is -1 under the legacy conf — gate counts on text
+    # nullness explicitly so NULL text yields NULL counts everywhere
+    nn = F.col(text_col).isNotNull()
+    return (
+        df.withColumn("__kept", kept)
+        .withColumn(
+            "cleaned",
+            F.when(nn, F.array_join(F.col("__kept"), delimiter)),
+        )
+        .withColumn("n_units", F.when(nn, F.size(parts)))
+        .withColumn(
+            "n_removed", F.when(nn, F.size(parts) - F.size(F.col("__kept")))
+        )
+        .drop("__kept")
+    )

@@ -1528,3 +1528,37 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select(
         "doc_id", "source", "n_tokens", "cum_tokens_before"
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "text_intra_dedup",
+    aux=True,
+    oracle="""
+    WITH parts AS (
+        SELECT doc_id, str_split(text, ' ') AS p FROM documents
+        WHERE doc_id < 120
+    ),
+    kept AS (
+        SELECT doc_id, p,
+               list_filter(p, (x, i) -> trim(x) = '' OR list_position(p, x) = i)
+                   AS k
+        FROM parts
+    )
+    SELECT doc_id,
+           CAST(len(p) AS INTEGER) AS n_units,
+           CAST(len(p) - len(k) AS INTEGER) AS n_removed,
+           array_to_string(k, ' ') AS cleaned
+    FROM kept
+    ORDER BY doc_id
+    """,
+)
+def text_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-unit removal (operators/textops.
+    drop_repeated_units — the Dolma/Gopher within-doc boilerplate
+    strip), exercised at word granularity over the synthetic corpus
+    (its 40-term vocabulary makes repeats dense, so the keep-first
+    semantics are hash-pinned on every document). DuckDB's 1-based
+    list_filter index mirrors Spark's 0-based filter lambda + 1."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    out = T.drop_repeated_units(d, "doc_id", "text", delimiter=" ")
+    return out.select("doc_id", "n_units", "n_removed", "cleaned").orderBy("doc_id")

@@ -1225,3 +1225,26 @@ def test_score_buckets_terciles_and_edges(spark):
 
     empty = spark.createDataFrame([], "doc_id LONG, s DOUBLE")
     assert score_buckets(empty, "s").count() == 0
+
+
+def test_drop_repeated_units_lines(spark):
+    """Newline units: repeated nav-menu lines drop (first kept), blank
+    lines survive even repeated, NULL text passes through as NULL."""
+    from science_datalake_spark.operators.textops import drop_repeated_units
+
+    doc = "MENU\nintro text\n\nMENU\nbody text\n\nMENU\nbody text"
+    df = spark.createDataFrame([(1, doc), (2, None)], "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in drop_repeated_units(df, "doc_id", "text").collect()}
+    # kept: MENU, intro text, blank, body text, blank (both MENU repeats
+    # and the second body text drop; both blanks survive)
+    assert out[1]["cleaned"] == "MENU\nintro text\n\nbody text\n"
+    assert out[1]["n_units"] == 8 and out[1]["n_removed"] == 3
+    assert out[2]["cleaned"] is None and out[2]["n_removed"] is None
+
+    # keep_blank=False treats blanks like any unit: first kept, repeat
+    # dropped
+    strict = drop_repeated_units(
+        df.filter("doc_id = 1"), "doc_id", "text", keep_blank=False
+    ).first()
+    assert strict["cleaned"] == "MENU\nintro text\n\nbody text"
+    assert strict["n_removed"] == 4
