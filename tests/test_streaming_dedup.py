@@ -69,3 +69,56 @@ def test_stream_dedup_counts(spark, tmp_path):
     assert sum(r["n_docs"] for r in got.values()) == 60
     for r in got.values():
         assert 0 < r["n_distinct_approx"] <= r["n_docs"]
+
+def test_stream_quality_gate_matches_batch(spark, tmp_path):
+    """The streaming gate must produce row-identical verdicts to the
+    batch quality_gate (same expressions, stateless), and the windowed
+    reject-reason counts must equal the batch groupBy twin."""
+    from science_datalake_spark.operators.textops import quality_gate
+    from science_datalake_spark.streaming.quality import (
+        quality_gate_stream,
+        reject_reason_counts_stream,
+    )
+
+    src = _write_doc_files(tmp_path)
+    kwargs = dict(min_tokens=5, max_tokens=100, min_stopword=0.0, lang_threshold=0.0)
+
+    gated = quality_gate_stream(_doc_stream(spark, src), **kwargs)
+    run_available_now(gated, str(tmp_path / "ckpt_qg"), "qgate_test", output_mode="append")
+    got = {
+        r["doc_id"]: (r["keep"], r["reject_reason"], r["n_tokens"])
+        for r in spark.sql("SELECT * FROM qgate_test").collect()
+    }
+
+    batch = spark.read.schema(DOC_SCHEMA).json(src)
+    cols = quality_gate(F.col("text"), **kwargs)
+    want = {
+        r["doc_id"]: (r["keep"], r["reject_reason"], r["n_tokens"])
+        for r in batch.select(
+            "doc_id", cols["keep"].alias("keep"),
+            cols["reject_reason"].alias("reject_reason"),
+            cols["n_tokens"].alias("n_tokens"),
+        ).collect()
+    }
+    assert got == want and len(got) == 60
+
+    counts = reject_reason_counts_stream(
+        _doc_stream(spark, src), window="1 hour", **kwargs
+    )
+    # complete mode: an availableNow drain's watermark never passes the
+    # final window, so append would emit nothing for in-flight windows
+    run_available_now(counts, str(tmp_path / "ckpt_qc"), "qcounts_test")
+    got_c = {
+        (r["reason"]): r["n_docs"]
+        for r in spark.sql("SELECT * FROM qcounts_test").collect()
+    }
+    want_c = {
+        r["reason"]: r["n"]
+        for r in batch.select(
+            F.coalesce(cols["reject_reason"], F.lit("kept")).alias("reason")
+        )
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got_c == want_c
