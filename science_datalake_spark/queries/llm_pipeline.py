@@ -1562,3 +1562,26 @@ def text_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     out = T.drop_repeated_units(d, "doc_id", "text", delimiter=" ")
     return out.select("doc_id", "n_units", "n_removed", "cleaned").orderBy("doc_id")
+
+
+@query("text_compression_ratio", aux=True)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality profile (RefinedWeb/MassiveText signal;
+    operators/textops.compression_ratio_stats — Arrow-batched zlib, the
+    one justified row-wise Python computation beside the model seam).
+    No DuckDB oracle: zlib is not SQL-expressible, so this entry is in
+    the documented rows-only evidence class; exact values are pinned
+    against a local zlib mirror in tests/test_operators.py instead."""
+    from science_datalake_spark.operators.textops import compression_ratio_stats
+
+    d = table(spark, sf_dir, "documents")
+    stats = compression_ratio_stats(d, "doc_id", "text")
+    return (
+        stats.groupBy()
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("compression_ratio"), 4).alias("avg_ratio"),
+            F.round(F.min("compression_ratio"), 4).alias("min_ratio"),
+            F.round(F.max("compression_ratio"), 4).alias("max_ratio"),
+        )
+    )

@@ -1248,3 +1248,27 @@ def test_drop_repeated_units_lines(spark):
     ).first()
     assert strict["cleaned"] == "MENU\nintro text\n\nbody text"
     assert strict["n_removed"] == 4
+
+
+def test_compression_ratio_stats(spark):
+    """zlib ratio signal: repetitive text compresses far better than
+    high-entropy text; values match a local zlib mirror exactly (same
+    library, same level); NULL and empty text guarded."""
+    import random
+    import zlib
+
+    from science_datalake_spark.operators.textops import compression_ratio_stats
+
+    rng = random.Random(3)
+    noisy = "".join(rng.choice("abcdefghijklmnop0123456789") for _ in range(2000))
+    rows = [(1, "spam " * 400), (2, noisy), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in compression_ratio_stats(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i]["n_compressed"] is None and got[i]["compression_ratio"] is None
+            continue
+        want = len(zlib.compress(t.encode("utf-8"), 6))
+        assert got[i]["n_compressed"] == want, i
+    assert got[3]["compression_ratio"] is None  # empty text: no 0/0
+    assert got[1]["compression_ratio"] < 0.05 < got[2]["compression_ratio"]
