@@ -192,3 +192,26 @@ def test_vocab_zipf_ranks_after_topk_cut(spark, sf_oracle):
     df = QUERIES["text_vocab_zipf"](spark, sf_oracle)
     p = plans.physical_plan(df)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_round6_additive_query_plan_shapes(spark, sf_oracle):
+    """New round-6 ops keep scale-critical shapes: text_ppl_buckets'
+    assignment is a literal CASE (no join of corpus to thresholds, no
+    global window); corpus_temperature_mix is the per-source running
+    window + map threshold (no corpus-side join); text_intra_dedup is
+    map-only (no shuffle at all before the final sort)."""
+    ppl = QUERIES["text_ppl_buckets"](spark, sf_oracle)
+    p = plans.physical_plan(ppl)
+    # no window at all: thresholds are literals, assignment is a CASE
+    # (the only join in the plan is the dtf-vocab scoring join)
+    assert "Window" not in p, p
+
+    mix = QUERIES["corpus_temperature_mix"](spark, sf_oracle)
+    p = plans.physical_plan(mix)
+    assert "Join" not in p, p  # weights resolve driver-side, not via join
+    assert "Window" in p, p   # the per-source running token sum
+
+    intra = QUERIES["text_intra_dedup"](spark, sf_oracle)
+    p = plans.physical_plan(intra)
+    assert "Join" not in p and "Window" not in p, p
+    assert plans.count_exchanges(intra) <= 1, p  # only the final sort
