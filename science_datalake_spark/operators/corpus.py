@@ -148,7 +148,7 @@ def temperature_mix_weights(
     DECIMAL-cast multiplication exactly — the same
     integer-threshold-handoff discipline as the 50/30/20 mix oracle.
     Z is summed in sorted-source order (deterministic)."""
-    import math
+    from science_datalake_spark.util import round_half_away
 
     rows = (
         docs.groupBy(source_col)
@@ -163,8 +163,7 @@ def temperature_mix_weights(
     z = sum(pows[s] for s in sorted(pows))
     if z == 0:
         return {s: 0.0 for s in pows}
-    p = 10.0**weight_digits
-    return {s: math.floor(w / z * p + 0.5) / p for s, w in pows.items()}
+    return {s: round_half_away(w / z, weight_digits) for s, w in pows.items()}
 
 
 def temperature_mix(

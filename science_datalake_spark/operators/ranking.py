@@ -166,8 +166,11 @@ def score_buckets(
     literals. Thresholds are rounded half-away to ``round_digits`` so a
     relational twin computing ``round(quantile_cont(...), d)`` lands on
     the identical double and every boundary comparison agrees
-    cross-engine. NULL scores get a NULL bucket (mirroring SQL CASE with
-    an explicit NULL guard), never a silent tail assignment."""
+    cross-engine. NULL **and NaN** scores get a NULL bucket (mirroring
+    SQL CASE with an explicit guard), never a silent tail assignment —
+    NaN is normalized to NULL up front so it can neither poison the
+    quantile interpolation nor fail every <= comparison into 'tail'
+    (review finding)."""
     if len(labels) != len(cuts) + 1:
         raise ValueError("need exactly len(cuts)+1 labels")
     if sorted(cuts) != list(cuts):
@@ -176,9 +179,14 @@ def score_buckets(
         exact_group_quantiles_parallel,
     )
 
+    # NaN -> NULL before anything touches the scores: NaN sorts above
+    # every double, so it would poison the upper-quantile interpolation
+    # and then dodge every <= threshold comparison into 'tail'
+    sc = F.col(score_col).cast("double")
+    clean = F.when(~F.isnan(sc), sc)
     names = [f"__q{i}" for i in range(len(cuts))]
     row = exact_group_quantiles_parallel(
-        scores.select(F.lit(0).alias("__g"), F.col(score_col)),
+        scores.select(F.lit(0).alias("__g"), clean.alias(score_col)),
         ["__g"],
         score_col,
         cuts,
@@ -187,12 +195,11 @@ def score_buckets(
     ).first()
     if row is None:  # empty input: no thresholds, everything NULL-scored
         return scores.withColumn("bucket", F.lit(None).cast("string"))
-    p = 10.0**round_digits
-    import math
+    from science_datalake_spark.util import round_half_away
 
-    thr = [math.floor(abs(row[n]) * p + 0.5) / p * (1 if row[n] >= 0 else -1) for n in names]
-    expr = F.when(F.col(score_col).isNull(), F.lit(None).cast("string"))
+    thr = [round_half_away(row[n], round_digits) for n in names]
+    expr = F.when(clean.isNull(), F.lit(None).cast("string"))
     for t, lab in zip(thr, labels[:-1]):
-        expr = expr.when(F.col(score_col) <= F.lit(t), lab)
+        expr = expr.when(clean <= F.lit(t), lab)
     expr = expr.otherwise(labels[-1])
     return scores.withColumn("bucket", expr)

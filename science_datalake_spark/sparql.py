@@ -813,11 +813,14 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
 
 def sparql_ask(triples: DataFrame, query: str) -> bool:
     """Run an ASK query and return the Python boolean (one driver
-    action over the LIMIT-1 existence plan)."""
-    out = sparql_select(triples, query)
-    if out.columns != ["ask"]:
+    action over the LIMIT-1 existence plan). The query FORM is checked
+    by the parser, not by sniffing result-column names — a SELECT that
+    happens to project ``?ask`` must be rejected, not coerced (review
+    finding)."""
+    if not _Parser(query).parse()[-1]:
         raise SparqlError("sparql_ask requires an ASK query")
-    return bool(out.first()["ask"])
+    # an ASK frame is a global aggregate: exactly one row, always
+    return bool(sparql_select(triples, query).first()["ask"])
 
 
 #: The reference CLI prepends these well-known prefixes to any query
@@ -834,8 +837,12 @@ PREFIX obo: <http://purl.obolibrary.org/obo/>
 
 def with_common_prefixes(query: str) -> str:
     """Prepend the well-known prefix block when the query declares no
-    PREFIX of its own (case-insensitive check, like the reference)."""
-    if "PREFIX" in query.upper():
+    PREFIX of its own. The check matches a PREFIX *declaration* (line
+    start + keyword), not a bare substring — an IRI like
+    ``<http://ex.org/prefixedTerm>`` must not suppress the convenience
+    block and break the query's prefixed names (review finding; the
+    reference's substring check has that bug)."""
+    if re.search(r"(?im)^\s*prefix\s", query):
         return query
     return COMMON_PREFIXES + query
 

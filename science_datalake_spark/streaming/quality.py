@@ -31,11 +31,9 @@ def quality_gate_stream(
     """Annotate a document stream with the quality-gate verdict columns.
     Stateless (map-only per micro-batch) — identical expressions to the
     batch gate, so a row's verdict never depends on arrival order."""
-    cols = quality_gate(F.col(text_col), **gate_kwargs)
-    out = docs
-    for name, col in cols.items():
-        out = out.withColumn(name, col)
-    return out
+    # one withColumns call = ONE projection; a per-column withColumn loop
+    # stacks five nested Projects for the analyzer to re-collapse
+    return docs.withColumns(dict(quality_gate(F.col(text_col), **gate_kwargs)))
 
 
 def reject_reason_counts_stream(

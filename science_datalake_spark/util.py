@@ -50,3 +50,17 @@ def _split_top_level(schema: str) -> list[str]:
     if cur:
         parts.append("".join(cur).strip())
     return parts
+
+
+def round_half_away(x: float, digits: int) -> float:
+    """Scalar round-half-away-from-zero — SQL ROUND semantics (python's
+    built-in round is banker's and WOULD diverge at exact .5 grid
+    values). The single shared implementation for every driver-side
+    threshold that must land on the same double a relational twin's
+    round() produces (dedup._round_half_away is the numpy-vectorized
+    sibling with the identical formula)."""
+    import math
+
+    p = 10.0**digits
+    s = 1.0 if x >= 0 else -1.0
+    return s * math.floor(abs(x) * p + 0.5) / p

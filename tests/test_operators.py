@@ -1272,3 +1272,19 @@ def test_compression_ratio_stats(spark):
         assert got[i]["n_compressed"] == want, i
     assert got[3]["compression_ratio"] is None  # empty text: no 0/0
     assert got[1]["compression_ratio"] < 0.05 < got[2]["compression_ratio"]
+
+
+def test_score_buckets_nan_scores(spark):
+    """NaN scores must neither crash the threshold computation nor be
+    silently bucketed as tail — they get NULL buckets like NULLs, and
+    the thresholds come from the finite scores only (review finding)."""
+    from science_datalake_spark.operators.ranking import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)]
+    rows += [(90, float("nan")), (91, None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, s DOUBLE")
+    out = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "s").collect()}
+    assert out[90] is None and out[91] is None
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )

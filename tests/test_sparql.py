@@ -633,3 +633,19 @@ def test_with_common_prefixes(spark, triples):
     SELECT ?c WHERE { ?c skos:broader ?p . }
     """
     assert with_common_prefixes(declared) == declared
+
+
+def test_ask_guard_and_prefix_detection(spark, triples):
+    """sparql_ask rejects a SELECT that merely projects ?ask (parser-level
+    form check); with_common_prefixes is not fooled by 'prefix' inside an
+    IRI (both review findings)."""
+    from science_datalake_spark.sparql import sparql_ask, with_common_prefixes
+
+    with pytest.raises(SparqlError):
+        sparql_ask(triples, "SELECT ?ask WHERE { ?ask ?p ?o . }")
+
+    q = "SELECT ?x WHERE { ?x skos:broader <http://ex.org/prefixedTerm> . }"
+    assert with_common_prefixes(q).startswith("PREFIX rdf:")
+    # a real declaration (indented, lowercase) still suppresses the block
+    declared = "  prefix skos: <http://www.w3.org/2004/02/skos/core#>\nSELECT ?x WHERE { ?x skos:broader ?y . }"
+    assert with_common_prefixes(declared) == declared
