@@ -144,6 +144,9 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
     )
 
 
+_SCORE_BUCKETS_CACHE: dict[str, DataFrame] = {}
+
+
 def score_buckets(
     scores: DataFrame,
     score_col: str,
@@ -151,6 +154,7 @@ def score_buckets(
     labels: Sequence[str] = ("head", "middle", "tail"),
     round_digits: int = 3,
     num_partitions: int | None = None,
+    cache_input: bool = True,
 ) -> DataFrame:
     """CCNet-style quality bucketing: split a scored corpus into
     ``labels`` tiers at the global score quantiles ``cuts`` (CCNet
@@ -178,6 +182,26 @@ def score_buckets(
     from science_datalake_spark.operators.stats import (
         exact_group_quantiles_parallel,
     )
+
+    # the scores relation is scanned by the threshold pass (eager: the
+    # driver collects len(cuts) doubles) AND by every action the caller
+    # runs on the returned frame — persist it for the op's duration so an
+    # expensive upstream (the unigram-LM pipeline) computes ONCE. One
+    # result cached per slot (the dedup cache-lifetime discipline); the
+    # cached relation is the caller's input handle, typically the narrow
+    # (id, score) projection, which spills to disk at scale.
+    if cache_input:
+        prev = _SCORE_BUCKETS_CACHE.pop("slot", None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass  # handle may belong to a stopped session
+        scores = scores.persist()
+        # no eager count: the boundary-sampler action materializes the
+        # cache as a side effect (an explicit count A/B'd 0.4 s SLOWER
+        # at sf0.1 — one more per-action plan compile than it saves)
+        _SCORE_BUCKETS_CACHE["slot"] = scores
 
     # NaN -> NULL before anything touches the scores: NaN sorts above
     # every double, so it would poison the upper-quantile interpolation
