@@ -20,7 +20,11 @@ Supported subset:
   - ``{ ... } UNION { ... }`` → aligned unionByName (unbound → NULL)
   - ``FILTER (expr)`` with ``= != < <= > >= && || !``, parentheses,
     ``REGEX(?v, "re")``, ``CONTAINS(?v, "s")``, ``STRSTARTS(?v, "s")``,
-    ``BOUND(?v)``; numeric literals compare numerically (try_cast)
+    ``BOUND(?v)``, and ``LANG(?v)`` as a comparable value (the literal's
+    tag via a ``__lang_`` companion column carried from the object
+    binding; '' for plain literals, IRIs, and path-bound values — the
+    common ``FILTER (LANG(?label) = "en")`` SKOS idiom); numeric
+    literals compare numerically (try_cast)
 - ``ORDER BY ?v ... / ASC(?v) / DESC(?v)`` on result variables
   (plain column ordering: NULL/unbound sorts first ascending — the
   common case of SPARQL's type-ordered comparison; with LIMIT it lowers
@@ -484,7 +488,7 @@ class _Parser:
             return ("not", self.parse_unary())
         return self.parse_primary()
 
-    _FUNCS = {"REGEX", "CONTAINS", "STRSTARTS", "BOUND"}
+    _FUNCS = {"REGEX", "CONTAINS", "STRSTARTS", "BOUND", "LANG"}
 
     _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
@@ -585,6 +589,11 @@ def _filter_column(ast, columns: set[str]) -> Column:
             }[op]
         if tag == "func":
             _t, fn, args = node
+            if fn == "LANG":
+                raise SparqlError(
+                    "LANG(...) is a value, not a boolean FILTER — compare it"
+                    ' (e.g. LANG(?v) = "en")'
+                )
             if fn == "BOUND":
                 if args[0][0] != "var":
                     raise SparqlError("BOUND requires a variable")
@@ -613,6 +622,19 @@ def _filter_column(ast, columns: set[str]) -> Column:
     def build_val(node, numeric: bool) -> Column:
         if node[0] == "operand":
             return operand(node[1], numeric_ctx=numeric)
+        if node[0] == "func" and node[1] == "LANG":
+            args = node[2]
+            if len(args) != 1 or args[0][0] != "var":
+                raise SparqlError("LANG requires exactly one variable")
+            v = args[0][1]
+            if v not in columns:
+                raise SparqlError(f"FILTER variable not bound in pattern: ?{v}")
+            # SPARQL LANG: the literal's tag, '' for plain literals; our
+            # approximation also yields '' for IRIs and path-bound values
+            # (their bindings carry no tag)
+            if f"__lang_{v}" not in columns:
+                return F.lit("")
+            return F.coalesce(F.col(f"__lang_{v}"), F.lit(""))
         return build(node)
 
     return build(ast)
@@ -633,6 +655,7 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
         relation has no lang notion, so path endpoints keep the original
         value-only match."""
         rename: dict[str, str] = {}
+        lang_var: str | None = None
         for pos, t in slots:
             if t.kind == "var":
                 if t.value in rename.values():
@@ -640,11 +663,18 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     df = df.filter(F.col(pos) == F.col(prev))
                 else:
                     rename[pos] = t.value
+                    if pos == "o" and lang_applicable:
+                        # companion column carrying the literal's language
+                        # tag for FILTER LANG(?v); never a join key
+                        lang_var = t.value
             else:
                 df = df.filter(F.col(pos) == t.value)
                 if t.kind == "lit" and t.lang is not None and lang_applicable:
                     df = df.filter(F.col("lang") == t.lang)
-        return df.select(*[F.col(c).alias(v) for c, v in rename.items()])
+        cols = [F.col(c).alias(v) for c, v in rename.items()]
+        if lang_var is not None:
+            cols.append(F.col("lang").alias(f"__lang_{lang_var}"))
+        return df.select(*cols)
 
     def pattern_df(s: _Term, p: _Term, o: _Term) -> DataFrame:
         return bind_endpoints(
@@ -711,7 +741,19 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:
             return pdf
-        shared = [c for c in out.columns if c in pdf.columns]
+        # __lang_ companions are metadata, never join keys (NULL lang on
+        # IRI objects would null-drop every BGP join otherwise); on a
+        # collision the FIRST binding's tag wins
+        dup_lang = [
+            c for c in pdf.columns if c.startswith("__lang_") and c in out.columns
+        ]
+        if dup_lang:
+            pdf = pdf.drop(*dup_lang)
+        shared = [
+            c
+            for c in out.columns
+            if c in pdf.columns and not c.startswith("__lang_")
+        ]
         if how == "left":
             return out.join(pdf, on=shared, how="left") if shared else out.join(
                 pdf, F.lit(True), "left"
@@ -793,6 +835,10 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         if missing:
             raise SparqlError(f"SELECT variables not bound in pattern: {missing}")
         out = out.select(*select_list)
+    else:
+        # SELECT *: the __lang_ filter companions are internal metadata,
+        # never result variables (and must not perturb DISTINCT)
+        out = out.drop(*[c for c in out.columns if c.startswith("__lang_")])
     if distinct:
         out = out.distinct()
     if order_by:

@@ -649,3 +649,67 @@ def test_ask_guard_and_prefix_detection(spark, triples):
     # a real declaration (indented, lowercase) still suppresses the block
     declared = "  prefix skos: <http://www.w3.org/2004/02/skos/core#>\nSELECT ?x WHERE { ?x skos:broader ?y . }"
     assert with_common_prefixes(declared) == declared
+
+
+def test_filter_lang(spark, triples):
+    """FILTER (LANG(?l) = "en") — the SKOS label-language idiom: ml has
+    @en and @fr prefLabels, only @en survives; != keeps the others; LANG
+    of an IRI-bound variable is '' (comparable, never an error); bare
+    LANG(...) as a whole filter is rejected."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?l WHERE {
+        ?c skos:prefLabel ?l .
+        FILTER (LANG(?l) = "en")
+    }
+    """
+    got = {(r["c"], r["l"]) for r in sparql_select(triples, q).collect()}
+    assert ("http://ex.org/ml", "machine learning") in got
+    assert ("http://ex.org/ml", "apprentissage") not in got
+    assert len(got) == 4
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?l WHERE { ?c skos:prefLabel ?l . FILTER (LANG(?l) != "en") }
+    """
+    assert {r["l"] for r in sparql_select(triples, q2).collect()} == {"apprentissage"}
+
+    # IRI-bound object: LANG is '' — the filter is a clean no-match
+    q3 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?p WHERE { ?c skos:broader ?p . FILTER (LANG(?p) = "en") }
+    """
+    assert sparql_select(triples, q3).count() == 0
+    q4 = q3.replace('= "en"', '= ""')
+    assert sparql_select(triples, q4).count() == 3
+
+    with pytest.raises(SparqlError):
+        sparql_select(triples, "SELECT ?l WHERE { ?c ?p ?l . FILTER (LANG(?l)) }")
+    with pytest.raises(SparqlError, match="not bound"):
+        sparql_select(triples, 'SELECT ?c WHERE { ?c ?p ?o . FILTER (LANG(?zz) = "x") }')
+
+
+def test_lang_companions_do_not_leak_or_break_joins(spark, triples):
+    """__lang_ companions: absent from SELECT * results, and two patterns
+    sharing an object variable still join on the VALUE (NULL-lang IRI
+    objects must not null-drop the join)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT * WHERE { ?c skos:prefLabel ?l . } LIMIT 1
+    """
+    row = sparql_select(triples, q).first()
+    assert all(not c.startswith("__lang_") for c in row.asDict())
+
+    # ?mid bound as OBJECT in one pattern and SUBJECT in another — and as
+    # object in two patterns via the broader chain; IRI objects carry
+    # NULL lang, which must not become a join key
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?g ?mid WHERE {
+        ?g skos:broader ?mid .
+        ?cousin skos:broader ?mid .
+        ?mid skos:broader ?root .
+    }
+    """
+    got = {(r["g"], r["mid"]) for r in sparql_select(triples, q2).collect()}
+    assert ("http://ex.org/cnn", "http://ex.org/dl") in got
