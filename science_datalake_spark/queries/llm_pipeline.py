@@ -518,7 +518,7 @@ def _ivf_durable_path(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"sdl_ivf_index_{uid}_{tag}")
 
 
-@query("sim_ivf_durable", aux=True, oracle=_IVF_TOPK_ORACLE)
+@query("sim_ivf_durable", oracle=_IVF_TOPK_ORACLE)
 def sim_ivf_durable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The durable IVF lifecycle end-to-end: ivf_index_write persists the
     index (assignment Hive-partitioned by bucket + k-row codebook),
@@ -711,6 +711,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_token_stats",
+    aux=True,
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
@@ -1418,7 +1419,6 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_ppl_buckets",
-    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest({_WORDS_LOWER}) AS tok FROM documents
@@ -1478,7 +1478,6 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_temperature_mix",
-    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -1532,7 +1531,6 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_intra_dedup",
-    aux=True,
     oracle="""
     WITH parts AS (
         SELECT doc_id, str_split(text, ' ') AS p FROM documents
@@ -1564,7 +1562,7 @@ def text_intra_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_units", "n_removed", "cleaned").orderBy("doc_id")
 
 
-@query("text_compression_ratio", aux=True)
+@query("text_compression_ratio")
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality profile (RefinedWeb/MassiveText signal;
     operators/textops.compression_ratio_stats — Arrow-batched zlib, the

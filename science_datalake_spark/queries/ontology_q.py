@@ -243,7 +243,6 @@ def sparql_path_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_count_group",
-    aux=True,
     oracle=f"""
     WITH broader(c, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),
