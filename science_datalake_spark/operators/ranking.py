@@ -155,6 +155,7 @@ def score_buckets(
     round_digits: int = 3,
     num_partitions: int | None = None,
     cache_input: bool = True,
+    threshold_pass: str = "parallel",
 ) -> DataFrame:
     """CCNet-style quality bucketing: split a scored corpus into
     ``labels`` tiers at the global score quantiles ``cuts`` (CCNet
@@ -162,12 +163,24 @@ def score_buckets(
     terciles; here the score column is typically
     ``unigram_logprob_scores``' avg_neg_logprob, where LOW = fluent).
 
-    Scale shape: the quantile thresholds come from
-    ``exact_group_quantiles_parallel`` (value-range bucketing against
-    literal boundaries — no single-task sort at any corpus size), are
-    collected as len(cuts) doubles (one driver action, the IVF-codebook
-    pattern), and the assignment is a map-only CASE against those
-    literals. Thresholds are rounded half-away to ``round_digits`` so a
+    Scale shape: the quantile thresholds are collected as len(cuts)
+    doubles (the IVF-codebook pattern) and the assignment is a map-only
+    CASE against those literals. ``threshold_pass`` picks how the
+    thresholds are computed:
+
+    - ``"histogram"`` (use when the score is DISCRETIZED — e.g. rounded
+      to d decimals over a bounded range, the unigram_logprob_scores
+      shape): ``exact_quantiles_histogram`` — value-count histogram +
+      cumulative ranks over the bounded distinct-value domain. ONE driver
+      action for the thresholds, so the whole op is two actions total
+      (thresholds + whatever the caller runs on the result) — the round-6
+      verdict's action-count fix.
+    - ``"parallel"`` (default — safe for continuous domains):
+      ``exact_group_quantiles_parallel`` — value-range bucketing against
+      literal boundaries, no single-task sort at any corpus size, at the
+      cost of one extra (sampled) boundary action.
+
+    Thresholds are rounded half-away to ``round_digits`` so a
     relational twin computing ``round(quantile_cont(...), d)`` lands on
     the identical double and every boundary comparison agrees
     cross-engine. NULL **and NaN** scores get a NULL bucket (mirroring
@@ -179,8 +192,11 @@ def score_buckets(
         raise ValueError("need exactly len(cuts)+1 labels")
     if sorted(cuts) != list(cuts):
         raise ValueError("cuts must be ascending")
+    if threshold_pass not in ("parallel", "histogram"):
+        raise ValueError("threshold_pass must be 'parallel' or 'histogram'")
     from science_datalake_spark.operators.stats import (
         exact_group_quantiles_parallel,
+        exact_quantiles_histogram,
     )
 
     # the scores relation is scanned by the threshold pass (eager: the
@@ -209,15 +225,21 @@ def score_buckets(
     sc = F.col(score_col).cast("double")
     clean = F.when(~F.isnan(sc), sc)
     names = [f"__q{i}" for i in range(len(cuts))]
-    row = exact_group_quantiles_parallel(
-        scores.select(F.lit(0).alias("__g"), clean.alias(score_col)),
-        ["__g"],
-        score_col,
-        cuts,
-        out_names=names,
-        num_partitions=num_partitions,
-    ).first()
-    if row is None:  # empty input: no thresholds, everything NULL-scored
+    if threshold_pass == "histogram":
+        row = exact_quantiles_histogram(
+            scores.select(clean.alias(score_col)), score_col, cuts, out_names=names
+        ).first()
+    else:
+        row = exact_group_quantiles_parallel(
+            scores.select(F.lit(0).alias("__g"), clean.alias(score_col)),
+            ["__g"],
+            score_col,
+            cuts,
+            out_names=names,
+            num_partitions=num_partitions,
+        ).first()
+    if row is None or any(row[n] is None for n in names):
+        # empty input: no thresholds, everything NULL-scored
         return scores.withColumn("bucket", F.lit(None).cast("string"))
     from science_datalake_spark.util import round_half_away
 

@@ -246,6 +246,64 @@ def exact_group_quantiles_parallel(
     return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
 
 
+def exact_quantiles_histogram(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact GLOBAL quantiles for a BOUNDED-CARDINALITY value domain in a
+    single job: value-count histogram (one mergeable shuffle) → cumulative
+    ranks over the *distinct values* → conditional-sum interpolation.
+    Returns a 1-row frame, so ``.first()`` is ONE driver action — versus
+    the two (boundary sample + rank pass) that
+    ``exact_group_quantiles_parallel`` needs for continuous domains.
+
+    When to use: the value is discretized — e.g. a score ``round()``-ed to
+    d decimals over a bounded range, where distinct-value count is
+    ≤ range/10^-d *independent of corpus size* (unigram_logprob_scores'
+    4-decimal avg_neg_logprob: ≤ ~10^5 ·range values at ANY corpus scale).
+    The cumulative-rank window runs unpartitioned over exactly those
+    distinct values, so its single task is bounded by the value domain,
+    not the data; the histogram aggregation below it is map-side
+    combinable and fully parallel. For continuous domains (unbounded
+    distinct values) use ``exact_group_quantiles_parallel`` instead.
+
+    Semantics match ``quantile_cont``/Spark ``percentile`` (linear
+    interpolation), with the same two-term contribution arithmetic as
+    ``_quantile_contrib_aggs`` so thresholds land on identical doubles.
+    NULL values are excluded; empty input yields NULL quantiles.
+    """
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100))}" for q in quantiles]
+    hist = (
+        df.select(F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    tot = hist.agg(F.sum("__c").alias("__n"))
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    r = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(F.broadcast(tot))
+    # value __v covers global ranks [__cum - __c, __cum - 1]; quantile q
+    # needs ranks floor(p) and floor(p)+1 where p = (n-1)q
+    aggs = []
+    for q, name in zip(quantiles, out_names):
+        pos = (F.col("__n") - 1) * F.lit(float(q))
+        lo = F.floor(pos)
+        frac = pos - lo
+        lo_in = (F.col("__cum") - F.col("__c") <= lo) & (lo < F.col("__cum"))
+        hi_in = (
+            (F.col("__cum") - F.col("__c") <= lo + 1)
+            & (lo + 1 < F.col("__cum"))
+            & (frac > 0)
+        )
+        t1 = F.sum(F.when(lo_in, F.col("__v") * (F.lit(1.0) - frac)))
+        t2 = F.sum(F.when(hi_in, F.col("__v") * frac))
+        aggs.append((t1 + F.coalesce(t2, F.lit(0.0))).alias(name))
+    return r.agg(*aggs)
+
+
 def _null_safe_join(
     left: DataFrame, right: DataFrame, on: Sequence[str], broadcast: bool = True
 ) -> DataFrame:

@@ -1455,8 +1455,10 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     score terciles (operators/ranking.score_buckets over
     unigram_logprob_scores): the step that decides which third of a
     crawl is 'Wikipedia-like' enough to train on. Thresholds are two
-    driver-collected doubles from the parallel exact-quantile path;
-    assignment is a map-only CASE."""
+    driver-collected doubles from the single-action histogram
+    exact-quantile pass (avg_neg_logprob is 4-decimal-discretized, so
+    its distinct-value domain is bounded at any corpus size); assignment
+    is a map-only CASE — the whole query runs TWO driver actions."""
     from science_datalake_spark.operators.ranking import (
         score_buckets,
         unigram_logprob_scores,
@@ -1464,7 +1466,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     scores = unigram_logprob_scores(d, "doc_id", "text")
-    b = score_buckets(scores, "avg_neg_logprob")
+    b = score_buckets(scores, "avg_neg_logprob", threshold_pass="histogram")
     return (
         b.groupBy("bucket")
         .agg(

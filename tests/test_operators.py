@@ -1227,6 +1227,79 @@ def test_score_buckets_terciles_and_edges(spark):
     assert score_buckets(empty, "s").count() == 0
 
 
+def test_exact_quantiles_histogram_matches_window_path(spark):
+    """The single-action histogram pass (bounded-cardinality domains)
+    must reproduce the window path's interpolated quantiles exactly:
+    heavy ties, NULL values, 1-row input, empty input → NULL row."""
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles,
+        exact_quantiles_histogram,
+    )
+
+    rows = [(round(((i * 13) % 29) / 7.0, 4),) for i in range(500)]
+    rows += [(None,), (None,)]
+    df = spark.createDataFrame(rows, "v DOUBLE")
+    qs = (1.0 / 3.0, 0.5, 2.0 / 3.0, 0.95)
+    names = ["q0", "q1", "q2", "q3"]
+    want = exact_group_quantiles(
+        df.select(F.lit(0).alias("g"), "v"), ["g"], "v", qs, out_names=names
+    ).first()
+    got = exact_quantiles_histogram(df, "v", qs, out_names=names).first()
+    for n in names:
+        assert got[n] == want[n], (n, got[n], want[n])  # bit-identical
+
+    one = exact_quantiles_histogram(
+        spark.createDataFrame([(7.5,)], "v DOUBLE"), "v", qs, out_names=names
+    ).first()
+    assert all(one[n] == 7.5 for n in names)
+
+    empty = exact_quantiles_histogram(
+        spark.createDataFrame([], "v DOUBLE"), "v", qs, out_names=names
+    ).first()
+    assert all(empty[n] is None for n in names)
+
+
+def test_score_buckets_histogram_mode(spark):
+    """threshold_pass='histogram' assigns identical buckets to the
+    parallel path (NaN/NULL → NULL bucket included) and rejects unknown
+    modes; empty input yields all-NULL buckets without crashing (the
+    histogram path returns a 1-row all-NULL frame, not no row)."""
+    import pytest
+
+    from science_datalake_spark.operators.ranking import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)]
+    rows += [(90, float("nan")), (91, None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, s DOUBLE")
+    par = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "s").collect()}
+    hist = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(df, "s", threshold_pass="histogram").collect()
+    }
+    assert hist == par
+
+    with pytest.raises(ValueError):
+        score_buckets(df, "s", threshold_pass="exactly")
+
+    empty = spark.createDataFrame([], "doc_id LONG, s DOUBLE")
+    assert score_buckets(empty, "s", threshold_pass="histogram").count() == 0
+
+
+def test_text_ppl_buckets_action_count(spark, sf_oracle):
+    """The driver query runs exactly TWO actions: one histogram
+    threshold pass, one final aggregation (round-6 verdict #3 — the old
+    parallel-threshold form ran a boundary-sample action on top).
+    Asserted via the SQL execution store: each driver action registers
+    one root execution (AQE sub-stages share their root)."""
+    from science_datalake_spark.queries.llm_pipeline import text_ppl_buckets
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    text_ppl_buckets(spark, sf_oracle).collect()
+    actions = store.executionsCount() - before
+    assert actions <= 2, f"text_ppl_buckets ran {actions} driver actions"
+
+
 def test_drop_repeated_units_lines(spark):
     """Newline units: repeated nav-menu lines drop (first kept), blank
     lines survive even repeated, NULL text passes through as NULL."""
