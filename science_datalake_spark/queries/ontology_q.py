@@ -110,6 +110,77 @@ def sparql_bgp_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sparql_agg_stats",
+    aux=True,
+    oracle=f"""
+    WITH broader(c, parent) AS (VALUES
+        ('{_C}physics',   '{_C}science'),
+        ('{_C}quantum',   '{_C}physics'),
+        ('{_C}optics',    '{_C}physics'),
+        ('{_C}qft',       '{_C}quantum'),
+        ('{_C}chemistry', '{_C}science'),
+        ('{_C}biology',   '{_C}science')
+    ),
+    labels(c, lbl) AS (VALUES
+        ('{_C}physics',   'Physics'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology')
+    ),
+    w(c, w) AS (VALUES
+        ('{_C}physics', 2.0), ('{_C}quantum', 2.0), ('{_C}optics', 3.0),
+        ('{_C}qft', 5.0), ('{_C}chemistry', 1.0), ('{_C}biology', 4.0)
+    )
+    SELECT b.parent AS parent,
+           count(*) AS n_children,
+           CAST(sum(w.w) AS DOUBLE) AS total_w,
+           CAST(avg(w.w) AS DOUBLE) AS avg_w,
+           CAST(max(w.w * 10) AS DOUBLE) AS max_w10,
+           string_agg(l.lbl, ', ' ORDER BY l.lbl) AS labels
+    FROM broader b
+    JOIN labels l ON l.c = b.c
+    JOIN w ON w.c = b.c
+    GROUP BY b.parent ORDER BY parent
+    """,
+)
+def sparql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 set functions + BIND + VALUES end-to-end (round-6
+    verdict "Next round" #4): per-parent child counts, SUM/AVG over
+    VALUES-supplied numeric weights, a BIND-derived arithmetic column
+    aggregated with MAX, and a deterministic GROUP_CONCAT of the
+    English labels — the 'average synonyms per namespace' ontology-
+    statistics shape (reference surface: sparql_query.py:89-143, which
+    accepts all of these via Oxigraph). The oracle replays the parsed
+    fixture relationally, so a parser or lowering regression hash-
+    mismatches."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX c: <https://ex.org/concepts/>
+    SELECT ?parent (COUNT(*) AS ?n_children) (SUM(?w) AS ?total_w)
+           (AVG(?w) AS ?avg_w) (MAX(?w10) AS ?max_w10)
+           (GROUP_CONCAT(?lbl ; SEPARATOR=", ") AS ?labels)
+    WHERE {
+        ?c skos:broader ?parent .
+        ?c skos:prefLabel ?lbl .
+        FILTER (LANG(?lbl) = "en")
+        VALUES (?c ?w) {
+            (c:physics "2") (c:quantum "2") (c:optics "3")
+            (c:qft "5") (c:chemistry "1") (c:biology "4")
+        }
+        BIND (?w * 10 AS ?w10)
+    }
+    GROUP BY ?parent ORDER BY ?parent
+    """
+    return sparql_select(triples, q)
+
+
+@query(
     "ontology_skos_khop",
     oracle=f"""
     WITH edges(parent_id, child_id) AS (VALUES

@@ -42,13 +42,22 @@ Supported subset:
   matches: a constant end matches itself; a var-var pattern pairs every
   graph term with itself (SPARQL ZeroLengthPath semantics). Variable
   predicates with a modifier raise — same cue as below.
-- aggregates, minimal: ``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` /
-  ``(COUNT(DISTINCT ?v) AS ?n)`` in the SELECT list with ``GROUP BY
-  ?a ?b`` — the ontology-statistics shape (term counts per namespace /
-  per predicate). Delegates to a DataFrame groupBy; the SPARQL 1.1
+- aggregates: ``(FN([DISTINCT] * | ?v) AS ?n)`` for FN ∈ COUNT / SUM /
+  AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(… ; SEPARATOR="s") in the
+  SELECT list with ``GROUP BY ?a ?b`` — the ontology-statistics shapes
+  (term counts / average synonym counts per namespace). Delegates to a
+  DataFrame groupBy (one partial-combinable hash aggregate); SUM/AVG
+  try_cast to DOUBLE (non-numeric bindings skip, SPARQL's
+  error-dropping), MIN/MAX compare lexically on the string bindings,
+  SAMPLE and GROUP_CONCAT order deterministically (documented
+  refinements of SPARQL's any-value/any-order latitude). The SPARQL 1.1
   projection restriction (non-aggregate SELECT vars must be grouped) is
   enforced at parse time.
-No other property paths / subqueries / set functions (SUM/AVG/...) —
+- ``BIND(expr AS ?v)`` with variables, literals, CONCAT/STR/LANG, and
+  whitespace-separated ``+ - * /`` arithmetic (try_cast-numeric)
+- ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) (...) }`` inline
+  data blocks (UNDEF → NULL binding), joined like any pattern
+No other property paths / subqueries —
 those are the cue to materialize a view with the DataFrame API instead. Path evaluation runs
 the closure's fixed-point loop EAGERLY (one count action per round);
 everything else stays lazy. Caveat vs full SPARQL
@@ -114,13 +123,20 @@ class _Group:
 
 @dataclass(frozen=True)
 class _Agg:
-    """``(COUNT(*) AS ?n)`` / ``(COUNT(?v) AS ?n)`` / ``(COUNT(DISTINCT
-    ?v) AS ?n)`` in a SELECT list. COUNT(?v) counts BOUND solutions only
-    (SPARQL's error-skipping semantics == SQL count's null-skipping)."""
+    """``(FN([DISTINCT] * | ?v) AS ?n)`` in a SELECT list. FN ∈ COUNT /
+    SUM / AVG / MIN / MAX / SAMPLE / GROUP_CONCAT (SPARQL 1.1's set
+    functions, sparql_query.py:89-143 accepts all via Oxigraph).
+    COUNT(?v) counts BOUND solutions only (SPARQL's error-skipping
+    semantics == SQL count's null-skipping); SUM/AVG skip bindings that
+    are not numeric literals the same way (try_cast → NULL → skipped).
+    ``sep`` is GROUP_CONCAT's SEPARATOR (default " ", the SPARQL 1.1
+    default)."""
 
+    fn: str
     var: str | None  # None == COUNT(*)
     distinct: bool
     out: str
+    sep: str = " "
 
 
 _TOKEN = re.compile(
@@ -323,15 +339,18 @@ class _Parser:
                 seen.add(a.out)
         return select_list, star, distinct, group, limit, offset, group_by, order_by, ask
 
+    _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
+
     def parse_select_agg(self) -> _Agg:
-        """``( COUNT ( [DISTINCT] * | ?v ) AS ?name )`` — the minimal
-        SPARQL 1.1 aggregate surface (ontology statistics queries; other
-        set functions are the documented cue to use the DataFrame API)."""
+        """``( FN ( [DISTINCT] * | ?v [; SEPARATOR="s"] ) AS ?name )`` —
+        the SPARQL 1.1 set functions (ontology statistics queries).
+        Only COUNT accepts ``*``; only GROUP_CONCAT accepts SEPARATOR."""
         self.expect("(")
         t = self.next()
-        if t[0] != "word" or t[1].upper() != "COUNT":
+        fn = t[1].upper() if t[0] == "word" else ""
+        if fn not in self._AGG_FNS:
             raise SparqlError(
-                f"unsupported aggregate {t[1]!r} (only COUNT is supported)"
+                f"unsupported aggregate {t[1]!r} (supported: {', '.join(self._AGG_FNS)})"
             )
         self.expect("(")
         distinct = self.at_word("DISTINCT")
@@ -339,13 +358,31 @@ class _Parser:
             self.i += 1
         arg = self.next()
         if arg[1] == "*":
+            if fn != "COUNT":
+                raise SparqlError(f"{fn}(*) is not valid SPARQL (only COUNT(*))")
             if distinct:
                 raise SparqlError("COUNT(DISTINCT *) is not supported")
             var = None
         elif arg[0] == "var":
             var = arg[1][1:]
         else:
-            raise SparqlError(f"COUNT argument must be * or a ?variable, got {arg[1]!r}")
+            raise SparqlError(
+                f"{fn} argument must be {'* or ' if fn == 'COUNT' else ''}a "
+                f"?variable, got {arg[1]!r}"
+            )
+        sep = " "
+        if self.peek() is not None and self.peek()[1] == ";":
+            if fn != "GROUP_CONCAT":
+                raise SparqlError(f"';' inside {fn}(...) (SEPARATOR is GROUP_CONCAT-only)")
+            self.i += 1
+            kw = self.next()
+            if kw[0] != "word" or kw[1].upper() != "SEPARATOR":
+                raise SparqlError(f"expected SEPARATOR, got {kw[1]!r}")
+            self.expect("=")
+            s = self.next()
+            if s[0] != "string":
+                raise SparqlError("SEPARATOR requires a string literal")
+            sep = s[1][1:-1].replace('\\"', '"')
         self.expect(")")
         if not self.at_word("AS"):
             raise SparqlError("aggregate needs an (expr AS ?name) alias")
@@ -354,7 +391,7 @@ class _Parser:
         if alias[0] != "var":
             raise SparqlError(f"AS requires a ?variable, got {alias[1]!r}")
         self.expect(")")
-        return _Agg(var, distinct, alias[1][1:])
+        return _Agg(fn, var, distinct, alias[1][1:], sep)
 
     def term(self, tok: tuple[str, str, str | None]) -> _Term:
         kind, val, lang = tok
@@ -439,6 +476,27 @@ class _Parser:
                 subj = None
                 g.filters.append(self.parse_filter_expr())
                 continue
+            if t[1].upper() == "BIND":
+                self.i += 1
+                flush_bgp()
+                subj = None
+                self.expect("(")
+                expr = self.parse_additive()
+                if not self.at_word("AS"):
+                    raise SparqlError("BIND requires (expr AS ?var)")
+                self.i += 1
+                v = self.next()
+                if v[0] != "var":
+                    raise SparqlError(f"BIND AS requires a ?variable, got {v[1]!r}")
+                self.expect(")")
+                g.elements.append(("bind", expr, v[1][1:]))
+                continue
+            if t[1].upper() == "VALUES":
+                self.i += 1
+                flush_bgp()
+                subj = None
+                g.elements.append(self.parse_values())
+                continue
             if t[1] == "{":
                 flush_bgp()
                 subj = None
@@ -459,6 +517,104 @@ class _Parser:
             patterns.append((subj, pred, obj))
         flush_bgp()
         return g
+
+    def parse_values(self):
+        """``VALUES ?x { <a> "b" }`` / ``VALUES (?x ?y) { (<a> "1")
+        (UNDEF "2") }`` — SPARQL 1.1 inline data. UNDEF → NULL binding.
+        Values are the term's string form (IRI text / literal lexical
+        form), matching how the triples relation stores terms."""
+        t = self.peek()
+        if t is None:
+            raise SparqlError("truncated VALUES")
+        if t[0] == "var":
+            vars_ = [self.next()[1][1:]]
+            single = True
+        elif t[1] == "(":
+            self.i += 1
+            vars_ = []
+            while self.peek() is not None and self.peek()[0] == "var":
+                vars_.append(self.next()[1][1:])
+            self.expect(")")
+            if not vars_:
+                raise SparqlError("VALUES () requires at least one ?variable")
+            single = False
+        else:
+            raise SparqlError(f"VALUES requires ?var or (?vars), got {t[1]!r}")
+        if len(set(vars_)) != len(vars_):
+            raise SparqlError("duplicate variable in VALUES")
+        self.expect("{")
+        rows: list[tuple] = []
+
+        def value_term() -> str | None:
+            tok = self.next()
+            if tok[0] == "word" and tok[1].upper() == "UNDEF":
+                return None
+            term = self.term(tok)
+            if term.kind == "var":
+                raise SparqlError("variables are not allowed in VALUES data")
+            return term.value
+
+        while True:
+            t = self.peek()
+            if t is None:
+                raise SparqlError("expected '}' in VALUES")
+            if t[1] == "}":
+                self.i += 1
+                break
+            if single:
+                rows.append((value_term(),))
+            else:
+                self.expect("(")
+                row = []
+                while self.peek() is not None and self.peek()[1] != ")":
+                    row.append(value_term())
+                self.expect(")")
+                if len(row) != len(vars_):
+                    raise SparqlError(
+                        f"VALUES row arity {len(row)} != {len(vars_)} variables"
+                    )
+                rows.append(tuple(row))
+        return ("values", vars_, rows)
+
+    # -- value expressions for BIND (precedence: atom > * / > + -) ----------
+    _ARITH_ADD = ("+", "-")
+    _ARITH_MUL = ("*", "/")
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.peek() is not None and self.peek()[1] in self._ARITH_ADD:
+            op = self.next()[1]
+            left = ("arith", op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_value_atom()
+        while self.peek() is not None and self.peek()[1] in self._ARITH_MUL:
+            op = self.next()[1]
+            left = ("arith", op, left, self.parse_value_atom())
+        return left
+
+    _VALUE_FUNCS = {"CONCAT", "STR", "LANG"}
+
+    def parse_value_atom(self):
+        t = self.peek()
+        if t is None:
+            raise SparqlError("truncated BIND expression")
+        if t[1] == "(":
+            self.i += 1
+            inner = self.parse_additive()
+            self.expect(")")
+            return inner
+        if t[0] == "word" and t[1].upper() in self._VALUE_FUNCS:
+            fn = self.next()[1].upper()
+            self.expect("(")
+            args = [self.parse_additive()]
+            while self.peek() is not None and self.peek()[1] == ",":
+                self.i += 1
+                args.append(self.parse_additive())
+            self.expect(")")
+            return ("func", fn, args)
+        return ("operand", self.parse_operand())
 
     # -- FILTER expressions (precedence: ! > cmp > && > ||) -----------------
     def parse_filter_expr(self):
@@ -640,6 +796,55 @@ def _filter_column(ast, columns: set[str]) -> Column:
     return build(ast)
 
 
+def _value_column(ast, columns: set[str]) -> Column:
+    """BIND expression AST → Spark Column. Arithmetic coerces both sides
+    with try_cast(DOUBLE) (SPARQL numeric ops on non-numeric bindings
+    error the row out → here NULL, the same skip-the-solution effect);
+    CONCAT takes the string forms; STR is the identity on our string
+    bindings; LANG reads the ``__lang_`` companion ('' when absent)."""
+
+    def build(node) -> Column:
+        tag = node[0]
+        if tag == "operand":
+            kind, val = node[1]
+            if kind == "var":
+                if val not in columns:
+                    raise SparqlError(f"BIND variable not bound in pattern: ?{val}")
+                return F.col(val)
+            return F.lit(val)
+        if tag == "arith":
+            _t, op, lnode, rnode = node
+            lc = build(lnode).try_cast("double")
+            rc = build(rnode).try_cast("double")
+            if op == "+":
+                return lc + rc
+            if op == "-":
+                return lc - rc
+            if op == "*":
+                return lc * rc
+            return lc / rc
+        if tag == "func":
+            _t, fn, args = node
+            if fn == "CONCAT":
+                return F.concat(*[build(a).cast("string") for a in args])
+            if len(args) != 1:
+                raise SparqlError(f"{fn} requires exactly one argument")
+            if fn == "STR":
+                return build(args[0]).cast("string")
+            # LANG(?v): companion column, '' for untagged/IRI bindings
+            if args[0][0] != "operand" or args[0][1][0] != "var":
+                raise SparqlError("LANG requires a variable")
+            v = args[0][1][1]
+            if v not in columns:
+                raise SparqlError(f"BIND variable not bound in pattern: ?{v}")
+            if f"__lang_{v}" not in columns:
+                return F.lit("")
+            return F.coalesce(F.col(f"__lang_{v}"), F.lit(""))
+        raise SparqlError(f"bad BIND node: {node!r}")
+
+    return build(ast)
+
+
 def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     """Evaluate one group graph pattern to a DataFrame of variable columns."""
 
@@ -771,6 +976,28 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     out = merge(out, pattern_df(s, p, o))
         elif tag == "optional":
             out = merge(out, _eval_group(triples, elem[1]), how="left")
+        elif tag == "bind":
+            _t, expr_ast, name = elem
+            if out is None:
+                # BIND on the empty solution (SPARQL: one solution, no
+                # bindings) — a 1-row seed relation
+                out = triples.sparkSession.range(1).select(
+                    _value_column(expr_ast, set()).alias(name)
+                )
+            else:
+                if name in out.columns:
+                    raise SparqlError(f"BIND target ?{name} is already bound")
+                out = out.withColumn(name, _value_column(expr_ast, set(out.columns)))
+        elif tag == "values":
+            _t, vars_, rows = elem
+            vdf = local_df(
+                triples.sparkSession,
+                rows,
+                ", ".join(f"{v} STRING" for v in vars_),
+            )
+            # inline data joins like any pattern (NULL/UNDEF bindings do
+            # not join with later patterns — the module-head caveat)
+            out = merge(out, vdf)
         elif tag == "union":
             branches = [_eval_group(triples, b) for b in elem[1]]
             u = branches[0]
@@ -785,6 +1012,49 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     for f_ast in group.filters:
         out = out.filter(_filter_column(f_ast, cols))
     return out
+
+
+def _agg_expr(a: _Agg) -> Column:
+    """SPARQL set function → Spark aggregate expression.
+
+    - COUNT: bound solutions (SQL null-skip == SPARQL error-skip).
+    - SUM/AVG: numeric — try_cast(DOUBLE) so non-numeric bindings are
+      skipped like SPARQL's error-dropping; result is a DOUBLE column.
+    - MIN/MAX: LEXICAL comparison of the string bindings (our terms are
+      untyped strings; xsd-typed numeric ordering is out of scope — cast
+      in a BIND or use the DataFrame API for numeric extremes).
+    - SAMPLE: SPARQL allows any value; we pick min() so results are
+      deterministic (test- and oracle-stable).
+    - GROUP_CONCAT: values sorted before joining — SPARQL leaves the
+      order undefined, a deterministic one keeps results reproducible
+      across partitionings.
+    """
+    if a.var is None:
+        return F.count(F.lit(1)).alias(a.out)
+    c = F.col(a.var)
+    if a.fn == "COUNT":
+        return (F.count_distinct(c) if a.distinct else F.count(c)).alias(a.out)
+    if a.fn in ("SUM", "AVG"):
+        n = c.try_cast("double")
+        if a.distinct:
+            return _avg_distinct(n, a.out) if a.fn == "AVG" else F.sum_distinct(n).alias(a.out)
+        return (F.sum(n) if a.fn == "SUM" else F.avg(n)).alias(a.out)
+    if a.fn == "MIN":
+        return F.min(c).alias(a.out)
+    if a.fn == "MAX":
+        return F.max(c).alias(a.out)
+    if a.fn == "SAMPLE":
+        return F.min(c).alias(a.out)
+    if a.fn == "GROUP_CONCAT":
+        coll = F.collect_set(c) if a.distinct else F.collect_list(c)
+        return F.array_join(F.sort_array(coll), a.sep).alias(a.out)
+    raise SparqlError(f"unsupported aggregate {a.fn}")  # pragma: no cover
+
+
+def _avg_distinct(n: Column, out: str) -> Column:
+    """AVG(DISTINCT ?v): Spark has no avg_distinct — sum_distinct over
+    count_distinct of the numeric cast."""
+    return (F.sum_distinct(n) / F.count_distinct(n)).alias(out)
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
@@ -817,14 +1087,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         missing = sorted(v for v in needed if v not in out.columns)
         if missing:
             raise SparqlError(f"variables not bound in pattern: {missing}")
-        exprs = []
-        for a in aggs:
-            if a.var is None:
-                exprs.append(F.count(F.lit(1)).alias(a.out))
-            elif a.distinct:
-                exprs.append(F.count_distinct(F.col(a.var)).alias(a.out))
-            else:
-                exprs.append(F.count(F.col(a.var)).alias(a.out))
+        exprs = [_agg_expr(a) for a in aggs]
         grouped = out.groupBy(*group_by) if group_by else out.groupBy()
         out = grouped.agg(*exprs)
         # project in SELECT-list order (group keys may interleave with

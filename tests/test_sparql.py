@@ -487,8 +487,9 @@ def test_agg_projection_restriction_and_errors(spark, triples):
         "SELECT ?c (COUNT(*) AS ?n) WHERE { ?c ?p ?o . } GROUP BY ?p",
         # GROUP BY without aggregate
         "SELECT ?p WHERE { ?c ?p ?o . } GROUP BY ?p",
-        # unsupported set function
-        "SELECT (SUM(?o) AS ?n) WHERE { ?c ?p ?o . }",
+        # unsupported set function (SUM/AVG/MIN/MAX/SAMPLE/GROUP_CONCAT
+        # are supported since round 7)
+        "SELECT (MEDIAN(?o) AS ?n) WHERE { ?c ?p ?o . }",
         # missing alias
         "SELECT (COUNT(*)) WHERE { ?c ?p ?o . }",
         # star + aggregate
@@ -713,3 +714,176 @@ def test_lang_companions_do_not_leak_or_break_joins(spark, triples):
     """
     got = {(r["g"], r["mid"]) for r in sparql_select(triples, q2).collect()}
     assert ("http://ex.org/cnn", "http://ex.org/dl") in got
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    """Concept metrics with numeric-string objects (our triples carry
+    untyped lexical forms) plus one non-numeric value for the SUM/AVG
+    error-skip semantics."""
+    rows = [
+        ("http://ex.org/dl", "http://ex.org/syn", "4", None),
+        ("http://ex.org/dl", "http://ex.org/syn", "2", None),
+        ("http://ex.org/cv", "http://ex.org/syn", "10", None),
+        ("http://ex.org/cv", "http://ex.org/syn", "junk", None),
+        ("http://ex.org/dl", "http://ex.org/ns", "deep", None),
+        ("http://ex.org/cv", "http://ex.org/ns", "vision", None),
+    ]
+    return quads_to_triples_df(spark, rows).cache()
+
+
+def test_agg_sum_avg(spark, metrics):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+    WHERE { ?c ex:syn ?v . } GROUP BY ?c ORDER BY ?c
+    """
+    got = {r["c"]: (r["total"], r["mean"]) for r in sparql_select(metrics, q).collect()}
+    # 'junk' try_casts to NULL -> skipped (SPARQL error-drop semantics)
+    assert got["http://ex.org/dl"] == (6.0, 3.0)
+    assert got["http://ex.org/cv"] == (10.0, 10.0)
+
+
+def test_agg_min_max_lexical_and_sample(spark, metrics):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (MIN(?v) AS ?lo) (MAX(?v) AS ?hi) (SAMPLE(?v) AS ?any)
+    WHERE { ?c ex:syn ?v . } GROUP BY ?c
+    """
+    got = {r["c"]: r for r in sparql_select(metrics, q).collect()}
+    # lexical compare: "10" < "4" as strings; "junk" > "10"
+    assert got["http://ex.org/dl"]["lo"] == "2"
+    assert got["http://ex.org/dl"]["hi"] == "4"
+    assert got["http://ex.org/cv"]["lo"] == "10"
+    assert got["http://ex.org/cv"]["hi"] == "junk"
+    assert got["http://ex.org/dl"]["any"] in ("2", "4")
+
+
+def test_agg_group_concat_and_distinct(spark, metrics):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (GROUP_CONCAT(?v ; SEPARATOR="|") AS ?vals)
+    WHERE { ?c ex:syn ?v . } GROUP BY ?c
+    """
+    got = {r["c"]: r["vals"] for r in sparql_select(metrics, q).collect()}
+    assert got["http://ex.org/dl"] == "2|4"  # deterministic sorted order
+    assert got["http://ex.org/cv"] == "10|junk"
+
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT (SUM(DISTINCT ?v) AS ?s) (AVG(DISTINCT ?v) AS ?a)
+    WHERE { ?c ex:syn ?v . }
+    """
+    dup = quads_to_triples_df(
+        spark,
+        [
+            ("http://ex.org/x", "http://ex.org/syn", "5", None),
+            ("http://ex.org/y", "http://ex.org/syn", "5", None),
+            ("http://ex.org/z", "http://ex.org/syn", "3", None),
+        ],
+    )
+    row = sparql_select(dup, q2).first()
+    assert row["s"] == 8.0 and row["a"] == 4.0
+
+
+def test_agg_parse_errors(spark, metrics):
+    with pytest.raises(SparqlError, match="only COUNT"):
+        sparql_select(metrics, "SELECT (SUM(*) AS ?s) WHERE { ?s ?p ?o . }")
+    with pytest.raises(SparqlError, match="SEPARATOR is GROUP_CONCAT-only"):
+        sparql_select(
+            metrics, 'SELECT (SUM(?v ; SEPARATOR=",") AS ?s) WHERE { ?s ?p ?v . }'
+        )
+    with pytest.raises(SparqlError, match="unsupported aggregate"):
+        sparql_select(metrics, "SELECT (MEDIAN(?v) AS ?m) WHERE { ?s ?p ?v . }")
+
+
+def test_bind_concat_str_and_arithmetic(spark, metrics):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c ?double ?tag WHERE {
+        ?c ex:syn ?v .
+        BIND (?v * 2 AS ?double)
+        BIND (CONCAT(STR(?c), "#x") AS ?tag)
+        FILTER (?double >= 8)
+    }
+    """
+    got = {(r["c"], r["double"], r["tag"]) for r in sparql_select(metrics, q).collect()}
+    assert got == {
+        ("http://ex.org/dl", 8.0, "http://ex.org/dl#x"),
+        ("http://ex.org/cv", 20.0, "http://ex.org/cv#x"),
+    }
+
+
+def test_bind_lang_and_first_element(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?l ?lg WHERE {
+        ex:ml skos:prefLabel ?l .
+        BIND (LANG(?l) AS ?lg)
+    }
+    """
+    got = {(r["l"], r["lg"]) for r in sparql_select(triples, q).collect()}
+    assert got == {("machine learning", "en"), ("apprentissage", "fr")}
+
+    # BIND as the group's first element: binds over the empty solution
+    one = sparql_select(
+        triples, 'SELECT ?x WHERE { BIND (CONCAT("a", "b") AS ?x) }'
+    ).collect()
+    assert [r["x"] for r in one] == ["ab"]
+
+
+def test_bind_errors(spark, triples):
+    with pytest.raises(SparqlError, match="already bound"):
+        sparql_select(
+            triples,
+            "SELECT ?c WHERE { ?c ?p ?o . BIND (?o AS ?c) }",
+        )
+    with pytest.raises(SparqlError, match="not bound"):
+        sparql_select(triples, "SELECT ?x WHERE { ?c ?p ?o . BIND (?zz AS ?x) }")
+    with pytest.raises(SparqlError, match="AS"):
+        sparql_select(triples, "SELECT ?x WHERE { BIND (?o) }")
+
+
+def test_values_single_var(spark, triples):
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c ?parent WHERE {
+        VALUES ?c { ex:dl ex:cnn }
+        ?c skos:broader ?parent .
+    }
+    """
+    got = {(r["c"], r["parent"]) for r in sparql_select(triples, q).collect()}
+    assert got == {
+        ("http://ex.org/dl", "http://ex.org/ml"),
+        ("http://ex.org/cnn", "http://ex.org/dl"),
+    }
+
+
+def test_values_multi_var_with_undef(spark, triples):
+    """A 2-var VALUES block joins on the shared variable; the UNDEF row
+    contributes a NULL binding (which, per the module-head caveat, does
+    not join with later patterns — it survives when VALUES comes last)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c ?note WHERE {
+        ?c skos:broader ex:ml .
+        VALUES (?c ?note) { (ex:dl "deep") (ex:cv UNDEF) }
+    }
+    """
+    got = {(r["c"], r["note"]) for r in sparql_select(triples, q).collect()}
+    assert got == {("http://ex.org/dl", "deep"), ("http://ex.org/cv", None)}
+
+
+def test_values_errors(spark, triples):
+    with pytest.raises(SparqlError, match="arity"):
+        sparql_select(
+            triples,
+            'SELECT ?a WHERE { VALUES (?a ?b) { (<http://x> "1" "2") } }',
+        )
+    with pytest.raises(SparqlError, match="duplicate variable"):
+        sparql_select(triples, "SELECT ?a WHERE { VALUES (?a ?a) { (<x> <y>) } }")
+    with pytest.raises(SparqlError, match="not allowed"):
+        sparql_select(triples, "SELECT ?a WHERE { VALUES ?a { ?b } }")
