@@ -31,85 +31,28 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
-#: Trimmed public-suffix list (publicsuffix.org, public domain data):
-#: the high-traffic TWO-LABEL public suffixes — a host ending in one of
-#: these needs THREE labels for its registrable domain (site.co.uk, not
-#: co.uk). The full PSL also carries rare 3-label and wildcard rules;
-#: extend this set (it is a plain frozenset parameter) to widen coverage
-#: — the expression shape is unchanged at any size (constant-folded
-#: InSet, one hash probe per row).
-PSL_TWO_LABEL_SUFFIXES: frozenset[str] = frozenset(
-    {
-        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
-        "plc.uk", "sch.uk", "nhs.uk",
-        "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
-        "co.nz", "org.nz", "net.nz", "ac.nz", "govt.nz", "school.nz",
-        "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-        "gr.jp", "lg.jp",
-        "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
-        "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-        "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
-        "co.in", "net.in", "org.in", "ac.in", "gov.in", "edu.in", "res.in",
-        "co.kr", "or.kr", "ne.kr", "ac.kr", "go.kr", "re.kr", "pe.kr",
-        "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr", "av.tr",
-        "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
-        "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg",
-        "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk",
-        "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
-        "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
-        "com.my", "org.my", "net.my", "edu.my", "gov.my",
-        "com.ph", "org.ph", "net.ph", "edu.ph", "gov.ph",
-        "com.vn", "org.vn", "net.vn", "edu.vn", "gov.vn",
-        "com.eg", "org.eg", "net.eg", "edu.eg", "gov.eg",
-        "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa", "med.sa",
-        "co.id", "or.id", "ac.id", "go.id", "sch.id", "web.id",
-        "co.th", "or.th", "ac.th", "go.th", "in.th",
-        "com.pk", "org.pk", "net.pk", "edu.pk", "gov.pk",
-        "com.bd", "org.bd", "net.bd", "edu.bd", "gov.bd", "ac.bd",
-        "com.ng", "org.ng", "net.ng", "edu.ng", "gov.ng",
-        "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke", "sc.ke",
-        "com.co", "org.co", "net.co", "edu.co", "gov.co",
-        "com.pe", "org.pe", "net.pe", "edu.pe", "gob.pe",
-        "com.ve", "org.ve", "net.ve", "edu.ve", "gob.ve",
-        "com.ec", "org.ec", "net.ec", "edu.ec", "gob.ec",
-        "com.uy", "org.uy", "net.uy", "edu.uy", "gub.uy",
-        "com.do", "org.do", "net.do", "edu.do", "gob.do",
-        "com.gt", "org.gt", "net.gt", "edu.gt", "gob.gt",
-        "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
-        "com.ua", "org.ua", "net.ua", "edu.ua", "gov.ua", "in.ua",
-        "com.pl", "org.pl", "net.pl", "edu.pl", "gov.pl", "waw.pl",
-        "co.at", "or.at", "ac.at", "gv.at",
-        "com.ru", "org.ru", "net.ru", "msk.ru", "spb.ru",
-    }
-)
-
-
-def registrable_domain(
-    host: Column, public_suffixes: frozenset[str] = PSL_TWO_LABEL_SUFFIXES
-) -> Column:
+def registrable_domain(host: Column, rules=None) -> Column:
     """eTLD+1: the registrable domain of a host. ``a.b.site.com`` →
     ``site.com``; ``news.bbc.co.uk`` → ``bbc.co.uk`` because ``co.uk``
     is a PUBLIC suffix — grouping by the naive last-two-labels rule
     would collapse every .co.uk site into one "domain" and a domain cap
     would starve ccTLD-heavy crawls.
 
-    The suffix set compiles to a constant-folded ``isin`` (Catalyst
-    InSet: one hash probe per row, whole-stage codegen — cheaper and
-    simpler than the broadcast-join formulation, with identical
-    results for 2-label rules). Fallbacks: last two labels when the
-    host's 2-label tail is not a public suffix; the host itself when it
-    has no dot or IS itself a public suffix (no registrable domain —
-    mirrors PSL semantics as closely as a non-wildcard subset can)."""
-    host = F.lower(host)  # PSL probe is case-sensitive; url_host already
-    # lowercases, but a caller-supplied host column must not silently
-    # miss the set and fall back to the wrong two-label rule
-    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    last3 = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return (
-        F.when((last3 != "") & last2.isin(*public_suffixes), last3)
-        .when(last2 != "", last2)
-        .otherwise(host)
-    )
+    Full PSL semantics (exact rules of any depth, wildcard ``*.x``
+    rules, ``!exception`` rules, IDN/punycode) via ``operators.psl``
+    against the vendored publicsuffix.org rule file — still a map-only
+    constant-folded expression, one InSet hash probe per rule depth
+    (round-6 verdict #5; the old two-label frozenset mis-grouped
+    ``anything.mm`` and ``foo.k12.ak.us``). Curation fallback on top of
+    the strict spec: a host with NO registrable domain (it IS a public
+    suffix, a bare TLD, or syntactically invalid) groups under itself
+    (lowercased) instead of NULL, so domain_cap never collapses all
+    such rows into one NULL-domain bucket. ``rules`` overrides the
+    loaded rule set (``psl.load_psl_rules(path)`` for a custom
+    snapshot)."""
+    from science_datalake_spark.operators.psl import public_suffix_registrable
+
+    return F.coalesce(public_suffix_registrable(host, rules), F.lower(host))
 
 
 def normalize_url(url: Column) -> Column:
