@@ -48,12 +48,17 @@ _CLEAN = (
 _VALID = "{d} IS NOT NULL AND {d} != '' AND length({d}) >= 5"
 
 
-def _unify_oracle() -> str:
+def _unify_ctes() -> str:
+    """Shared oracle CTE block: synth sources → clean → dedup → spine →
+    unified (flags + the metric columns the vignette queries read).
+    ``_unify_oracle`` and the vignette oracles append different final
+    SELECTs."""
     return f"""
     WITH oa_raw AS (
         SELECT 'W' || CAST(o_orderkey AS VARCHAR) AS openalex_id,
                CASE WHEN o_orderkey % 31 = 0 THEN NULL
                     ELSE {_synth_sql(f"o_orderkey % {_OA_MOD}")} END AS raw_doi,
+               year(o_orderdate) AS oa_year,
                CAST(floor(o_totalprice) AS BIGINT) AS oa_cited_by_count,
                (o_orderstatus = 'F') AS oa_is_retracted
         FROM orders
@@ -62,7 +67,7 @@ def _unify_oracle() -> str:
         SELECT *, {_CLEAN.format(d='raw_doi')} AS doi FROM oa_raw
     ),
     oa AS (
-        SELECT doi, openalex_id, oa_cited_by_count, oa_is_retracted FROM (
+        SELECT doi, openalex_id, oa_year, oa_cited_by_count, oa_is_retracted FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY doi
                 ORDER BY oa_cited_by_count DESC NULLS LAST, openalex_id
@@ -74,6 +79,7 @@ def _unify_oracle() -> str:
         SELECT c_custkey AS corpusid,
                CASE WHEN c_custkey % 41 = 0 THEN 'x'
                     ELSE {_synth_sql(f"c_custkey % {_S2_MOD}")} END AS raw_doi,
+               1990 + c_custkey % 30 AS s2_year,
                CAST(floor(c_acctbal) AS BIGINT) AS s2_citationcount
         FROM customer
     ),
@@ -81,7 +87,7 @@ def _unify_oracle() -> str:
         SELECT *, {_CLEAN.format(d='raw_doi')} AS doi FROM s2_raw
     ),
     s2 AS (
-        SELECT doi, corpusid, s2_citationcount FROM (
+        SELECT doi, corpusid, s2_year, s2_citationcount FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY doi
                 ORDER BY s2_citationcount DESC NULLS LAST, corpusid
@@ -92,14 +98,15 @@ def _unify_oracle() -> str:
     sci_raw AS (
         SELECT 'P' || CAST(p_partkey AS VARCHAR) AS sci_paperid,
                {_synth_sql(f"p_partkey % {_SCI_MOD} + {_SCI_OFF}")} AS raw_doi,
-               CAST(p_size AS BIGINT) AS sci_citation_count
+               CAST(p_size AS BIGINT) AS sci_citation_count,
+               CAST(p_retailprice AS VARCHAR) AS disruption
         FROM part
     ),
     sci_keyed AS (
         SELECT *, {_CLEAN.format(d='raw_doi')} AS doi FROM sci_raw
     ),
     sci AS (
-        SELECT doi, sci_paperid, sci_citation_count FROM (
+        SELECT doi, sci_paperid, sci_citation_count, disruption FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY doi
                 ORDER BY sci_citation_count DESC NULLS LAST, sci_paperid
@@ -123,6 +130,12 @@ def _unify_oracle() -> str:
     ),
     unified AS (
         SELECT sp.doi,
+               oa.openalex_id,
+               coalesce(oa.oa_year, s2.s2_year) AS year,
+               oa.oa_cited_by_count,
+               s2.s2_citationcount,
+               sci.sci_citation_count,
+               try_cast(sci.disruption AS DOUBLE) AS disruption,
                oa.openalex_id IS NOT NULL   AS has_openalex,
                s2.corpusid IS NOT NULL      AS has_s2ag,
                sci.sci_paperid IS NOT NULL  AS has_sciscinet,
@@ -135,22 +148,25 @@ def _unify_oracle() -> str:
         LEFT JOIN pwc ON pwc.doi = sp.doi
         LEFT JOIN rw  ON rw.doi  = sp.doi
     )
+    """
+
+
+def _unify_oracle() -> str:
+    return (
+        _unify_ctes()
+        + """
     SELECT has_openalex, has_s2ag, has_sciscinet, has_pwc, has_retraction,
            count(*) AS n
     FROM unified
     GROUP BY 1, 2, 3, 4, 5
     ORDER BY 1, 2, 3, 4, 5
     """
+    )
 
 
-@query("unify_coverage", oracle=_unify_oracle())
-def unify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coverage-flag UpSet of the flagship 6-way unification over synthetic
-    source shapes derived from the testdata spine (see module docstring).
-    Exercises the full materialization path end-to-end: clean_doi on three
-    wild formats, the junk-DOI filter, per-source top-1 windows, the
-    distinct spine, broadcast existence dims, and the 2^5 rollup
-    (materialize_unified_papers.py:502-509)."""
+def _synth_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic unified-papers table (shared by unify_coverage and
+    the vignette queries — one construction, one oracle CTE block)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     p = table(spark, sf_dir, "part")
@@ -193,5 +209,237 @@ def unify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the one-shuffle grouped strategy (equality-tested against the
     # windowed build in tests/test_unify.py): fewer stages, same rows
-    unified = build_unified_papers_grouped(oa, s2, sci, retractions=rw, code_links=pwc)
-    return coverage_upset(unified)
+    return build_unified_papers_grouped(oa, s2, sci, retractions=rw, code_links=pwc)
+
+
+@query("unify_coverage", oracle=_unify_oracle())
+def unify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-flag UpSet of the flagship 6-way unification over synthetic
+    source shapes derived from the testdata spine (see module docstring).
+    Exercises the full materialization path end-to-end: clean_doi on three
+    wild formats, the junk-DOI filter, per-source top-1 windows, the
+    distinct spine, broadcast existence dims, and the 2^5 rollup
+    (materialize_unified_papers.py:502-509)."""
+    return coverage_upset(_synth_unified(spark, sf_dir))
+
+
+@query(
+    "vignette_disruption_by_code",
+    aux=True,
+    oracle=_unify_ctes()
+    + """
+    SELECT has_pwc,
+           count(*) AS n_papers,
+           CAST(round(avg(disruption), 4) AS DOUBLE) AS avg_disruption,
+           CAST(round(quantile_cont(disruption, 0.5), 4) AS DOUBLE)
+               AS median_disruption,
+           CAST(round(avg(oa_cited_by_count), 1) AS DOUBLE) AS avg_citations
+    FROM unified
+    WHERE disruption IS NOT NULL
+    GROUP BY has_pwc ORDER BY has_pwc
+    """,
+)
+def vignette_disruption_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignette 1 cell 2 (notebooks/vignette_1_disruption_vs_code.ipynb):
+    disruption + citation profile of papers WITH vs WITHOUT code, over
+    the synthetic unified table. Exact median is intentional here — the
+    group count is 2 and DuckDB's quantile_cont is exact (the documented
+    agg_stats_profile trade; operators/stats.py holds the scale-safe
+    alternatives)."""
+    u = _synth_unified(spark, sf_dir).filter(F.col("disruption").isNotNull())
+    return (
+        u.groupBy("has_pwc")
+        .agg(
+            F.count(F.lit(1)).alias("n_papers"),
+            F.round(F.avg("disruption"), 4).alias("avg_disruption"),
+            F.round(F.expr("percentile(disruption, 0.5)"), 4).alias(
+                "median_disruption"
+            ),
+            F.round(F.avg("oa_cited_by_count"), 1).alias("avg_citations"),
+        )
+        .orderBy("has_pwc")
+    )
+
+
+@query(
+    "vignette_code_rate_by_year",
+    aux=True,
+    oracle=_unify_ctes()
+    + """
+    SELECT year,
+           count(*) AS total_disruptive,
+           CAST(sum(CASE WHEN has_pwc THEN 1 ELSE 0 END) AS BIGINT) AS with_code,
+           CAST(round(100.0 * sum(CASE WHEN has_pwc THEN 1 ELSE 0 END)
+                      / count(*), 3) AS DOUBLE) AS pct_with_code
+    FROM unified
+    WHERE disruption > 1500 AND has_openalex
+    GROUP BY year ORDER BY year
+    """,
+)
+def vignette_code_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignette 1 cell 4: per-year volume of highly-disruptive papers and
+    the fraction having code (the synthetic disruption domain is
+    p_retailprice, so the 'highly disruptive' threshold is 1500 rather
+    than the notebook's 0.5). Map-only filter into one hash aggregate."""
+    u = _synth_unified(spark, sf_dir).filter(
+        (F.col("disruption") > 1500) & F.col("has_openalex")
+    )
+    pwc1 = F.sum(F.when(F.col("has_pwc"), 1).otherwise(0))
+    return (
+        u.groupBy("year")
+        .agg(
+            F.count(F.lit(1)).alias("total_disruptive"),
+            pwc1.cast("long").alias("with_code"),
+            F.round(100.0 * pwc1 / F.count(F.lit(1)), 3).alias("pct_with_code"),
+        )
+        .orderBy("year")
+    )
+
+
+@query(
+    "vignette_citation_reliability",
+    aux=True,
+    oracle=_unify_ctes()
+    + """
+    SELECT CAST(round(corr(s2_citationcount, oa_cited_by_count), 4) AS DOUBLE)
+               AS s2_oa_corr,
+           CAST(round(corr(s2_citationcount, sci_citation_count), 4) AS DOUBLE)
+               AS s2_sci_corr,
+           CAST(round(corr(oa_cited_by_count, sci_citation_count), 4) AS DOUBLE)
+               AS oa_sci_corr,
+           CAST(round(avg(abs(s2_citationcount - oa_cited_by_count)), 2) AS DOUBLE)
+               AS avg_abs_diff_s2_oa,
+           CAST(round(avg(abs(oa_cited_by_count - sci_citation_count)), 2) AS DOUBLE)
+               AS avg_abs_diff_oa_sci,
+           count(*) AS n_triple
+    FROM unified
+    WHERE has_s2ag AND has_openalex AND has_sciscinet
+    """,
+)
+def vignette_citation_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignette 4 cell 2 (notebooks/vignette_4_citation_reliability.ipynb):
+    cross-source citation-count reliability over the triple-coverage
+    subset of the unified spine — pairwise Pearson correlations and
+    mean absolute disagreements between the three sources' counts. One
+    map-side filter into a single global aggregate (all six statistics
+    are algebraic/co-moment aggregates: one pass, mergeable partials)."""
+    u = _synth_unified(spark, sf_dir).filter(
+        F.col("has_s2ag") & F.col("has_openalex") & F.col("has_sciscinet")
+    )
+    return u.agg(
+        F.round(F.corr("s2_citationcount", "oa_cited_by_count"), 4).alias(
+            "s2_oa_corr"
+        ),
+        F.round(F.corr("s2_citationcount", "sci_citation_count"), 4).alias(
+            "s2_sci_corr"
+        ),
+        F.round(F.corr("oa_cited_by_count", "sci_citation_count"), 4).alias(
+            "oa_sci_corr"
+        ),
+        F.round(F.avg(F.abs(F.col("s2_citationcount") - F.col("oa_cited_by_count"))), 2)
+        .alias("avg_abs_diff_s2_oa"),
+        F.round(
+            F.avg(F.abs(F.col("oa_cited_by_count") - F.col("sci_citation_count"))), 2
+        ).alias("avg_abs_diff_oa_sci"),
+        F.count(F.lit(1)).alias("n_triple"),
+    )
+
+
+@query(
+    "vignette_topic_patent_rollup",
+    aux=True,
+    oracle=_unify_ctes()
+    + """
+    , works_topics AS (
+        SELECT 'W' || CAST(l_orderkey AS VARCHAR) AS work_id,
+               l_partkey % 40 AS topic_id,
+               round((l_suppkey % 100) / 100.0, 2) AS score
+        FROM lineitem
+    ),
+    topic_map AS (
+        SELECT DISTINCT l_partkey % 40 AS topic_id,
+               'term_' || CAST((l_partkey % 40) % 12 AS VARCHAR) AS term,
+               CASE (l_partkey % 40) % 3 WHEN 0 THEN 'mesh'
+                    WHEN 1 THEN 'physh' ELSE 'agrovoc' END AS ontology,
+               0.8 + ((l_partkey % 40) % 5) / 20.0 AS similarity
+        FROM lineitem
+    ),
+    topic_stats AS (
+        SELECT wt.topic_id,
+               count(*) AS n_papers,
+               sum(CASE WHEN u.has_pwc THEN 1 ELSE 0 END) AS n_with_code
+        FROM unified u
+        JOIN works_topics wt ON wt.work_id = u.openalex_id
+        WHERE u.openalex_id IS NOT NULL AND wt.score >= 0.5
+        GROUP BY wt.topic_id
+    )
+    SELECT m.term, m.ontology,
+           CAST(sum(ts.n_papers) AS BIGINT) AS total_papers,
+           CAST(sum(ts.n_with_code) AS BIGINT) AS with_code,
+           CAST(round(100.0 * sum(ts.n_with_code) / sum(ts.n_papers), 2)
+                AS DOUBLE) AS code_rate_pct
+    FROM topic_map m
+    JOIN topic_stats ts ON ts.topic_id = m.topic_id
+    WHERE m.similarity >= 0.85
+    GROUP BY m.term, m.ontology
+    HAVING sum(ts.n_papers) >= 100
+    ORDER BY code_rate_pct DESC, term, ontology
+    LIMIT 20
+    """,
+)
+def vignette_topic_patent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignette 1 cell 8 / vignette 3 cell 6: the two-level HAVING-gated
+    ontology rollup — per-topic paper/code counts from a unified ⨝
+    works_topics join (score-thresholded), then rolled up to ontology
+    terms through a similarity-thresholded topic→term map, HAVING-gated
+    and top-20 by code rate. works_topics is synthesized from lineitem
+    (work_id matches the unified openalex_id domain); the topic map is a
+    40-row broadcast dim. Shuffles: one hash aggregate on topic_id after
+    the work_id join; the term rollup runs on 40 rows."""
+    u = _synth_unified(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    wt = li.select(
+        F.concat(F.lit("W"), F.col("l_orderkey").cast("string")).alias("work_id"),
+        (F.col("l_partkey") % 40).alias("topic_id"),
+        F.round((F.col("l_suppkey") % 100) / 100.0, 2).alias("score"),
+    ).filter(F.col("score") >= 0.5)
+    tm = (
+        li.select((F.col("l_partkey") % 40).alias("topic_id"))
+        .distinct()
+        .select(
+            "topic_id",
+            F.concat(F.lit("term_"), (F.col("topic_id") % 12).cast("string")).alias(
+                "term"
+            ),
+            F.when(F.col("topic_id") % 3 == 0, "mesh")
+            .when(F.col("topic_id") % 3 == 1, "physh")
+            .otherwise("agrovoc")
+            .alias("ontology"),
+            (0.8 + (F.col("topic_id") % 5) / 20.0).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= 0.85)
+    )
+    stats = (
+        u.filter(F.col("openalex_id").isNotNull())
+        .join(wt, wt["work_id"] == u["openalex_id"])
+        .groupBy("topic_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_papers"),
+            F.sum(F.when(F.col("has_pwc"), 1).otherwise(0)).alias("n_with_code"),
+        )
+    )
+    rolled = (
+        stats.join(F.broadcast(tm), "topic_id")
+        .groupBy("term", "ontology")
+        .agg(
+            F.sum("n_papers").cast("long").alias("total_papers"),
+            F.sum("n_with_code").cast("long").alias("with_code"),
+            F.round(100.0 * F.sum("n_with_code") / F.sum("n_papers"), 2).alias(
+                "code_rate_pct"
+            ),
+        )
+        .filter(F.col("total_papers") >= 100)
+    )
+    return rolled.orderBy(
+        F.desc("code_rate_pct"), "term", "ontology"
+    ).limit(20)
