@@ -33,15 +33,19 @@ Supported subset:
 - ``ASK [WHERE] { ... }`` — boolean existence (LIMIT-1 probe; the
   reference CLI's bool branch, sparql_query.py:100-104); plus the
   reference's no-PREFIX convenience via ``with_common_prefixes``
-- property paths ``pred*`` / ``pred+`` on a CONSTANT predicate (the
+- property paths on CONSTANT predicates: ``pred*`` / ``pred+`` (the
   ontology ancestor-walk shape, ``rdfs:subClassOf*`` /
   ``skos:broader+``): the predicate's edge subset is closed by
   ``operators/graph.transitive_closure`` (iterated-doubling self-join,
   O(log diameter) rounds, checkpointed lineage) and the closure joins
   into the BGP like any other pattern. ``*`` adds the zero-length
   matches: a constant end matches itself; a var-var pattern pairs every
-  graph term with itself (SPARQL ZeroLengthPath semantics). Variable
-  predicates with a modifier raise — same cue as below.
+  graph term with itself (SPARQL ZeroLengthPath semantics). Composite
+  paths: sequence ``p1/p2`` (chained through fresh internal variables —
+  each hop keeps its pushed predicate filter), alternative ``p1|p2``
+  (bag union of branch matches; ``|`` binds looser than ``/``), and
+  inverse ``^p`` (endpoint swap), composable with ``*``/``+`` per step.
+  Variable predicates with any path operator raise — same cue as below.
 - aggregates: ``(FN([DISTINCT] * | ?v) AS ?n)`` for FN ∈ COUNT / SUM /
   AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(… ; SEPARATOR="s") in the
   SELECT list with ``GROUP BY ?a ?b`` — the ontology-statistics shapes
@@ -52,7 +56,10 @@ Supported subset:
   SAMPLE and GROUP_CONCAT order deterministically (documented
   refinements of SPARQL's any-value/any-order latitude). The SPARQL 1.1
   projection restriction (non-aggregate SELECT vars must be grouped) is
-  enforced at parse time.
+  enforced at parse time. ``HAVING (expr)`` with aggregate calls as
+  operands (``HAVING (COUNT(?x) > 5 && SUM(?w) < 10)``) computes the
+  HAVING aggregates as internal columns of the SAME hash aggregate and
+  filters post-agg — one shuffle total.
 - ``BIND(expr AS ?v)`` with variables, literals, CONCAT/STR/LANG, and
   whitespace-separated ``+ - * /`` arithmetic (try_cast-numeric)
 - ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) (...) }`` inline
@@ -90,6 +97,11 @@ from science_datalake_spark.util import local_df
 
 TRIPLES_SCHEMA = "s STRING, p STRING, o STRING, lang STRING"
 
+#: fresh-variable counter for sequence-path internal joins
+import itertools as _itertools
+
+_PATH_IDS = _itertools.count()
+
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
@@ -111,6 +123,32 @@ class _Path:
 
     iri: str
     mod: str  # "*" | "+"
+
+
+@dataclass(frozen=True)
+class _PathStep:
+    """One step of a composite path: a plain IRI or a ``_Path``, possibly
+    inverse (``^pred`` swaps subject and object)."""
+
+    pred: object  # _Term (iri) | _Path
+    inverse: bool = False
+
+
+@dataclass(frozen=True)
+class _PathSeq:
+    """``p1/p2/...`` — sequence path (joined through fresh internal
+    variables)."""
+
+    steps: tuple
+
+
+@dataclass(frozen=True)
+class _PathAlt:
+    """``a|b|...`` — alternative path (bag union of branch matches);
+    each branch is a _PathStep or _PathSeq (SPARQL precedence: ``|``
+    binds looser than ``/``)."""
+
+    branches: tuple
 
 
 @dataclass
@@ -145,9 +183,9 @@ _TOKEN = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")(?:@(?P<lang>[a-zA-Z-]+))?
   | (?P<var>\?[A-Za-z_][\w]*)
   | (?P<num>-?\d+(?:\.\d+)?)
-  | (?P<op>&&|\|\||!=|<=|>=|[()=<>!,])
+  | (?P<op>&&|\|\||!=|<=|>=|[()=<>!,/|^])
   | (?P<punct>[{}.;])
-  | (?P<word>[^\s{}.;()=<>!,&|]+)
+  | (?P<word>[^\s{}.;()=<>!,&|/^]+)
   | (?P<ws>\s+)
     """,
     re.X,
@@ -224,7 +262,7 @@ class _Parser:
                 )
             if not group.elements:
                 raise SparqlError("empty graph pattern")
-            return [], False, False, group, None, None, [], [], ask
+            return [], False, False, group, None, None, [], [], [], ask
         if not self.at_word("SELECT"):
             raise SparqlError("expected SELECT or ASK")
         self.i += 1
@@ -264,6 +302,16 @@ class _Parser:
                 self.i += 1
             if not group_by:
                 raise SparqlError("GROUP BY requires at least one ?variable")
+        having: list = []
+        while self.at_word("HAVING"):
+            # HAVING (expr) — the filter grammar, with aggregate calls
+            # allowed as operands (SPARQL 1.1: HAVING(COUNT(?x) > 5))
+            self.i += 1
+            self._in_having = True
+            try:
+                having.append(self.parse_filter_expr())
+            finally:
+                self._in_having = False
         order_by: list[tuple[str, bool]] = []  # (var, descending)
         if self.at_word("ORDER"):
             self.i += 1
@@ -315,11 +363,15 @@ class _Parser:
             raise SparqlError("empty graph pattern")
         aggs = [a for a in select_list if isinstance(a, _Agg)]
         plain = [v for v in select_list if isinstance(v, str)]
-        if aggs and star:
-            raise SparqlError("SELECT * cannot be combined with aggregates")
-        if group_by and not aggs:
-            raise SparqlError("GROUP BY requires an aggregate in the SELECT list")
-        if aggs:
+        if (aggs or group_by or having) and star:
+            raise SparqlError("SELECT * cannot be combined with aggregation")
+        if group_by and not aggs and not having:
+            raise SparqlError(
+                "GROUP BY requires an aggregate in the SELECT list or a HAVING"
+            )
+        if having and not group_by and not aggs:
+            raise SparqlError("HAVING requires aggregation")
+        if aggs or having:
             # SPARQL 1.1 projection restriction: every non-aggregate
             # result variable must be a GROUP BY variable
             stray = [v for v in plain if v not in group_by]
@@ -337,7 +389,18 @@ class _Parser:
                         f"duplicate result variable ?{a.out} in SELECT list"
                     )
                 seen.add(a.out)
-        return select_list, star, distinct, group, limit, offset, group_by, order_by, ask
+        return (
+            select_list,
+            star,
+            distinct,
+            group,
+            limit,
+            offset,
+            group_by,
+            order_by,
+            having,
+            ask,
+        )
 
     _AGG_FNS = ("COUNT", "SUM", "AVG", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")
 
@@ -352,6 +415,19 @@ class _Parser:
             raise SparqlError(
                 f"unsupported aggregate {t[1]!r} (supported: {', '.join(self._AGG_FNS)})"
             )
+        var, distinct, sep = self._agg_body(fn)
+        if not self.at_word("AS"):
+            raise SparqlError("aggregate needs an (expr AS ?name) alias")
+        self.i += 1
+        alias = self.next()
+        if alias[0] != "var":
+            raise SparqlError(f"AS requires a ?variable, got {alias[1]!r}")
+        self.expect(")")
+        return _Agg(fn, var, distinct, alias[1][1:], sep)
+
+    def _agg_body(self, fn: str) -> tuple[str | None, bool, str]:
+        """``( [DISTINCT] * | ?v [; SEPARATOR="s"] )`` after an aggregate
+        keyword — shared by SELECT-list aggregates and HAVING operands."""
         self.expect("(")
         distinct = self.at_word("DISTINCT")
         if distinct:
@@ -384,14 +460,7 @@ class _Parser:
                 raise SparqlError("SEPARATOR requires a string literal")
             sep = s[1][1:-1].replace('\\"', '"')
         self.expect(")")
-        if not self.at_word("AS"):
-            raise SparqlError("aggregate needs an (expr AS ?name) alias")
-        self.i += 1
-        alias = self.next()
-        if alias[0] != "var":
-            raise SparqlError(f"AS requires a ?variable, got {alias[1]!r}")
-        self.expect(")")
-        return _Agg(fn, var, distinct, alias[1][1:], sep)
+        return var, distinct, sep
 
     def term(self, tok: tuple[str, str, str | None]) -> _Term:
         kind, val, lang = tok
@@ -412,30 +481,75 @@ class _Parser:
             raise SparqlError(f"unknown prefix or bare word: {val!r}")
         raise SparqlError(f"unexpected term: {val!r}")
 
-    def parse_predicate(self) -> "_Term | _Path":
-        """Predicate position: a plain term, or a ``pred*`` / ``pred+``
-        property path on a constant predicate. The tokenizer folds a
-        trailing modifier into prefixed-name words (``skos:broader*`` is
-        one word token); after an ``<iri>`` or ``a`` the modifier arrives
-        as its own token."""
+    def parse_predicate(self):
+        """Predicate position: a path expression over constant IRIs —
+        ``path := seq ('|' seq)*``, ``seq := step ('/' step)*``,
+        ``step := ['^'] iri ['*'|'+']`` (SPARQL 1.1 precedence: ``|``
+        binds looser than ``/``; ``^`` inverts one step). A bare
+        variable predicate stays a plain term (no modifier allowed).
+        The tokenizer folds a trailing ``*``/``+`` into prefixed-name
+        words (``skos:broader*`` is one word token); after an ``<iri>``
+        or ``a`` the modifier arrives as its own token."""
+        first = self.parse_path_step(allow_var=True)
+        if isinstance(first, _Term) and first.kind == "var":
+            nxt = self.peek()
+            if nxt is not None and nxt[1] in ("*", "+", "/", "|", "^"):
+                raise SparqlError(
+                    "property paths require constant predicates "
+                    f"(got a variable before {nxt[1]!r})"
+                )
+            return first
+        branches = [self.parse_path_seq(first)]
+        while self.peek() is not None and self.peek()[1] == "|":
+            self.i += 1
+            branches.append(self.parse_path_seq(self.parse_path_step()))
+        if len(branches) > 1:
+            return _PathAlt(tuple(branches))
+        only = branches[0]
+        if isinstance(only, _PathStep) and not only.inverse:
+            return only.pred  # plain iri term or modifier path, as before
+        return only
+
+    def parse_path_seq(self, first):
+        steps = [first]
+        while self.peek() is not None and self.peek()[1] == "/":
+            self.i += 1
+            steps.append(self.parse_path_step())
+        if len(steps) == 1:
+            return steps[0]
+        return _PathSeq(tuple(steps))
+
+    def parse_path_step(self, allow_var: bool = False):
+        inverse = False
+        if self.peek() is not None and self.peek()[1] == "^":
+            self.i += 1
+            inverse = True
         tok = self.next()
-        kind, val, lang = tok
+        kind, val, _lang = tok
         if kind == "word" and len(val) > 1 and val[-1] in "*+":
             base = self.term(("word", val[:-1], None))
             if base.kind != "iri":
                 raise SparqlError(f"property path on non-IRI predicate: {val!r}")
-            return _Path(base.value, val[-1])
-        pred = self.term(tok)
-        nxt = self.peek()
-        if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+"):
-            self.i += 1
-            if pred.kind != "iri":
-                raise SparqlError(
-                    "property paths require a constant predicate "
-                    f"(got {pred.kind} before {nxt[1]!r})"
-                )
-            return _Path(pred.value, nxt[1])
-        return pred
+            pred = _Path(base.value, val[-1])
+        else:
+            t = self.term(tok)
+            if t.kind == "var":
+                if inverse:
+                    raise SparqlError("property paths require constant predicates")
+                if not allow_var:
+                    raise SparqlError("variable predicate inside a path expression")
+                return t
+            if t.kind != "iri":
+                raise SparqlError(f"predicate must be an IRI, got {t.kind}")
+            nxt = self.peek()
+            if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+"):
+                self.i += 1
+                pred = _Path(t.value, nxt[1])
+            else:
+                pred = t
+        if inverse:
+            return _PathStep(pred, inverse=True)
+        return _PathStep(pred)
 
     def parse_group(self) -> _Group:
         self.expect("{")
@@ -675,6 +789,14 @@ class _Parser:
             inner = self.parse_or()
             self.expect(")")
             return inner
+        if (
+            t[0] == "word"
+            and t[1].upper() in self._AGG_FNS
+            and getattr(self, "_in_having", False)
+        ):
+            fn = self.next()[1].upper()
+            var, distinct, sep = self._agg_body(fn)
+            return ("hagg", fn, var, distinct, sep)
         if t[0] == "word" and t[1].upper() in self._FUNCS:
             fn = self.next()[1].upper()
             self.expect("(")
@@ -694,6 +816,13 @@ class _Parser:
             return ("str", t[1][1:-1].replace('\\"', '"'))
         if t[0] == "num":
             return ("num", float(t[1]) if "." in t[1] else int(t[1]))
+        if t[0] in ("iri", "word"):
+            # IRI operand (<...> or prefixed name): IRIs are plain
+            # strings in the triples relation, so an IRI term compares
+            # as its expanded string (SPARQL sameTerm-on-IRI semantics)
+            term = self.term(t)
+            if term.kind == "iri":
+                return ("str", term.value)
         raise SparqlError(f"unexpected FILTER operand: {t[1]!r}")
 
 
@@ -943,6 +1072,42 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             pairs = pairs.unionByName(zero).distinct()
         return bind_endpoints(pairs, [("a", s), ("d", o)], lang_applicable=False)
 
+    def step_df(s: _Term, step: _PathStep, o: _Term) -> DataFrame:
+        """One composite-path step; ``^`` swaps the endpoints."""
+        a, b = (o, s) if step.inverse else (s, o)
+        if isinstance(step.pred, _Path):
+            return path_df(a, step.pred, b)
+        return pattern_df(a, step.pred, b)
+
+    def seq_df(s: _Term, seq: _PathSeq, o: _Term) -> DataFrame:
+        """``p1/p2/...``: chain the steps through fresh internal
+        variables (dropped from the result), joining hop relations on
+        them — the BGP-join machinery does the work, so each hop keeps
+        its pushed predicate filter."""
+        uid = next(_PATH_IDS)
+        cur: DataFrame | None = None
+        left = s
+        last = len(seq.steps) - 1
+        for i, step in enumerate(seq.steps):
+            right = o if i == last else _Term("var", f"__pseq{uid}_{i}")
+            hop = step_df(left, step, right)
+            cur = hop if cur is None else merge(cur, hop)
+            left = right
+        internal = [c for c in cur.columns if f"__pseq{uid}_" in c]
+        return cur.drop(*internal)
+
+    def alt_df(s: _Term, alt: _PathAlt, o: _Term) -> DataFrame:
+        """``a|b``: bag union of the branch matches (SPARQL path
+        alternative semantics — no dedup across branches)."""
+        dfs = [
+            seq_df(s, b, o) if isinstance(b, _PathSeq) else step_df(s, b, o)
+            for b in alt.branches
+        ]
+        u = dfs[0]
+        for b in dfs[1:]:
+            u = u.unionByName(b, allowMissingColumns=True)
+        return u
+
     def merge(out: DataFrame | None, pdf: DataFrame, how: str = "inner") -> DataFrame:
         if out is None:
             return pdf
@@ -970,7 +1135,13 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
         tag = elem[0]
         if tag == "bgp":
             for s, p, o in elem[1]:
-                if isinstance(p, _Path):
+                if isinstance(p, _PathSeq):
+                    out = merge(out, seq_df(s, p, o))
+                elif isinstance(p, _PathAlt):
+                    out = merge(out, alt_df(s, p, o))
+                elif isinstance(p, _PathStep):
+                    out = merge(out, step_df(s, p, o))
+                elif isinstance(p, _Path):
                     out = merge(out, path_df(s, p, o))
                 else:
                     out = merge(out, pattern_df(s, p, o))
@@ -1051,6 +1222,21 @@ def _agg_expr(a: _Agg) -> Column:
     raise SparqlError(f"unsupported aggregate {a.fn}")  # pragma: no cover
 
 
+def _rewrite_having(node, acc: "list[_Agg]"):
+    """Replace ``("hagg", fn, var, distinct, sep)`` operands in a HAVING
+    AST with variable references to internal ``__h{i}`` aggregate
+    columns, collecting the corresponding ``_Agg`` specs into ``acc``."""
+    if isinstance(node, tuple):
+        if node[0] == "hagg":
+            name = f"__h{len(acc)}"
+            acc.append(_Agg(node[1], node[2], node[3], name, node[4]))
+            return ("operand", ("var", name))
+        return (node[0], *(_rewrite_having(c, acc) for c in node[1:]))
+    if isinstance(node, list):
+        return [_rewrite_having(c, acc) for c in node]
+    return node
+
+
 def _avg_distinct(n: Column, out: str) -> Column:
     """AVG(DISTINCT ?v): Spark has no avg_distinct — sum_distinct over
     count_distinct of the numeric cast."""
@@ -1071,6 +1257,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         offset,
         group_by,
         order_by,
+        having,
         ask,
     ) = _Parser(query).parse()
     out = _eval_group(triples, group)
@@ -1082,16 +1269,25 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             F.coalesce(F.max("ask"), F.lit(False)).alias("ask")
         )
     aggs = [a for a in select_list if isinstance(a, _Agg)]
-    if aggs:
-        needed = set(group_by) | {a.var for a in aggs if a.var is not None}
+    if aggs or having:
+        # HAVING aggregates compute as internal __h columns in the same
+        # hash aggregate, filter post-agg, and drop at projection
+        h_aggs: list[_Agg] = []
+        h_asts = [_rewrite_having(h, h_aggs) for h in having]
+        needed = set(group_by) | {
+            a.var for a in [*aggs, *h_aggs] if a.var is not None
+        }
         missing = sorted(v for v in needed if v not in out.columns)
         if missing:
             raise SparqlError(f"variables not bound in pattern: {missing}")
-        exprs = [_agg_expr(a) for a in aggs]
+        exprs = [_agg_expr(a) for a in [*aggs, *h_aggs]]
         grouped = out.groupBy(*group_by) if group_by else out.groupBy()
         out = grouped.agg(*exprs)
+        cols = set(out.columns)
+        for h in h_asts:
+            out = out.filter(_filter_column(h, cols))
         # project in SELECT-list order (group keys may interleave with
-        # the aggregate aliases)
+        # the aggregate aliases; __h HAVING columns drop here)
         out = out.select(*[v if isinstance(v, str) else v.out for v in select_list])
     elif not star:
         missing = [v for v in select_list if v not in out.columns]

@@ -887,3 +887,122 @@ def test_values_errors(spark, triples):
         sparql_select(triples, "SELECT ?a WHERE { VALUES (?a ?a) { (<x> <y>) } }")
     with pytest.raises(SparqlError, match="not allowed"):
         sparql_select(triples, "SELECT ?a WHERE { VALUES ?a { ?b } }")
+
+
+def test_having_count_and_sum(spark, metrics):
+    """HAVING with aggregate-call operands: computed in the same hash
+    aggregate as the SELECT aggregates (internal __h columns dropped
+    from the result)."""
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (COUNT(?v) AS ?n) WHERE { ?c ex:syn ?v . }
+    GROUP BY ?c HAVING (COUNT(?v) >= 2)
+    """
+    got = {r["c"]: r["n"] for r in sparql_select(metrics, q).collect()}
+    assert got == {"http://ex.org/dl": 2, "http://ex.org/cv": 2}
+    assert set(sparql_select(metrics, q).columns) == {"c", "n"}
+
+    # numeric SUM threshold: cv's 'junk' is skipped, sum=10
+    q2 = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (SUM(?v) AS ?total) WHERE { ?c ex:syn ?v . }
+    GROUP BY ?c HAVING (SUM(?v) > 8)
+    """
+    got2 = {r["c"]: r["total"] for r in sparql_select(metrics, q2).collect()}
+    assert got2 == {"http://ex.org/cv": 10.0}
+
+
+def test_having_without_select_aggregate(spark, metrics):
+    """GROUP BY + HAVING with a plain-variable SELECT list is valid
+    SPARQL (the aggregate lives only in HAVING)."""
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c WHERE { ?c ex:syn ?v . } GROUP BY ?c
+    HAVING (COUNT(*) >= 2) ORDER BY ?c
+    """
+    got = [r["c"] for r in sparql_select(metrics, q).collect()]
+    assert got == ["http://ex.org/cv", "http://ex.org/dl"]
+
+
+def test_having_compound_and_errors(spark, metrics):
+    q = """
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c (COUNT(*) AS ?n) WHERE { ?c ex:syn ?v . }
+    GROUP BY ?c HAVING (COUNT(*) >= 2 && SUM(?v) > 8)
+    """
+    got = {r["c"]: r["n"] for r in sparql_select(metrics, q).collect()}
+    assert got == {"http://ex.org/cv": 2}
+
+    with pytest.raises(SparqlError, match="HAVING requires aggregation"):
+        sparql_select(metrics, "SELECT ?s WHERE { ?s ?p ?o . } HAVING (COUNT(*) > 1)")
+    with pytest.raises(SparqlError):
+        # aggregate calls are HAVING-only, not plain FILTER
+        sparql_select(
+            metrics, "SELECT ?s WHERE { ?s ?p ?o . FILTER (COUNT(*) > 1) }"
+        )
+
+
+def test_path_sequence(spark, triples):
+    """skos:broader/skos:prefLabel: parents' labels of each concept —
+    chained through a fresh internal variable, dropped from the
+    result."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?pl WHERE { ?c skos:broader/skos:prefLabel ?pl . }
+    """
+    got = {(r["c"], r["pl"]) for r in sparql_select(triples, q).collect()}
+    assert got == {
+        ("http://ex.org/dl", "machine learning"),
+        ("http://ex.org/dl", "apprentissage"),
+        ("http://ex.org/cv", "machine learning"),
+        ("http://ex.org/cv", "apprentissage"),
+        ("http://ex.org/cnn", "deep learning"),
+    }
+    assert set(sparql_select(triples, q).columns) == {"c", "pl"}
+
+    # sequence with a closure step: grandchildren-or-deeper labels
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?l WHERE { ?c skos:broader+/skos:prefLabel ?l . FILTER (?c = ex:cnn) }
+    """
+    got2 = {r["l"] for r in sparql_select(triples, q2).collect()}
+    assert got2 == {"deep learning", "machine learning", "apprentissage"}
+
+
+def test_path_alternative_and_inverse(spark, triples):
+    """prefLabel|broader unions both branches (bag semantics); ^broader
+    walks the edge backwards (children of ml)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?v WHERE { ex:dl skos:prefLabel|skos:broader ?v . }
+    """
+    got = {r["v"] for r in sparql_select(triples, q).collect()}
+    assert got == {"deep learning", "http://ex.org/ml"}
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?child WHERE { ex:ml ^skos:broader ?child . }
+    """
+    got2 = {r["child"] for r in sparql_select(triples, q2).collect()}
+    assert got2 == {"http://ex.org/dl", "http://ex.org/cv"}
+
+    # inverse inside a sequence: siblings via ^broader after broader
+    q3 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?sib WHERE { ex:dl skos:broader/^skos:broader ?sib . }
+    """
+    got3 = {r["sib"] for r in sparql_select(triples, q3).collect()}
+    assert got3 == {"http://ex.org/dl", "http://ex.org/cv"}
+
+
+def test_path_operator_errors(spark, triples):
+    with pytest.raises(SparqlError, match="constant predicates"):
+        sparql_select(triples, "SELECT ?s WHERE { ?s ?p/?q ?o . }")
+    with pytest.raises(SparqlError, match="path expression"):
+        sparql_select(triples, "SELECT ?s WHERE { ?s <http://x>/?q ?o . }")
+    with pytest.raises(SparqlError, match="constant predicates"):
+        sparql_select(triples, "SELECT ?s WHERE { ?s ^?p ?o . }")
