@@ -142,8 +142,22 @@ def main() -> None:
         print(f"# pipeline bench error: {e}", file=sys.stderr)
 
     oracle_timings: dict[str, float] = {}
+    oracle_timeouts: list[str] = []
     if os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1") != "0":
+        # At sf0.1 (the driver's setting) every oracle is sub-second and
+        # best-of-3 is cheap. At larger SFs several DuckDB twins are
+        # super-linear (pair-explosion CTEs), so big-fixture runs set
+        # RUNS=1 and a per-query TIMEOUT: a watchdog thread calls
+        # duckdb's interrupt() and the entry is recorded as a timeout
+        # (-1 timing + a row in `oracle_timeouts`) instead of stalling
+        # the whole artifact behind one 30-minute query.
+        oracle_runs = int(os.environ.get("SPARK_GRAFT_BENCH_ORACLE_RUNS", "3"))
+        oracle_timeout = float(
+            os.environ.get("SPARK_GRAFT_BENCH_ORACLE_TIMEOUT", "0")
+        )
         try:
+            import threading
+
             from science_datalake_spark.oracle import duckdb_connection
 
             con = duckdb_connection(sf_dir)
@@ -151,13 +165,30 @@ def main() -> None:
                 sql = oracle_sql.get(name)
                 if sql is None:
                     continue
+                timer = None
+                if oracle_timeout > 0:
+                    timer = threading.Timer(oracle_timeout, con.interrupt)
+                    timer.start()
                 try:
                     oracle_timings[name] = round(
-                        _time_best_of(lambda: con.sql(sql).fetchall()), 3
+                        _time_best_of(
+                            lambda: con.sql(sql).fetchall(), runs=oracle_runs
+                        ),
+                        3,
                     )
                 except Exception as e:
                     oracle_timings[name] = -1.0
-                    print(f"# oracle bench error in {name}: {e}", file=sys.stderr)
+                    if "INTERRUPT" in str(e).upper():
+                        oracle_timeouts.append(name)
+                        print(
+                            f"# oracle bench timeout (> {oracle_timeout}s) in {name}",
+                            file=sys.stderr,
+                        )
+                    else:
+                        print(f"# oracle bench error in {name}: {e}", file=sys.stderr)
+                finally:
+                    if timer is not None:
+                        timer.cancel()
             con.close()
         except Exception as e:
             print(f"# oracle bench unavailable: {e}", file=sys.stderr)
@@ -184,6 +215,8 @@ def main() -> None:
         out["oracle_seconds"] = oracle_timings
         out["oracle_total"] = oracle_total
         out["ratios"] = ratios
+        if oracle_timeouts:
+            out["oracle_timeouts"] = sorted(oracle_timeouts)
         if oracle_total > 0:
             out["suite_ratio"] = round(total / oracle_total, 2)
         # Compute-bound view: queries where DuckDB itself does >=0.1s of

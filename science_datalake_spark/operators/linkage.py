@@ -98,6 +98,17 @@ def _jw_scorer():
     rf = optional_import("rapidfuzz.distance")
     if rf is None:
         return jaro_winkler_py
+    # Version-semantics pin (round-6 verdict #8): only rapidfuzz's plain
+    # Jaro core is consumed — deliberately NOT rapidfuzz.JaroWinkler,
+    # whose prefix-boost behavior changed across releases (rapidfuzz
+    # applied the Winkler boost unconditionally before 2.x and gates it
+    # on similarity > 0.7 in current versions, and its prefix_weight is
+    # a parameter). Jaro itself is the textbook algorithm in every
+    # rapidfuzz release (checked against rapidfuzz 3.x docs/source); the
+    # boost stays OUR code below, so a rapidfuzz upgrade cannot silently
+    # change scores. `pytest -m optional_deps` re-asserts the wrapped
+    # scorer against jaro_winkler_py on the gold pairs when the wheel is
+    # present (RUNBOOK.md).
     jaro_sim = rf.Jaro.similarity
 
     def jw(x: str, y: str, p: float = 0.1, threshold: float = 0.7) -> float:

@@ -217,11 +217,13 @@ def test_sim_ivf_durable_query_matches_in_memory(spark, sf_smoke):
     """The registered sim_ivf_durable query (write -> read -> probe) must
     return exactly sim_ivf_topk's rows — the shared-oracle contract —
     including on a second call that skips the build (read-only path)."""
-    from science_datalake_spark.queries import load_aux
+    from science_datalake_spark.queries import load_all, load_aux
     from science_datalake_spark.queries.llm_pipeline import _ivf_durable_path
     import shutil
 
-    aq, _ = load_aux()
+    # rotation-proof: a query lives in exactly one of the two registries
+    # at any given round (tools/rotation_audit.py moves them)
+    aq = {**load_aux()[0], **load_all()[0]}
     shutil.rmtree(_ivf_durable_path(sf_smoke), ignore_errors=True)
     want = sorted(map(tuple, aq["sim_ivf_topk"](spark, sf_smoke).collect()))
     first = sorted(map(tuple, aq["sim_ivf_durable"](spark, sf_smoke).collect()))
