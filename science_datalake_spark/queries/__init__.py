@@ -70,9 +70,17 @@ def query(
 # against a local zlib mirror in tests/test_operators.py. bench.py times
 # driver AND aux queries, so rotation never removes a query from the
 # performance evidence.
+#
+# Round-7 second wave (same-round additions get rows immediately instead
+# of waiting a round): the five queries ADDED this round
+# (vignette_disruption_by_code, vignette_code_rate_by_year,
+# vignette_citation_reliability, vignette_topic_patent_rollup,
+# sparql_agg_stats) rotate IN; five entries with >=2 rounds of driver
+# evidence each (q1_pricing_summary, join_left_coverage_flags,
+# text_pii_redact, dedup_exact, sim_cosine_topk) rest in aux.
 DRIVER_ORDER: list[str] = [
     "extract_doc_tokens",
-    "q1_pricing_summary",
+    "vignette_disruption_by_code",
     "q3_top_unshipped_orders",
     "q5_local_supplier_volume",
     "top_customers_flagged",
@@ -80,7 +88,7 @@ DRIVER_ORDER: list[str] = [
     "text_quality_langid",
     "ontology_skos_khop",
     "join_anti_semi",
-    "join_left_coverage_flags",
+    "vignette_code_rate_by_year",
     "multi_hop_rollup",
     "join_cooccurrence",
     "agg_stats_profile",
@@ -91,7 +99,7 @@ DRIVER_ORDER: list[str] = [
     "text_intra_dedup",
     "text_ppl_buckets",
     "inverted_index_reconstruct",
-    "text_pii_redact",
+    "vignette_citation_reliability",
     "text_repetition_stats",
     "events_windows",
     "dedup_winnow_overlap",
@@ -100,14 +108,14 @@ DRIVER_ORDER: list[str] = [
     "unify_coverage",
     "linkage_fuzzy_jw",
     "linkage_knn_best_match",
-    "dedup_exact",
+    "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_semantic",
     "corpus_pack_greedy",
     "web_domain_cap",
-    "sim_cosine_topk",
+    "sparql_agg_stats",
     "sim_knn_label_vote",
     "sim_ann_bucketed",
     "dedup_simhash_pairs",

@@ -472,6 +472,7 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_left_coverage_flags",
+    aux=True,  # rotated to aux round 7 (>=2 rounds driver-green; local parity continues)
     oracle="""
     SELECT
         c.c_custkey,

@@ -33,6 +33,7 @@ _SIMHASH_BITS = 16
 
 @query(
     "dedup_exact",
+    aux=True,  # rotated to aux round 7 (>=2 rounds driver-green; local parity continues)
     oracle="""
     WITH keyed AS (
         SELECT doc_id,
@@ -309,6 +310,7 @@ _COS = (
 
 @query(
     "sim_cosine_topk",
+    aux=True,  # rotated to aux round 7 (>=2 rounds driver-green; local parity continues)
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 5),
@@ -1176,6 +1178,7 @@ _PII_PHONE = "\\+?\\d[\\d().\\-]{6,}\\d\\b"
 
 @query(
     "text_pii_redact",
+    aux=True,  # rotated to aux round 7 (>=2 rounds driver-green; local parity continues)
     oracle=f"""
     WITH salted AS (
         SELECT doc_id, {_PII_SALT} AS t FROM documents WHERE doc_id < 200

@@ -111,7 +111,7 @@ def sparql_bgp_children(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_agg_stats",
-    aux=True,
+    # rotated into the driver registry round 7 (never driver-proven)
     oracle=f"""
     WITH broader(c, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),

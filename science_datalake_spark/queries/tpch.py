@@ -23,6 +23,7 @@ from science_datalake_spark.queries import query
 
 @query(
     "q1_pricing_summary",
+    aux=True,  # rotated to aux round 7 (r01-r06 driver rows green; local parity continues)
     oracle="""
     SELECT
         l_returnflag,

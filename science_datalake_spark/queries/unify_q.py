@@ -225,7 +225,7 @@ def unify_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vignette_disruption_by_code",
-    aux=True,
+    # rotated into the driver registry round 7 (never driver-proven)
     oracle=_unify_ctes()
     + """
     SELECT has_pwc,
@@ -263,7 +263,7 @@ def vignette_disruption_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vignette_code_rate_by_year",
-    aux=True,
+    # rotated into the driver registry round 7 (never driver-proven)
     oracle=_unify_ctes()
     + """
     SELECT year,
@@ -272,17 +272,17 @@ def vignette_disruption_by_code(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(100.0 * sum(CASE WHEN has_pwc THEN 1 ELSE 0 END)
                       / count(*), 3) AS DOUBLE) AS pct_with_code
     FROM unified
-    WHERE disruption > 1500 AND has_openalex
+    WHERE disruption > 980 AND has_openalex
     GROUP BY year ORDER BY year
     """,
 )
 def vignette_code_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vignette 1 cell 4: per-year volume of highly-disruptive papers and
     the fraction having code (the synthetic disruption domain is
-    p_retailprice, so the 'highly disruptive' threshold is 1500 rather
-    than the notebook's 0.5). Map-only filter into one hash aggregate."""
+    p_retailprice, uniform on [900, 1000), so the 'highly disruptive'
+    threshold is its top decile (> 980) rather than the notebook's 0.5). Map-only filter into one hash aggregate."""
     u = _synth_unified(spark, sf_dir).filter(
-        (F.col("disruption") > 1500) & F.col("has_openalex")
+        (F.col("disruption") > 980) & F.col("has_openalex")
     )
     pwc1 = F.sum(F.when(F.col("has_pwc"), 1).otherwise(0))
     return (
@@ -298,7 +298,7 @@ def vignette_code_rate_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vignette_citation_reliability",
-    aux=True,
+    # rotated into the driver registry round 7 (never driver-proven)
     oracle=_unify_ctes()
     + """
     SELECT CAST(round(corr(s2_citationcount, oa_cited_by_count), 4) AS DOUBLE)
@@ -347,7 +347,7 @@ def vignette_citation_reliability(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "vignette_topic_patent_rollup",
-    aux=True,
+    # rotated into the driver registry round 7 (never driver-proven)
     oracle=_unify_ctes()
     + """
     , works_topics AS (
