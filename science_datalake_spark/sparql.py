@@ -24,7 +24,16 @@ Supported subset:
     tag via a ``__lang_`` companion column carried from the object
     binding; '' for plain literals, IRIs, and path-bound values — the
     common ``FILTER (LANG(?label) = "en")`` SKOS idiom); numeric
-    literals compare numerically (try_cast)
+    literals compare numerically (try_cast); IRI / prefixed-name
+    operands compare as their expanded strings
+  - ``FILTER [NOT] EXISTS { ... }`` → semi/anti join on the shared
+    variables (a constant-key LIMIT-1 probe when none are shared) —
+    supported at the top of a FILTER, not nested inside ``&&``/``||``
+  - ``MINUS { ... }`` → left-anti join on the shared variables;
+    with NO shared variables it removes nothing (the spec's
+    disjoint-domain rule — the observable difference from NOT
+    EXISTS); compatibility is bound-equality (an OPTIONAL-unbound
+    NULL never matches)
 - ``ORDER BY ?v ... / ASC(?v) / DESC(?v)`` on result variables
   (plain column ordering: NULL/unbound sorts first ascending — the
   common case of SPARQL's type-ordered comparison; with LIMIT it lowers
@@ -155,8 +164,9 @@ class _PathAlt:
 class _Group:
     """One { ... } group: ordered elements + group-scoped filters."""
 
-    elements: list = field(default_factory=list)  # ("bgp", [(s,p,o)...]) | ("optional", _Group) | ("union", [_Group,...])
+    elements: list = field(default_factory=list)  # ("bgp", [(s,p,o)...]) | ("optional", _Group) | ("union", [_Group,...]) | ("minus", _Group)
     filters: list = field(default_factory=list)  # filter ASTs
+    exists: list = field(default_factory=list)  # (positive: bool, _Group) from FILTER [NOT] EXISTS
 
 
 @dataclass(frozen=True)
@@ -588,7 +598,35 @@ class _Parser:
             if t[1].upper() == "FILTER":
                 self.i += 1
                 subj = None
+                # FILTER [NOT] EXISTS { ... } — pattern-valued filter,
+                # parsed as a group (supported at the top of a FILTER
+                # only, not nested inside &&/|| expressions)
+                nxt = self.peek()
+                if nxt is not None and nxt[0] == "word" and nxt[1].upper() in (
+                    "EXISTS",
+                    "NOT",
+                ):
+                    positive = nxt[1].upper() == "EXISTS"
+                    save = self.i
+                    self.i += 1
+                    if not positive:
+                        if not self.at_word("EXISTS"):
+                            # plain `FILTER NOT ...`? no such grammar —
+                            # restore and let the expression parser error
+                            self.i = save
+                            g.filters.append(self.parse_filter_expr())
+                            continue
+                        self.i += 1
+                    flush_bgp()
+                    g.exists.append((positive, self.parse_group()))
+                    continue
                 g.filters.append(self.parse_filter_expr())
+                continue
+            if t[1].upper() == "MINUS":
+                self.i += 1
+                flush_bgp()
+                subj = None
+                g.elements.append(("minus", self.parse_group()))
                 continue
             if t[1].upper() == "BIND":
                 self.i += 1
@@ -1175,6 +1213,29 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             for b in branches[1:]:
                 u = u.unionByName(b, allowMissingColumns=True)
             out = merge(out, u)
+        elif tag == "minus":
+            # SPARQL MINUS: drop solutions compatible with some inner
+            # solution on a NON-EMPTY shared domain — with NO shared
+            # variables MINUS removes nothing (the spec's
+            # disjoint-domain rule, and the observable difference from
+            # FILTER NOT EXISTS). Lowering: left-anti join on the
+            # shared variables. Simplification vs the spec: a NULL
+            # (OPTIONAL-unbound) shared binding never matches, i.e.
+            # compatibility is bound-equality — the anti-join relation
+            # Catalyst already knows how to execute and the common-case
+            # reading.
+            if out is None:
+                raise SparqlError("MINUS requires preceding patterns")
+            inner = _eval_group(triples, elem[1])
+            shared = [
+                c
+                for c in out.columns
+                if c in inner.columns and not c.startswith("__lang_")
+            ]
+            if shared:
+                out = out.join(
+                    inner.select(*shared), on=shared, how="left_anti"
+                )
         else:  # pragma: no cover - parser invariant
             raise SparqlError(f"unknown group element: {tag}")
     if out is None:
@@ -1182,6 +1243,27 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
     cols = set(out.columns)
     for f_ast in group.filters:
         out = out.filter(_filter_column(f_ast, cols))
+    for positive, inner_group in group.exists:
+        # FILTER [NOT] EXISTS: semi/anti join on the shared variables.
+        # With NO shared variables the filter degenerates to "does the
+        # inner pattern match at all" — a constant-key semi/anti join
+        # against a LIMIT-1 probe (JVM-side, no driver action).
+        inner = _eval_group(triples, inner_group)
+        shared = [
+            c
+            for c in out.columns
+            if c in inner.columns and not c.startswith("__lang_")
+        ]
+        how = "left_semi" if positive else "left_anti"
+        if shared:
+            out = out.join(inner.select(*shared), on=shared, how=how)
+        else:
+            probe = inner.limit(1).select(F.lit(1).alias("__e"))
+            out = (
+                out.withColumn("__e", F.lit(1))
+                .join(probe, on="__e", how=how)
+                .drop("__e")
+            )
     return out
 
 

@@ -1006,3 +1006,99 @@ def test_path_operator_errors(spark, triples):
         sparql_select(triples, "SELECT ?s WHERE { ?s <http://x>/?q ?o . }")
     with pytest.raises(SparqlError, match="constant predicates"):
         sparql_select(triples, "SELECT ?s WHERE { ?s ^?p ?o . }")
+
+
+def test_filter_not_exists(spark, triples):
+    """Concepts with no narrower concept (nothing points at them via
+    broader): the leaves — anti join on the shared variable."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        FILTER NOT EXISTS { ?child skos:broader ?c . }
+    }
+    """
+    got = {r["c"] for r in sparql_select(triples, q).collect()}
+    assert got == {"http://ex.org/cv", "http://ex.org/cnn"}
+
+
+def test_filter_exists(spark, triples):
+    """Concepts that ARE a broader target — semi join (no row
+    duplication even though dl has one child and ml has two)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        FILTER EXISTS { ?child skos:broader ?c . }
+    }
+    """
+    rows = [r["c"] for r in sparql_select(triples, q).collect()]
+    assert sorted(rows) == ["http://ex.org/dl", "http://ex.org/ml"]
+
+
+def test_exists_no_shared_vars(spark, triples):
+    """EXISTS with a disjoint inner pattern degenerates to a global
+    does-it-match probe: keeps all rows when the pattern matches,
+    none when it cannot."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        FILTER EXISTS { ?x skos:broader ex:ml . }
+    }
+    """
+    assert len(sparql_select(triples, q).collect()) == 4
+    q2 = q.replace("ex:ml", "ex:nothing")
+    assert sparql_select(triples, q2).collect() == []
+    q3 = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+    assert sparql_select(triples, q3).collect() == []
+
+
+def test_minus_shared_and_disjoint(spark, triples):
+    """MINUS drops compatible solutions on the shared variable; with NO
+    shared variables it removes NOTHING (the spec's disjoint-domain
+    rule — the observable difference from FILTER NOT EXISTS)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        MINUS { ?c skos:broader ?p . }
+    }
+    """
+    got = {r["c"] for r in sparql_select(triples, q).collect()}
+    assert got == {"http://ex.org/ml"}
+
+    # inner binds only ?other / ?p — disjoint domain, nothing removed
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        ?c a skos:Concept .
+        MINUS { ?other skos:broader ?p . }
+    }
+    """
+    assert len(sparql_select(triples, q2).collect()) == 4
+
+
+def test_minus_requires_preceding_patterns(spark, triples):
+    with pytest.raises(SparqlError, match="MINUS requires"):
+        sparql_select(
+            triples,
+            "SELECT ?c WHERE { MINUS { ?c <http://x> ?p . } }",
+        )
+
+
+def test_not_exists_composes_with_filters_and_optional(spark, triples):
+    """NOT EXISTS applies after the group's joins; regular FILTERs and
+    OPTIONAL still work alongside."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?l WHERE {
+        ?c a skos:Concept .
+        OPTIONAL { ?c skos:prefLabel ?l . FILTER (LANG(?l) = "en") }
+        FILTER NOT EXISTS { ?child skos:broader ?c . }
+        FILTER (CONTAINS(?c, "cnn"))
+    }
+    """
+    got = [(r["c"], r["l"]) for r in sparql_select(triples, q).collect()]
+    assert got == [("http://ex.org/cnn", "convnets")]
