@@ -181,6 +181,66 @@ def sparql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sparql_leaf_profile",
+    aux=True,
+    oracle=f"""
+    WITH broader(c, parent) AS (VALUES
+        ('{_C}physics',   '{_C}science'),
+        ('{_C}quantum',   '{_C}physics'),
+        ('{_C}optics',    '{_C}physics'),
+        ('{_C}qft',       '{_C}quantum'),
+        ('{_C}chemistry', '{_C}science'),
+        ('{_C}biology',   '{_C}science')
+    ),
+    labels(c, lbl) AS (VALUES
+        ('{_C}science',   'Science'),
+        ('{_C}physics',   'Physics'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology')
+    ),
+    sib AS (
+        SELECT parent, count(*) AS n_sib FROM broader GROUP BY parent
+    )
+    SELECT b.c AS c, l.lbl AS lbl, s.n_sib AS n_sib
+    FROM broader b
+    JOIN labels l ON l.c = b.c
+    JOIN sib s ON s.parent = b.parent
+    WHERE NOT EXISTS (SELECT 1 FROM broader x WHERE x.parent = b.c)
+    ORDER BY c
+    """,
+)
+def sparql_leaf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL negation + subquery end-to-end: LEAF concepts (FILTER NOT
+    EXISTS — anti join on the shared variable) with their English label
+    and their parent's total child count from a ``{{ SELECT ... }}``
+    aggregate subquery joined back on ?parent (the aggregate-then-join
+    idiom, SPARQL 1.1 §8/§12; reference surface: sparql_query.py via
+    Oxigraph). The oracle replays the fixture relationally with
+    NOT EXISTS + a grouped CTE, so a lowering regression in either
+    feature hash-mismatches."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c ?lbl ?n_sib WHERE {
+        ?c skos:broader ?parent ;
+           skos:prefLabel ?lbl .
+        FILTER (LANG(?lbl) = "en")
+        FILTER NOT EXISTS { ?child skos:broader ?c . }
+        { SELECT ?parent (COUNT(?x) AS ?n_sib)
+          WHERE { ?x skos:broader ?parent . } GROUP BY ?parent }
+    }
+    ORDER BY ?c
+    """
+    return sparql_select(triples, q)
+
+
+@query(
     "ontology_skos_khop",
     oracle=f"""
     WITH edges(parent_id, child_id) AS (VALUES

@@ -34,6 +34,12 @@ Supported subset:
     disjoint-domain rule — the observable difference from NOT
     EXISTS); compatibility is bound-equality (an OPTIONAL-unbound
     NULL never matches)
+  - ``{ SELECT ... }`` subqueries (SPARQL 1.1 §12): evaluated
+    bottom-up with the full SELECT feature set (aggregates, ORDER
+    BY/LIMIT, DISTINCT, nested subqueries), then joined into the
+    enclosing group on the variables the subquery projects — the
+    aggregate-then-join idiom (per-parent counts joined back to
+    labels). PREFIXes come from the top-level prologue
 - ``ORDER BY ?v ... / ASC(?v) / DESC(?v)`` on result variables
   (plain column ordering: NULL/unbound sorts first ascending — the
   common case of SPARQL's type-ordered comparison; with LIMIT it lowers
@@ -256,6 +262,12 @@ class _Parser:
             if not pfx.endswith(":") or not iri.startswith("<"):
                 raise SparqlError(f"malformed PREFIX near {pfx} {iri}")
             self.prefixes[pfx[:-1]] = iri[1:-1]
+        return self.parse_query_body(top=True)
+
+    def parse_query_body(self, top: bool):
+        """ASK/SELECT clause through its solution modifiers. ``top``
+        asserts end-of-input afterwards; a subquery caller instead
+        leaves the closing ``}`` for parse_group to consume."""
         ask = False
         if self.at_word("ASK"):
             # ASK [WHERE] { ... } — boolean existence query (the
@@ -266,7 +278,7 @@ class _Parser:
             if self.at_word("WHERE"):
                 self.i += 1
             group = self.parse_group()
-            if self.i != len(self.toks):
+            if top and self.i != len(self.toks):
                 raise SparqlError(
                     f"trailing tokens after ASK: {[t[1] for t in self.toks[self.i:]]}"
                 )
@@ -367,7 +379,7 @@ class _Parser:
                 if offset is not None:
                     raise SparqlError("duplicate OFFSET")
                 offset = int(t[1])
-        if self.i != len(self.toks):
+        if top and self.i != len(self.toks):
             raise SparqlError(f"trailing tokens: {[t[1] for t in self.toks[self.i:]]}")
         if not group.elements:
             raise SparqlError("empty graph pattern")
@@ -652,6 +664,25 @@ class _Parser:
             if t[1] == "{":
                 flush_bgp()
                 subj = None
+                nxt = (
+                    self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+                )
+                if nxt is not None and nxt[0] == "word" and nxt[1].upper() in (
+                    "SELECT",
+                    "ASK",
+                ):
+                    # { SELECT ... } — SPARQL 1.1 subquery: evaluated
+                    # bottom-up, its projected variables join into the
+                    # enclosing group like any pattern relation. Shares
+                    # the outer query's PREFIX table (the 1.1 grammar:
+                    # prologue only at the top)
+                    self.i += 1  # consume '{'
+                    if nxt[1].upper() == "ASK":
+                        raise SparqlError("ASK cannot appear as a subquery")
+                    sub = self.parse_query_body(top=False)
+                    self.expect("}")
+                    g.elements.append(("subquery", sub))
+                    continue
                 branches = [self.parse_group()]
                 while self.at_word("UNION"):
                     self.i += 1
@@ -1213,6 +1244,12 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             for b in branches[1:]:
                 u = u.unionByName(b, allowMissingColumns=True)
             out = merge(out, u)
+        elif tag == "subquery":
+            # bottom-up: the subquery's projection is a relation of its
+            # result variables; joins on whatever it shares with the
+            # enclosing group (SPARQL 1.1 §12). Internal __lang_
+            # companions were already projected away by its SELECT.
+            out = merge(out, _eval_query(triples, elem[1]))
         elif tag == "minus":
             # SPARQL MINUS: drop solutions compatible with some inner
             # solution on a NON-EMPTY shared domain — with NO shared
@@ -1330,6 +1367,12 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     COUNT aggregates with GROUP BY) against the triples relation.
     Aggregation delegates to a DataFrame groupBy — one partial-combinable
     hash aggregate keyed on the GROUP BY variables."""
+    return _eval_query(triples, _Parser(query).parse())
+
+
+def _eval_query(triples: DataFrame, parsed) -> DataFrame:
+    """Evaluate one parsed SELECT/ASK body — the shared engine for the
+    top-level query and ``{ SELECT ... }`` subqueries."""
     (
         select_list,
         star,
@@ -1341,7 +1384,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         order_by,
         having,
         ask,
-    ) = _Parser(query).parse()
+    ) = parsed
     out = _eval_group(triples, group)
     if ask:
         # boolean existence: ANY solution -> true. limit(1) makes the

@@ -1102,3 +1102,56 @@ def test_not_exists_composes_with_filters_and_optional(spark, triples):
     """
     got = [(r["c"], r["l"]) for r in sparql_select(triples, q).collect()]
     assert got == [("http://ex.org/cnn", "convnets")]
+
+
+def test_subquery_aggregate_join(spark, triples):
+    """The aggregate-then-join idiom: per-parent child counts from a
+    subquery, joined to the parent's English label in the outer
+    group."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?parent ?label ?n WHERE {
+        ?parent skos:prefLabel ?label . FILTER (LANG(?label) = "en")
+        { SELECT ?parent (COUNT(?c) AS ?n) WHERE { ?c skos:broader ?parent . }
+          GROUP BY ?parent }
+    }
+    """
+    got = {(r["parent"], r["label"], r["n"]) for r in sparql_select(triples, q).collect()}
+    assert got == {
+        ("http://ex.org/ml", "machine learning", 2),
+        ("http://ex.org/dl", "deep learning", 1),
+    }
+
+
+def test_subquery_topk_and_order(spark, triples):
+    """ORDER BY/LIMIT inside the subquery pick the busiest parent; the
+    outer pattern decorates it."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?label WHERE {
+        ?parent skos:prefLabel ?label . FILTER (LANG(?label) = "en")
+        { SELECT ?parent WHERE { ?c skos:broader ?parent . }
+          GROUP BY ?parent HAVING (COUNT(?c) >= 2) }
+    }
+    """
+    got = [r["label"] for r in sparql_select(triples, q).collect()]
+    assert got == ["machine learning"]
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE {
+        { SELECT ?c (COUNT(?x) AS ?n) WHERE { ?x skos:broader ?c . }
+          GROUP BY ?c ORDER BY DESC(?n) LIMIT 1 }
+    }
+    """
+    assert [r["c"] for r in sparql_select(triples, q2).collect()] == [
+        "http://ex.org/ml"
+    ]
+
+
+def test_subquery_errors(spark, triples):
+    with pytest.raises(SparqlError, match="ASK cannot appear"):
+        sparql_select(
+            triples,
+            "SELECT ?c WHERE { { ASK { ?c ?p ?o . } } }",
+        )
