@@ -1442,3 +1442,114 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "node")
         .limit(20)
     )
+
+
+@query(
+    "join_range_overlap",
+    aux=True,
+    oracle="""
+    WITH iv AS (
+        SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,
+               CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS DOUBLE) AS s,
+               CAST(datediff('day', DATE '1992-01-01', l_shipdate)
+                    + l_quantity AS DOUBLE) AS e
+        FROM lineitem
+    )
+    SELECT a.l_suppkey AS l_suppkey,
+           count(*) AS n_pairs,
+           CAST(round(avg(least(a.e, b.e) - greatest(a.s, b.s)), 2) AS DOUBLE)
+               AS avg_overlap_days
+    FROM iv a
+    JOIN iv b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+     AND a.s <= b.e AND b.s <= a.e AND a.uid < b.uid
+    GROUP BY a.l_suppkey ORDER BY l_suppkey
+    """,
+)
+def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join via the banded equi-join strategy
+    (operators/rangejoin.interval_overlap_join): pairs of same-part,
+    same-supplier shipments whose transit windows [shipdate,
+    shipdate + quantity days] overlap, rolled up per supplier. The
+    oracle is the plain theta self-join DuckDB can afford in-process;
+    at scale the banded path replaces the quadratic theta join with a
+    bucket-keyed shuffle join plus a map-side exactly-once predicate
+    (no distinct pass). Spans are bounded by l_quantity <= 50 days, so
+    with bucket_width=16 the fan-out is <= 5 rows per interval and the
+    long-interval fallback carries zero rows at any SF."""
+    from science_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    li = table(spark, sf_dir, "lineitem")
+    base = F.datediff(
+        F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+    ).cast("double")
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        "l_partkey",
+        "l_suppkey",
+        base.alias("start"),
+        (base + F.col("l_quantity")).alias("end"),
+    )
+    pairs = interval_overlap_join(
+        iv, iv, bucket_width=16.0, on=["l_partkey", "l_suppkey"]
+    ).filter(F.col("uid") < F.col("uid_r"))
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.avg(
+                    F.least("end", "end_r") - F.greatest("start", "start_r")
+                ),
+                2,
+            ).alias("avg_overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "events_gap_stats",
+    aux=True,
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               date_diff('second',
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_s
+        FROM events
+    )
+    SELECT user_id,
+           count(*) + 1 AS n_events,
+           CAST(round(avg(gap_s), 1) AS DOUBLE) AS avg_gap_s,
+           max(gap_s) AS max_gap_s
+    FROM g WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY max_gap_s DESC, user_id LIMIT 20
+    """,
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap profile per user via lag() — the dwell-time /
+    inactivity-detection window shape (complements sessionize, which
+    thresholds the same gaps). One window keyed on user_id (co-located
+    with every other per-user analytic), one hash aggregate, top-20 by
+    longest silence lowering to TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_events"),
+            F.round(F.avg("gap_s"), 1).alias("avg_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy(F.desc("max_gap_s"), "user_id")
+        .limit(20)
+    )

@@ -1,0 +1,127 @@
+"""Banded interval joins: equivalence with the naive theta join on
+randomized inputs (including long-interval fallback traffic), exactly-
+once pair emission, and the point-containment variant."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from science_datalake_spark.operators.rangejoin import (
+    interval_overlap_join,
+    point_in_interval_join,
+)
+
+
+def _intervals(spark, n, seed, key_card=0, long_frac=0.1, width=1000.0):
+    rng = np.random.default_rng(seed)
+    start = rng.uniform(0, width, n)
+    # mostly short spans around one bucket; a slice of pathological ones
+    span = np.where(
+        rng.uniform(size=n) < long_frac,
+        rng.uniform(width * 0.8, width * 2.0, n),
+        rng.uniform(0, 20.0, n),
+    )
+    rows = [
+        (
+            int(i),
+            (int(rng.integers(key_card)) if key_card else 0),
+            float(s),
+            float(s + sp),
+        )
+        for i, (s, sp) in enumerate(zip(start, span))
+    ]
+    return spark.createDataFrame(rows, "uid LONG, k LONG, start DOUBLE, end DOUBLE")
+
+
+def _naive_pairs(left_rows, right_rows, keyed):
+    out = set()
+    for a in left_rows:
+        for b in right_rows:
+            if keyed and a["k"] != b["k"]:
+                continue
+            if a["start"] <= b["end"] and b["start"] <= a["end"]:
+                out.add((a["uid"], b["uid"]))
+    return out
+
+
+@pytest.mark.parametrize("keyed", [False, True])
+def test_overlap_join_matches_naive(spark, keyed):
+    left = _intervals(spark, 120, seed=7, key_card=5 if keyed else 0)
+    right = _intervals(spark, 90, seed=8, key_card=5 if keyed else 0)
+    got = interval_overlap_join(
+        left,
+        right,
+        bucket_width=10.0,
+        on=["k"] if keyed else None,
+        long_span_buckets=8,  # width*0.8/10 = 80 buckets -> real fallback traffic
+    ).select("uid", "uid_r")
+    rows = [(r["uid"], r["uid_r"]) for r in got.collect()]
+    want = _naive_pairs(left.collect(), right.collect(), keyed)
+    assert len(rows) == len(set(rows)), "pair emitted more than once"
+    assert set(rows) == want
+
+
+def test_overlap_join_self_pairs_dedup_pattern(spark):
+    """Self-join usage: the uid inequality post-filter leaves each
+    unordered pair once and drops self-pairs."""
+    df = _intervals(spark, 60, seed=3)
+    pairs = (
+        interval_overlap_join(df, df, bucket_width=10.0, long_span_buckets=8)
+        .filter(F.col("uid") < F.col("uid_r"))
+        .select("uid", "uid_r")
+        .collect()
+    )
+    got = {(r["uid"], r["uid_r"]) for r in pairs}
+    assert len(pairs) == len(got)
+    naive = _naive_pairs(df.collect(), df.collect(), keyed=False)
+    assert got == {(a, b) for a, b in naive if a < b}
+
+
+def test_point_in_interval_matches_naive(spark):
+    ivals = _intervals(spark, 80, seed=11)
+    rng = np.random.default_rng(12)
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1200.0, 200))],
+        "pid LONG, x DOUBLE",
+    )
+    got = {
+        (r["pid"], r["uid"])
+        for r in point_in_interval_join(
+            pts,
+            ivals,
+            bucket_width=10.0,
+            point_col="x",
+            bounds=("start", "end"),
+            long_span_buckets=8,
+        ).collect()
+    }
+    want = {
+        (p["pid"], a["uid"])
+        for p in pts.collect()
+        for a in ivals.collect()
+        if a["start"] <= p["x"] <= a["end"]
+    }
+    assert got == want
+
+
+def test_bucket_width_validation(spark):
+    df = _intervals(spark, 5, seed=1)
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_overlap_join(df, df, bucket_width=0)
+    with pytest.raises(ValueError, match="bucket_width"):
+        point_in_interval_join(df, df, bucket_width=-1, point_col="start")
+
+
+def test_banded_plan_shape(spark):
+    """The short×short path must be an EQUI join keyed on the band
+    bucket, and nothing in the plan may be a CartesianProduct — the
+    long-interval theta fallback plans as BroadcastNestedLoopJoin with
+    the rare side as the broadcast build."""
+    df = _intervals(spark, 50, seed=5, long_frac=0.0)
+    plan = interval_overlap_join(
+        df, df, bucket_width=10.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan  # band key reaches the join
