@@ -443,3 +443,52 @@ def vignette_topic_patent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.orderBy(
         F.desc("code_rate_pct"), "term", "ontology"
     ).limit(20)
+
+
+@query(
+    "vignette_retraction_profile",
+    aux=True,
+    oracle=_unify_ctes()
+    + """
+    SELECT CASE WHEN has_retraction THEN 'Retracted'
+                ELSE 'Non-retracted' END AS group_label,
+           count(*) AS n,
+           CAST(round(avg(disruption), 3) AS DOUBLE) AS avg_disruption,
+           CAST(round(avg(oa_cited_by_count), 1) AS DOUBLE) AS avg_citations,
+           CAST(round(quantile_cont(oa_cited_by_count, 0.5), 1) AS DOUBLE)
+               AS median_citations
+    FROM unified
+    WHERE disruption IS NOT NULL AND oa_cited_by_count IS NOT NULL
+    GROUP BY 1 ORDER BY group_label
+    """,
+)
+def vignette_retraction_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vignette 2 cell 2 (notebooks/vignette_2_anatomy_of_retractions
+    .ipynb): retracted vs non-retracted disruption/citation profile over
+    the synthetic unified table — the notebook's UNION-of-two-filtered-
+    aggregates collapses to ONE hash aggregate on the flag (same rows,
+    half the scans). Exact median is fine here: two groups (the
+    agg_stats_profile trade; operators/stats.py holds the scale-safe
+    alternatives)."""
+    u = _synth_unified(spark, sf_dir).filter(
+        F.col("disruption").isNotNull() & F.col("oa_cited_by_count").isNotNull()
+    )
+    return (
+        u.groupBy(
+            F.when(F.col("has_retraction"), "Retracted")
+            .otherwise("Non-retracted")
+            .alias("group_label")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # 3 decimals, not 4: the sf0.01 population's true mean sits
+            # EXACTLY on a 4-decimal rounding tie (…09375), where the two
+            # engines' last-ulp summation difference flips the digit
+            F.round(F.avg("disruption"), 3).alias("avg_disruption"),
+            F.round(F.avg("oa_cited_by_count"), 1).alias("avg_citations"),
+            F.round(
+                F.expr("percentile(oa_cited_by_count, 0.5)"), 1
+            ).alias("median_citations"),
+        )
+        .orderBy("group_label")
+    )
