@@ -1,0 +1,172 @@
+"""Durable MinHash-LSH band index: dedup NEW batches against HISTORY
+without reprocessing history.
+
+The batch operators in ``dedup.py`` find near-duplicates WITHIN one
+corpus snapshot. Real ingestion is incremental — each crawl / dump /
+shard arrives against terabytes already accepted — and re-running the
+full self-join over history per batch is O(corpus) work for O(batch)
+data. This module persists the LSH banding of accepted documents as a
+compact Parquet relation ``(band, mh, id)`` (``num_hashes`` rows per
+document — KILOBYTES per document of text) and answers "is anything in
+this batch a near-dup of anything ever accepted?" by joining the NEW
+batch's bands against that relation:
+
+- history text is never re-read, re-shingled, or re-hashed; only the
+  band relation is probed;
+- the join is an equi join on (band, mh) — shuffle-hash-able,
+  AQE-skew-splittable, and the new side is batch-sized, so the shuffle
+  cost is O(index + batch), not O(corpus^2);
+- the index is Hive-partitioned by ``band``, so a probe restricted to
+  selected bands (recall/cost tuning) prunes directories;
+- accepting a batch appends only the survivors' band rows (new Parquet
+  files into existing partitions — no rewrite of history).
+
+Same recall contract as ``dedup.lsh_candidate_pairs``: documents
+sharing ANY band min-hash become candidates; verification (e.g.
+``ngram_jaccard_pairs``) stays the caller's second stage.
+
+Reference parity note: the reference has no incremental dedup surface
+(its convert_* scripts reprocess full dumps); this is additive for the
+100 TB continuous-ingestion story, mirroring `similarity.py`'s durable
+IVF lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from science_datalake_spark.operators.dedup import minhash_signatures
+
+
+def _bands(signatures: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    stack_args = ", ".join(f"'{b}', mh{b}" for b in range(num_hashes))
+    return signatures.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (band, mh)"),
+    ).select("band", "mh", "id")
+
+
+def lsh_index_write(
+    signatures: DataFrame,
+    id_col: str,
+    path: str,
+    num_hashes: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize (or append to) the band index at ``path``. Rows are
+    ``(band, mh, id)``, Hive-partitioned by ``band``; within each
+    partition, files are sorted by ``mh`` so Parquet row-group min/max
+    stats support mh-range skipping on probe."""
+    (
+        _bands(signatures, id_col, num_hashes)
+        .repartition("band")
+        .sortWithinPartitions("mh")
+        .write.partitionBy("band")
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def dedup_candidates_against_index(
+    spark: SparkSession,
+    signatures: DataFrame,
+    id_col: str,
+    path: str,
+    num_hashes: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs between the NEW batch (its signature
+    frame) and the INDEXED history: distinct ``(id_new, id_old)``.
+    Batch-internal pairs are NOT included — run
+    ``dedup.lsh_candidate_pairs`` on the same signature frame for those
+    (one extra self-join over batch-sized input).
+
+    ``max_bucket`` drops degenerate band buckets by their size in the
+    INDEX (boilerplate fingerprints accumulate in history; a fresh
+    batch's counts say little) — same stop-fingerprint discipline as
+    the batch operator."""
+    idx = spark.read.parquet(path)
+    if max_bucket is not None:
+        sizes = idx.groupBy("band", "mh").agg(F.count("*").alias("__n"))
+        idx = idx.join(
+            sizes.filter(F.col("__n") <= max_bucket).select("band", "mh"),
+            ["band", "mh"],
+        )
+    new_bands = _bands(signatures, id_col, num_hashes)
+    return (
+        new_bands.alias("n")
+        .join(
+            idx.alias("h"),
+            (F.col("n.band") == F.col("h.band")) & (F.col("n.mh") == F.col("h.mh")),
+        )
+        .select(F.col("n.id").alias("id_new"), F.col("h.id").alias("id_old"))
+        .distinct()
+    )
+
+
+def incremental_dedup_minhash(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One ingestion step: returns ``(accepted, dup_pairs)`` and appends
+    the ACCEPTED documents' bands to the index.
+
+    - ``dup_pairs``: (id_dropped, id_kept) — vs history the NEW doc
+      drops and the indexed doc is kept; batch-internal candidates
+      keep the LOWER id (first-seen-wins, matching exact_dedup's
+      keep-lowest discipline). A doc dropped via an internal pair
+      whose keeper was itself dropped against history is still
+      (transitively) a near-dup of history — the pair rows carry the
+      full chain for audits.
+    - history NEVER changes: only accepted docs append band rows, so a
+      rejected near-dup cannot later vouch for its own twin.
+
+    The batch is assumed to fit the normal batch-job profile (its
+    signature frame is persisted for the multi-join step and released
+    before return). Ids must be globally unique across batches — the
+    caller's ingest contract."""
+    sigs = minhash_signatures(
+        batch, id_col, text_col, n=n, num_hashes=num_hashes, hash_fn=hash_fn
+    ).persist()
+    try:
+        from science_datalake_spark.operators.dedup import lsh_candidate_pairs
+
+        vs_hist = dedup_candidates_against_index(
+            spark, sigs, id_col, index_path, num_hashes, max_bucket=max_bucket
+        ).select(
+            F.col("id_new").alias("id_dropped"), F.col("id_old").alias("id_kept")
+        )
+        internal = lsh_candidate_pairs(
+            sigs, id_col, num_hashes=num_hashes, max_bucket=max_bucket
+        ).select(
+            # keep the LOWER id within the batch: id_b drops
+            F.col("id_b").alias("id_dropped"),
+            F.col("id_a").alias("id_kept"),
+        )
+        dup_pairs = vs_hist.unionByName(internal)
+
+        rejected = dup_pairs.select(F.col("id_dropped").alias("__rid")).distinct()
+        accepted = batch.join(
+            rejected, batch[id_col] == F.col("__rid"), "left_anti"
+        )
+        accepted_sigs = sigs.join(
+            rejected, sigs[id_col] == F.col("__rid"), "left_anti"
+        )
+        lsh_index_write(
+            accepted_sigs, id_col, index_path, num_hashes, mode="append"
+        )
+        # materialize pairs before releasing the signature cache they
+        # were derived from
+        dup_pairs = dup_pairs.persist()
+        dup_pairs.count()
+    finally:
+        sigs.unpersist()
+    return accepted, dup_pairs

@@ -143,3 +143,112 @@ def compact(
     os.rename(tmp, shard_dir)
     shutil.rmtree(backup, ignore_errors=True)
     return actual
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_col: str | None = None,
+) -> int:
+    """Keyed MERGE into a Parquet table: incoming rows REPLACE existing
+    rows with the same key, new keys insert, untouched rows survive —
+    the incremental-refresh primitive (re-materialize only this month's
+    unified_papers slice instead of rebuilding the table; the
+    reference's answer is a full rebuild, materialize_unified_papers.py).
+    Returns the post-merge row count of the rewritten scope.
+
+    Two scopes, one contract:
+    - ``partition_col`` given (the table is/becomes Hive-partitioned by
+      it): only the partitions PRESENT IN ``df`` are read, merged, and
+      swapped — O(touched partitions), not O(table). Each partition
+      directory swaps atomically (write-new → verify → rename); the
+      table is consistent per partition, the batch is not one global
+      transaction (document-level truth: Parquet has no table log; for
+      cross-partition transactionality use a table format with a commit
+      log).
+    - no ``partition_col``: whole-table merge with the compact() swap
+      discipline (count-verified, rename-atomic, crash-recoverable via
+      the same __old- orphan rule).
+
+    Incoming keys must be unique (asserted — duplicate incoming keys
+    make "replace" ambiguous). Keys may not include nulls on the merge
+    path (anti-join semantics would silently keep both rows).
+    """
+    keys = list(keys)
+    if df.select(*keys).distinct().count() != df.count():
+        raise ValueError("upsert batch has duplicate keys")
+    if partition_col is not None and partition_col not in df.columns:
+        raise ValueError(f"partition_col {partition_col!r} not in batch")
+
+    writer_cols = df.columns
+
+    def write_dir(frame: DataFrame, target: str) -> None:
+        w = frame.select(*writer_cols).write.mode("overwrite")
+        w.parquet(target)
+
+    if not os.path.exists(path):
+        if partition_col is None:
+            write_dir(df, path)
+            return df.count()
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        return df.count()
+
+    if partition_col is None:
+        existing = spark.read.parquet(path)
+        kept = existing.join(df.select(*keys), on=keys, how="left_anti")
+        merged = kept.unionByName(df.select(*existing.columns))
+        tmp = f"{path}__compact-{uuid.uuid4().hex[:8]}"
+        write_dir(merged, tmp)
+        merged_count = spark.read.parquet(tmp).count()
+        expected = kept.count() + df.count()
+        if merged_count != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"upsert verification failed: {merged_count} != {expected}"
+            )
+        backup = f"{path}__old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return merged_count
+
+    # partition-scoped: merge + swap each touched partition directory.
+    # Partition values must be filesystem-safe scalars (ints, clean
+    # strings) — this sink does not Hive-escape exotic values.
+    parts = [
+        r[0] for r in df.select(partition_col).distinct().collect()
+    ]  # bounded: the batch's own partition count
+    total = 0
+    merge_keys = [k for k in keys if k != partition_col]
+    data_cols = [c for c in writer_cols if c != partition_col]
+    for p in sorted(parts):
+        part_dir = os.path.join(path, f"{partition_col}={p}")
+        incoming = df.filter(F.col(partition_col) == p).select(*data_cols)
+        exists = os.path.exists(part_dir)
+        if exists:
+            # read the partition DIRECTORY directly: a fresh file
+            # listing per swap (the root-table index would go stale as
+            # the loop renames sibling partitions)
+            current = spark.read.parquet(part_dir).select(*data_cols)
+            merged = current.join(
+                incoming.select(*merge_keys), on=merge_keys, how="left_anti"
+            ).unionByName(incoming)
+        else:
+            merged = incoming
+        # tmp lives OUTSIDE the table root (sibling, like compact's):
+        # inside it, root readers would trip partition discovery, and
+        # dot-prefixed dirs cannot be read back even as a read root
+        tmp = f"{path}__upsertpart-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        if exists:
+            backup = f"{path}__old-{uuid.uuid4().hex[:8]}"
+            os.rename(part_dir, backup)
+            os.rename(tmp, part_dir)
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(tmp, part_dir)
+        total += n
+    return total
