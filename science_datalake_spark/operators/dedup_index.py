@@ -133,15 +133,25 @@ def incremental_dedup_minhash(
     signature frame is persisted for the multi-join step and released
     before return). Ids must be globally unique across batches — the
     caller's ingest contract."""
+    import os
+
     sigs = minhash_signatures(
         batch, id_col, text_col, n=n, num_hashes=num_hashes, hash_fn=hash_fn
     ).persist()
     try:
         from science_datalake_spark.operators.dedup import lsh_candidate_pairs
 
-        vs_hist = dedup_candidates_against_index(
-            spark, sigs, id_col, index_path, num_hashes, max_bucket=max_bucket
-        ).select(
+        if os.path.exists(index_path):
+            vs_hist = dedup_candidates_against_index(
+                spark, sigs, id_col, index_path, num_hashes, max_bucket=max_bucket
+            )
+        else:
+            # first batch bootstraps the index: no history, no hits
+            id_type = sigs.schema[id_col].dataType
+            vs_hist = spark.createDataFrame(
+                [], schema=f"id_new {id_type.simpleString()}, id_old {id_type.simpleString()}"
+            )
+        vs_hist = vs_hist.select(
             F.col("id_new").alias("id_dropped"), F.col("id_old").alias("id_kept")
         )
         internal = lsh_candidate_pairs(

@@ -70,3 +70,56 @@ def dedup_counts_stream(
             F.approx_count_distinct("__fp").alias("n_distinct_approx"),
         )
     )
+
+
+def incremental_neardup_sink(
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairs_path: str | None = None,
+    **minhash_kwargs,
+):
+    """foreachBatch sink closing the streaming↔batch ingestion loop for
+    NEAR-duplicate dedup: every micro-batch runs the durable-index
+    incremental dedup (operators/dedup_index.incremental_dedup_minhash)
+    — probe vs ALL history, batch-internal LSH, survivors appended to
+    both the accepted table and the band index. Contrast with
+    ``dedup_stream``: that one is EXACT dedup with watermark-bounded
+    in-memory state; this one is near-dup with DURABLE state, so the
+    horizon is unbounded (a doc near-duplicating something accepted
+    months ago is still caught) and a restart resumes from the on-disk
+    index, not from empty state.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            incremental_neardup_sink("/lake/lsh_index", "/lake/docs")
+        ).start()
+
+    ``pairs_path``: optionally append the (id_dropped, id_kept, batch)
+    audit rows. Ids must be globally unique across the stream (ingest
+    contract, same as the batch operator)."""
+    from science_datalake_spark.operators.dedup_index import (
+        incremental_dedup_minhash,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        accepted, pairs = incremental_dedup_minhash(
+            batch_df.sparkSession,
+            batch_df,
+            id_col,
+            text_col,
+            index_path,
+            **minhash_kwargs,
+        )
+        accepted.write.mode("append").parquet(accepted_path)
+        if pairs_path is not None:
+            pairs.withColumn("batch", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(pairs_path)
+        pairs.unpersist()
+
+    return sink

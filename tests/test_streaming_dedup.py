@@ -122,3 +122,95 @@ def test_stream_quality_gate_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got_c == want_c
+
+
+def test_incremental_neardup_sink_stream_matches_batch(spark, tmp_path):
+    """foreachBatch incremental near-dup: a 2-micro-batch drain must end
+    with the same accepted set and index contents as running the batch
+    operator sequentially on the same two batches."""
+    import os
+    import shutil
+
+    from science_datalake_spark.operators.dedup_index import (
+        incremental_dedup_minhash,
+    )
+    from science_datalake_spark.streaming.dedup import incremental_neardup_sink
+
+    lorem = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    b1 = [
+        (1, "s", lorem, "2024-01-01T00:00:00.000Z"),
+        (2, "s", "unique words about catalyst plans shuffles exchanges and broadcast strategies overall", "2024-01-01T00:01:00.000Z"),
+    ]
+    b2 = [
+        (10, "s", lorem, "2024-01-01T00:02:00.000Z"),  # near-dup of 1
+        (11, "s", "totally fresh second batch content with watermark sessionization and stateful operators", "2024-01-01T00:03:00.000Z"),
+        (12, "s", "totally fresh second batch content with watermark sessionization and stateful operators", "2024-01-01T00:04:00.000Z"),  # dup of 11
+    ]
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    import json as _json
+    import time
+
+    for name, rows in (("a.json", b1), ("b.json", b2)):
+        with open(src / name, "w") as f:
+            for did, s, t, ts in rows:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": did, "source": s, "text": t, "ingest_ts": ts}
+                    )
+                    + "\n"
+                )
+        time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+
+    stream = _doc_stream(spark, str(src))
+    sink = incremental_neardup_sink(
+        str(tmp_path / "nd_index"),
+        str(tmp_path / "nd_accepted"),
+        pairs_path=str(tmp_path / "nd_pairs"),
+    )
+    q = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(tmp_path / "nd_ckpt")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got_accepted = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "nd_accepted")).collect()
+    }
+    got_indexed = {
+        r["id"]
+        for r in spark.read.parquet(str(tmp_path / "nd_index"))
+        .select("id")
+        .distinct()
+        .collect()
+    }
+    got_pairs = {
+        (r["id_dropped"], r["id_kept"])
+        for r in spark.read.parquet(str(tmp_path / "nd_pairs")).collect()
+    }
+
+    # batch-sequential twin on the same two batches
+    ref_idx = str(tmp_path / "ref_index")
+    shutil.rmtree(ref_idx, ignore_errors=True)
+    want_accepted, want_pairs = set(), set()
+    for name in ("a.json", "b.json"):
+        bdf = spark.read.schema(DOC_SCHEMA).json(str(src / name))
+        acc, pairs = incremental_dedup_minhash(
+            spark, bdf, "doc_id", "text", ref_idx
+        )
+        want_accepted |= {r["doc_id"] for r in acc.collect()}
+        want_pairs |= {
+            (r["id_dropped"], r["id_kept"]) for r in pairs.collect()
+        }
+        pairs.unpersist()
+    want_indexed = {
+        r["id"]
+        for r in spark.read.parquet(ref_idx).select("id").distinct().collect()
+    }
+
+    assert got_accepted == want_accepted == {1, 2, 11}
+    assert got_indexed == want_indexed == {1, 2, 11}
+    assert got_pairs == want_pairs == {(10, 1), (12, 11)}
