@@ -78,18 +78,25 @@ def query(
 # sparql_agg_stats) rotate IN; five entries with >=2 rounds of driver
 # evidence each (q1_pricing_summary, join_left_coverage_flags,
 # text_pii_redact, dedup_exact, sim_cosine_topk) rest in aux.
+#
+# Round-7 third wave: the four queries added after the second rotation
+# (join_range_overlap, events_gap_stats, sparql_leaf_profile,
+# vignette_retraction_profile) rotate IN; four entries with >=2 rounds
+# of driver evidence (extract_doc_tokens, q5_local_supplier_volume,
+# multi_hop_rollup, events_windows) rest in aux.
 DRIVER_ORDER: list[str] = [
-    "extract_doc_tokens",
+    "join_range_overlap",
+    "events_gap_stats",
+    "sparql_leaf_profile",
+    "vignette_retraction_profile",
     "vignette_disruption_by_code",
     "q3_top_unshipped_orders",
-    "q5_local_supplier_volume",
     "top_customers_flagged",
     "text_bm25_search",
     "text_quality_langid",
     "ontology_skos_khop",
     "join_anti_semi",
     "vignette_code_rate_by_year",
-    "multi_hop_rollup",
     "join_cooccurrence",
     "agg_stats_profile",
     "corpus_temperature_mix",
@@ -101,7 +108,6 @@ DRIVER_ORDER: list[str] = [
     "inverted_index_reconstruct",
     "vignette_citation_reliability",
     "text_repetition_stats",
-    "events_windows",
     "dedup_winnow_overlap",
     "events_sessionize",
     "join_asof",

@@ -513,6 +513,7 @@ def join_left_coverage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multi_hop_rollup",
+    aux=True,  # rotated to aux round 7 wave 3 (>=2 rounds driver-green; local parity continues)
     oracle="""
     SELECT r.r_name, n.n_name,
            count(DISTINCT s.s_suppkey) AS n_suppliers,
@@ -1063,6 +1064,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_windows",
+    aux=True,  # rotated to aux round 7 wave 3 (>=2 rounds driver-green; local parity continues)
     oracle="""
     SELECT 'tumbling' AS win_kind,
            date_trunc('hour', ts) AS window_start,
@@ -1446,7 +1448,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_overlap",
-    aux=True,
+    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
     oracle="""
     WITH iv AS (
         SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,
@@ -1510,7 +1512,7 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_gap_stats",
-    aux=True,
+    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
     oracle="""
     WITH g AS (
         SELECT user_id,

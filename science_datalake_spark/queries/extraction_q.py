@@ -18,6 +18,7 @@ from science_datalake_spark.sources.extraction import (
 
 @query(
     "extract_doc_tokens",
+    aux=True,  # rotated to aux round 7 wave 3 (r01-r06 driver rows green; local parity continues)
     oracle=r"""
     WITH w AS (
         SELECT doc_id, source,

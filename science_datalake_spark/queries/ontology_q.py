@@ -182,7 +182,7 @@ def sparql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_leaf_profile",
-    aux=True,
+    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
     oracle=f"""
     WITH broader(c, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),

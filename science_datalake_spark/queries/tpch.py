@@ -112,6 +112,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier_volume",
+    aux=True,  # rotated to aux round 7 wave 3 (>=2 rounds driver-green; local parity continues)
     oracle="""
     SELECT
         n.n_name,

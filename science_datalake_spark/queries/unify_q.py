@@ -447,7 +447,7 @@ def vignette_topic_patent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vignette_retraction_profile",
-    aux=True,
+    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
     oracle=_unify_ctes()
     + """
     SELECT CASE WHEN has_retraction THEN 'Retracted'
