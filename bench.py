@@ -217,8 +217,22 @@ def main() -> None:
         out["ratios"] = ratios
         if oracle_timeouts:
             out["oracle_timeouts"] = sorted(oracle_timeouts)
-        if oracle_total > 0:
-            out["suite_ratio"] = round(total / oracle_total, 2)
+        # suite_ratio compares sums over the COMMON set only: a query
+        # whose oracle timed out / errored (or that has no oracle at
+        # all) contributes to neither side. Summing the full Spark
+        # total over a partial oracle total would silently change the
+        # ratio's meaning depending on which oracles completed.
+        common = [
+            n
+            for n in timings
+            if timings.get(n, -1) >= 0 and oracle_timings.get(n, -1) >= 0
+        ]
+        common_oracle = sum(oracle_timings[n] for n in common)
+        if common_oracle > 0:
+            out["suite_ratio"] = round(
+                sum(timings[n] for n in common) / common_oracle, 2
+            )
+            out["suite_common_n"] = len(common)
         # Compute-bound view: queries where DuckDB itself does >=0.1s of
         # work are the ones whose ratio reflects plan quality rather than
         # the fixed floor. Suite-level gate evidence.
@@ -231,9 +245,9 @@ def main() -> None:
         # floor-adjusted suite ratio: what the ratio would be if Spark's
         # fixed per-query floor were subtracted (i.e., amortized away, as
         # it is on any long-running query at real scale)
-        if floor > 0 and oracle_total > 0:
-            adj = sum(max(t - floor, 0.0) for t in timings.values() if t >= 0)
-            out["suite_ratio_floor_adjusted"] = round(adj / oracle_total, 2)
+        if floor > 0 and common_oracle > 0:
+            adj = sum(max(timings[n] - floor, 0.0) for n in common)
+            out["suite_ratio_floor_adjusted"] = round(adj / common_oracle, 2)
     print(json.dumps(out))
     spark.stop()
 

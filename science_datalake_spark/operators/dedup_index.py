@@ -101,6 +101,13 @@ def dedup_candidates_against_index(
             (F.col("n.band") == F.col("h.band")) & (F.col("n.mh") == F.col("h.mh")),
         )
         .select(F.col("n.id").alias("id_new"), F.col("h.id").alias("id_old"))
+        # self-pair guard: ids are globally unique across batches, so
+        # id_new == id_old can only mean THIS batch's bands already
+        # reached the index (an at-least-once replay after a partial
+        # failure). Treating a replayed doc as a dup of itself would
+        # silently drop it forever — filter the pair instead, so a
+        # replay converges to the same accepted set.
+        .filter(F.col("id_new") != F.col("id_old"))
         .distinct()
     )
 
@@ -115,6 +122,7 @@ def incremental_dedup_minhash(
     num_hashes: int = 8,
     hash_fn: str = "xxhash64",
     max_bucket: int | None = None,
+    accept=None,
 ) -> tuple[DataFrame, DataFrame]:
     """One ingestion step: returns ``(accepted, dup_pairs)`` and appends
     the ACCEPTED documents' bands to the index.
@@ -128,12 +136,20 @@ def incremental_dedup_minhash(
       full chain for audits.
     - history NEVER changes: only accepted docs append band rows, so a
       rejected near-dup cannot later vouch for its own twin.
+    - ``accept``: optional callable invoked with the accepted frame
+      BEFORE the index append. Durable consumers (the streaming sink)
+      must persist accepted rows through this hook, not after return:
+      append-then-crash with accepted rows unwritten is the one
+      ordering an at-least-once replay cannot repair (the replay
+      would see the batch's own bands as history). With the hook the
+      crash orderings all converge — see streaming/dedup.py.
 
     The batch is assumed to fit the normal batch-job profile (its
     signature frame is persisted for the multi-join step and released
     before return). Ids must be globally unique across batches — the
-    caller's ingest contract."""
-    import os
+    caller's ingest contract (the self-pair guard in
+    ``dedup_candidates_against_index`` then makes replays safe)."""
+    from science_datalake_spark.util import fs_exists
 
     sigs = minhash_signatures(
         batch, id_col, text_col, n=n, num_hashes=num_hashes, hash_fn=hash_fn
@@ -141,7 +157,7 @@ def incremental_dedup_minhash(
     try:
         from science_datalake_spark.operators.dedup import lsh_candidate_pairs
 
-        if os.path.exists(index_path):
+        if fs_exists(spark, index_path):
             vs_hist = dedup_candidates_against_index(
                 spark, sigs, id_col, index_path, num_hashes, max_bucket=max_bucket
             )
@@ -161,22 +177,26 @@ def incremental_dedup_minhash(
             F.col("id_b").alias("id_dropped"),
             F.col("id_a").alias("id_kept"),
         )
-        dup_pairs = vs_hist.unionByName(internal)
+        # materialize the pairs ONCE, before anything derives from
+        # them: the index append, the accept hook, and the caller's
+        # reads all reuse this cache instead of re-running the
+        # history-probe join per consumer (it is the dominant
+        # per-batch cost on a large index)
+        dup_pairs = vs_hist.unionByName(internal).persist()
+        dup_pairs.count()
 
         rejected = dup_pairs.select(F.col("id_dropped").alias("__rid")).distinct()
         accepted = batch.join(
             rejected, batch[id_col] == F.col("__rid"), "left_anti"
         )
+        if accept is not None:
+            accept(accepted)
         accepted_sigs = sigs.join(
             rejected, sigs[id_col] == F.col("__rid"), "left_anti"
         )
         lsh_index_write(
             accepted_sigs, id_col, index_path, num_hashes, mode="append"
         )
-        # materialize pairs before releasing the signature cache they
-        # were derived from
-        dup_pairs = dup_pairs.persist()
-        dup_pairs.count()
     finally:
         sigs.unpersist()
     return accepted, dup_pairs

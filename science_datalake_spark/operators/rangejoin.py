@@ -142,16 +142,26 @@ def point_in_interval_join(
     point_col: str,
     bounds: tuple[str, str] = ("start", "end"),
     on: list[str] | None = None,
+    right_suffix: str = "_r",
     long_span_buckets: int = 64,
 ) -> DataFrame:
     """Join each point to every interval CONTAINING it (closed bounds).
     A point lives in exactly one bucket, so no pair dedup is needed —
     only the interval side explodes. Same long-interval theta fallback
-    as ``interval_overlap_join``."""
+    as ``interval_overlap_join``. Interval-side non-key columns that
+    clash with point names come back suffixed with ``right_suffix``
+    (same contract as the overlap join)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     on = list(on or [])
     s, e = bounds
+
+    clash = (set(points.columns) & set(intervals.columns)) - set(on)
+    renames = {c: c + right_suffix for c in intervals.columns if c in clash}
+    intervals = intervals.select(
+        *[F.col(c).alias(renames.get(c, c)) for c in intervals.columns]
+    )
+    s, e = renames.get(s, s), renames.get(e, e)
     contains = (F.col(s) <= F.col(point_col)) & (F.col(point_col) <= F.col(e))
 
     span_buckets = _bucket(F.col(e), bucket_width) - _bucket(F.col(s), bucket_width)

@@ -167,7 +167,14 @@ def upsert_parquet(
       table is consistent per partition, the batch is not one global
       transaction (document-level truth: Parquet has no table log; for
       cross-partition transactionality use a table format with a commit
-      log).
+      log). CONTRACT: keys must be partition-stable — a key's
+      ``partition_col`` value must never change between upserts. Only
+      the batch's own partitions are read, so a key that migrates
+      partitions leaves its old row alive in the previous partition
+      (duplicate key across partitions). Migrating keys need the
+      whole-table path (``partition_col=None``) or a delete-first step;
+      this is not detectable here without reading every partition,
+      which would defeat the O(touched) scope.
     - no ``partition_col``: whole-table merge with the compact() swap
       discipline (count-verified, rename-atomic, crash-recoverable via
       the same __old- orphan rule).
@@ -226,23 +233,33 @@ def upsert_parquet(
     for p in sorted(parts):
         part_dir = os.path.join(path, f"{partition_col}={p}")
         incoming = df.filter(F.col(partition_col) == p).select(*data_cols)
+        incoming_count = incoming.count()
         exists = os.path.exists(part_dir)
         if exists:
             # read the partition DIRECTORY directly: a fresh file
             # listing per swap (the root-table index would go stale as
             # the loop renames sibling partitions)
             current = spark.read.parquet(part_dir).select(*data_cols)
-            merged = current.join(
+            kept = current.join(
                 incoming.select(*merge_keys), on=merge_keys, how="left_anti"
-            ).unionByName(incoming)
+            )
+            merged = kept.unionByName(incoming)
+            expected = kept.count() + incoming_count
         else:
             merged = incoming
+            expected = incoming_count
         # tmp lives OUTSIDE the table root (sibling, like compact's):
         # inside it, root readers would trip partition discovery, and
         # dot-prefixed dirs cannot be read back even as a read root
         tmp = f"{path}__upsertpart-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(tmp)
         n = spark.read.parquet(tmp).count()
+        if n != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"upsert verification failed for {partition_col}={p}: "
+                f"{n} != {expected}"
+            )
         if exists:
             backup = f"{path}__old-{uuid.uuid4().hex[:8]}"
             os.rename(part_dir, backup)

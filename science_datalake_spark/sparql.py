@@ -885,7 +885,7 @@ class _Parser:
             return ("str", t[1][1:-1].replace('\\"', '"'))
         if t[0] == "num":
             return ("num", float(t[1]) if "." in t[1] else int(t[1]))
-        if t[0] in ("iri", "word"):
+        if t[0] in ("iriref", "word"):
             # IRI operand (<...> or prefixed name): IRIs are plain
             # strings in the triples relation, so an IRI term compares
             # as its expanded string (SPARQL sameTerm-on-IRI semantics)

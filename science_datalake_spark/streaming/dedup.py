@@ -97,29 +97,57 @@ def incremental_neardup_sink(
             incremental_neardup_sink("/lake/lsh_index", "/lake/docs")
         ).start()
 
-    ``pairs_path``: optionally append the (id_dropped, id_kept, batch)
-    audit rows. Ids must be globally unique across the stream (ingest
-    contract, same as the batch operator)."""
+    ``pairs_path``: optionally record the (id_dropped, id_kept) audit
+    rows. Ids must be globally unique across the stream (ingest
+    contract, same as the batch operator).
+
+    At-least-once safety: foreachBatch replays a micro-batch after any
+    failure, so every write here is idempotent per ``batch_id``:
+
+    - accepted rows (and pairs) land in a Hive partition
+      ``ingest_batch=<batch_id>`` written with OVERWRITE — a replay
+      rewrites the same directory instead of appending duplicates;
+    - accepted rows are written BEFORE the index append (via the batch
+      operator's ``accept`` hook) — combined with the index probe's
+      self-pair guard, a crash at any point replays to the same
+      accepted set (the only residue of a mid-batch crash is duplicate
+      band rows in the index, which the probe's DISTINCT absorbs);
+    - a marker under ``<accepted_path>/_batches/<batch_id>`` commits
+      the batch: fully processed replays exit early, so even the
+      index-bloat residue only occurs on genuine mid-batch failures.
+      (Underscore-prefixed paths are invisible to Spark readers.)"""
     from science_datalake_spark.operators.dedup_index import (
         incremental_dedup_minhash,
     )
+    from science_datalake_spark.util import fs_exists, fs_mkdirs
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        accepted, pairs = incremental_dedup_minhash(
-            batch_df.sparkSession,
+        spark = batch_df.sparkSession
+        marker = f"{accepted_path}/_batches/{batch_id}"
+        if fs_exists(spark, marker):
+            return  # replay of a fully committed batch
+
+        def accept(accepted: DataFrame) -> None:
+            accepted.write.mode("overwrite").parquet(
+                f"{accepted_path}/ingest_batch={batch_id}"
+            )
+
+        _, pairs = incremental_dedup_minhash(
+            spark,
             batch_df,
             id_col,
             text_col,
             index_path,
+            accept=accept,
             **minhash_kwargs,
         )
-        accepted.write.mode("append").parquet(accepted_path)
         if pairs_path is not None:
-            pairs.withColumn("batch", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(pairs_path)
+            pairs.write.mode("overwrite").parquet(
+                f"{pairs_path}/ingest_batch={batch_id}"
+            )
         pairs.unpersist()
+        fs_mkdirs(spark, marker)
 
     return sink

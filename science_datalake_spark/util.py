@@ -52,6 +52,34 @@ def _split_top_level(schema: str) -> list[str]:
     return parts
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) pair for ``path`` through the JVM gateway —
+    resolves the scheme (file://, hdfs://, s3a://, ...) against the
+    session's Hadoop configuration."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return fs, hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe via the Hadoop FileSystem API. ``os.path.exists``
+    silently answers False for every non-local URI, which turns "probe
+    the durable index" into "pretend there is no history" on hdfs://
+    or s3a:// — this resolves the scheme instead, so durable-state
+    operators behave identically on any Hadoop-supported filesystem."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    """Create a (marker) directory via the Hadoop FileSystem API —
+    works on any scheme, used for idempotence markers next to durable
+    state (underscore-prefixed names stay invisible to Spark readers)."""
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.mkdirs(hpath)
+
+
 def round_half_away(x: float, digits: int) -> float:
     """Scalar round-half-away-from-zero — SQL ROUND semantics (python's
     built-in round is banker's and WOULD diverge at exact .5 grid

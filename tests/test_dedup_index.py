@@ -140,3 +140,45 @@ def test_probe_without_accept_is_read_only(spark, tmp_path):
     assert {
         r["id"] for r in spark.read.parquet(idx).select("id").distinct().collect()
     } == {1, 2, 3}
+
+
+def test_replay_after_index_append_converges(spark, tmp_path):
+    """At-least-once replay: when a batch's bands already reached the
+    index (crash after the append), re-running the same batch must
+    produce the SAME accepted set — the self-pair guard keeps a doc
+    from being dropped as a near-dup of itself."""
+    idx = str(tmp_path / "lsh_index")
+    b = _batch_b(spark)
+    acc1, p1 = incremental_dedup_minhash(spark, b, "doc_id", "text", idx)
+    want = {r["doc_id"] for r in acc1.collect()}
+    p1.unpersist()
+    assert want == {10, 11, 13}
+
+    acc2, p2 = incremental_dedup_minhash(spark, b, "doc_id", "text", idx)
+    got = {r["doc_id"] for r in acc2.collect()}
+    pairs2 = {(r["id_dropped"], r["id_kept"]) for r in p2.collect()}
+    p2.unpersist()
+    assert got == want
+    assert (10, 10) not in pairs2 and (11, 11) not in pairs2
+
+
+def test_accept_hook_runs_before_index_append(spark, tmp_path):
+    """The accept hook fires while the index still lacks the batch's
+    bands — the ordering the streaming sink's crash-safety relies on."""
+    import os
+
+    idx = str(tmp_path / "lsh_index")
+    seen: list[bool] = []
+
+    def probe_hook(accepted):
+        seen.append(os.path.exists(idx))
+
+    _, p = incremental_dedup_minhash(
+        spark, _batch_a(spark), "doc_id", "text", idx, accept=probe_hook
+    )
+    p.unpersist()
+    assert seen == [False]  # hook ran before any index write
+    # and the append still happened afterwards
+    assert {
+        r["id"] for r in spark.read.parquet(idx).select("id").distinct().collect()
+    } == {1, 2, 3}

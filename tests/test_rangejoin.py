@@ -125,3 +125,24 @@ def test_banded_plan_shape(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "__bucket" in plan  # band key reaches the join
+
+
+def test_point_in_interval_clashing_columns(spark):
+    """Point-side columns that collide with interval names come back
+    suffixed, same contract as the overlap join (regression: the point
+    variant skipped the rename, so a shared 'start' column raised an
+    ambiguous-reference AnalysisException)."""
+    pts = spark.createDataFrame(
+        [(1, 5.0, "p-meta"), (2, 25.0, "p-meta2")],
+        "pid LONG, x DOUBLE, start STRING",  # 'start' clashes on purpose
+    )
+    ivals = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 20.0, 30.0)],
+        "uid LONG, start DOUBLE, end DOUBLE",
+    )
+    out = point_in_interval_join(
+        pts, ivals, bucket_width=10.0, point_col="x", bounds=("start", "end")
+    )
+    assert "start_r" in out.columns and "start" in out.columns
+    got = {(r["pid"], r["uid"], r["start"]) for r in out.collect()}
+    assert got == {(1, 100, "p-meta"), (2, 200, "p-meta2")}

@@ -1155,3 +1155,16 @@ def test_subquery_errors(spark, triples):
             triples,
             "SELECT ?c WHERE { { ASK { ?c ?p ?o . } } }",
         )
+
+
+def test_filter_iriref_operand(spark, triples):
+    """Full-IRI (<...>) FILTER/BIND operands work like prefixed names
+    (regression: the tokenizer emits kind 'iriref' but the operand
+    parser matched 'iri', so every documented <iri> comparison raised
+    SparqlError while the ex:ml spelling of the same query parsed)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?c WHERE { ?c skos:broader ?p . FILTER (?p = <http://ex.org/ml>) }
+    """
+    got = {r["c"] for r in sparql_select(triples, q).collect()}
+    assert got == {"http://ex.org/dl", "http://ex.org/cv"}

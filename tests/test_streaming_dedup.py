@@ -214,3 +214,44 @@ def test_incremental_neardup_sink_stream_matches_batch(spark, tmp_path):
     assert got_accepted == want_accepted == {1, 2, 11}
     assert got_indexed == want_indexed == {1, 2, 11}
     assert got_pairs == want_pairs == {(10, 1), (12, 11)}
+
+
+def test_incremental_neardup_sink_replay_idempotent(spark, tmp_path):
+    """foreachBatch gives at-least-once delivery: re-invoking the sink
+    with the same batch_id — both a full replay (marker present) and a
+    mid-batch replay (marker missing, index already appended) — must
+    leave the accepted table unchanged."""
+    import shutil
+
+    from science_datalake_spark.streaming.dedup import incremental_neardup_sink
+
+    idx = str(tmp_path / "r_index")
+    acc = str(tmp_path / "r_accepted")
+    prs = str(tmp_path / "r_pairs")
+    bdf = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+            (3, "entirely different third document about streaming replay idempotence"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    sink = incremental_neardup_sink(idx, acc, pairs_path=prs)
+    sink(bdf, 0)
+    want = sorted(r["doc_id"] for r in spark.read.parquet(acc).collect())
+    assert want == [1, 3]
+
+    # full replay: the commit marker short-circuits
+    sink(bdf, 0)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(acc).collect()) == want
+
+    # mid-batch replay: marker lost, batch bands already in the index —
+    # the overwrite-per-batch layout plus the self-pair guard converge
+    shutil.rmtree(f"{acc}/_batches")
+    sink(bdf, 0)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(acc).collect()) == want
+    pairs = {
+        (r["id_dropped"], r["id_kept"])
+        for r in spark.read.parquet(prs).collect()
+    }
+    assert (1, 1) not in pairs and (3, 3) not in pairs
