@@ -736,3 +736,110 @@ def simhash_candidate_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 3,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Cross-document repeated-span removal (exact substring dedup in
+    the Lee et al. 2021 "Deduplicating Training Data" sense, at token-
+    window granularity): any k-token window occurring in >= ``min_df``
+    DISTINCT documents is treated as corpus boilerplate (license
+    blocks, navigation chrome, template footers), and every token
+    covered by any such window is removed from every document.
+
+    Adds to the input: ``n_tokens`` (whitespace token count),
+    ``n_removed`` (tokens covered by at least one flagged window) and
+    ``text_clean`` (kept tokens re-joined with single spaces, original
+    order). Distinct-DOCUMENT frequency is deliberate: within-document
+    repetition is ``textops.drop_repeated_units``'s job; this operator
+    targets spans shared ACROSS the corpus, and a doc spamming its own
+    phrase cannot promote that phrase to boilerplate by itself.
+
+    Scale shape (100 TB discipline):
+    - window keys are xxhash64 longs hashed IN-ROW before the explode
+      (default), so the wide exploded relation is (id, int, long) —
+      never the k-token strings;
+    - document frequency is one partial-combinable count-distinct
+      aggregate; the join back to flagged occurrences has no row
+      amplification (``freq`` is unique per key) and AQE splits hot
+      boilerplate keys;
+    - the per-document interval union (overlapping windows -> covered
+      positions) is in-row array algebra (sequence / flatten /
+      array_distinct / array_except — hash-based, O(tokens) per doc),
+      never a UDF or a corpus-wide window;
+    - only documents that contain a flagged span carry rows through
+      the groupBy/join-back: the flagged relation is near-linear in
+      the BOILERPLATE volume, not the corpus.
+
+    ``hash_keys=False`` keeps window strings as keys (engine-portable;
+    the DuckDB oracle twin groups by the actual substring — outputs
+    agree whenever xxhash64 is collision-free on the corpus, the same
+    evidence discipline as ``ngram_jaccard_pairs``).
+
+    Reference parity note: the reference has no substring-level dedup
+    (its dedup is key-priority row dedup, materialize_fulltext.py:
+    96-120); additive for the training-data pipeline story.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (1 would flag every window)")
+
+    wins = with_word_ngrams(
+        _spread(df.select(id_col, text_col), id_col), text_col, n=k, out="__ng"
+    )
+    key_arr = (
+        F.expr("transform(__ng, w -> xxhash64(w))") if hash_keys else F.col("__ng")
+    )
+    exploded = wins.select(
+        F.col(id_col), F.posexplode(key_arr).alias("__start", "__wkey")
+    )
+    freq = (
+        exploded.groupBy("__wkey")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__wkey")
+    )
+    flagged = exploded.join(freq, "__wkey").select(id_col, "__start")
+    cov = flagged.groupBy(id_col).agg(
+        F.expr(
+            "array_distinct(flatten(transform("
+            f"collect_list(__start), s -> sequence(s, s + {k - 1}))))"
+        ).alias("__covered")
+    )
+
+    return (
+        df.join(cov, on=id_col, how="left")
+        .withColumn("__tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(
+            "n_tokens",
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+            ).otherwise(F.size("__tokens")),
+        )
+        .withColumn(
+            "__cov",
+            F.coalesce(F.col("__covered"), F.expr("CAST(array() AS ARRAY<INT>)")),
+        )
+        .withColumn("n_removed", F.size("__cov"))
+        .withColumn(
+            "__kept",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN CAST(array() AS ARRAY<INT>) "
+                "ELSE array_except(sequence(0, n_tokens - 1), __cov) END"
+            ),
+        )
+        .withColumn(
+            "text_clean",
+            F.expr(
+                "concat_ws(' ', transform(__kept, p -> element_at(__tokens, p + 1)))"
+            ),
+        )
+        .drop("__covered", "__cov", "__kept", "__tokens")
+    )

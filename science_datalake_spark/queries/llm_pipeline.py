@@ -1588,3 +1588,57 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("compression_ratio"), 4).alias("max_ratio"),
         )
     )
+
+
+@query(
+    "text_span_dedup",
+    aux=True,  # added late round 7: local parity + bench evidence now, driver rotation next round
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, i - 1 AS start,
+               array_to_string(t[i:i+5], ' ') AS win
+        FROM toks,
+             UNNEST(generate_series(1, greatest(len(t) - 5, 0))) AS g(i)
+    ),
+    freq AS (
+        SELECT win FROM wins GROUP BY win
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT DISTINCT w.doc_id, w.start
+        FROM wins w JOIN freq USING (win)
+    ),
+    cov AS (
+        SELECT doc_id, count(DISTINCT p) AS n_removed
+        FROM flagged, UNNEST(generate_series(start, start + 5)) AS u(p)
+        GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INTEGER) AS n_tokens,
+           CAST(c.n_removed AS INTEGER) AS n_removed
+    FROM toks t JOIN cov c USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span removal (exact substring dedup,
+    Lee et al. 2021 style — operators/dedup.strip_repeated_spans):
+    6-token windows shared by >= 2 distinct documents are corpus
+    boilerplate; per affected document, how many tokens the union of
+    flagged windows covers. The DuckDB twin recomputes windows from
+    the actual substrings (the Spark side keys on in-row xxhash64
+    longs — collision-free here, same discipline as ngram_jaccard).
+    Complements text_intra_dedup (WITHIN-doc repeats) and the doc-level
+    near-dup family: this is the only operator that edits text based
+    on CROSS-document evidence."""
+    d = table(spark, sf_dir, "documents")
+    out = D.strip_repeated_spans(d, "doc_id", "text", k=6, min_df=2)
+    return (
+        out.filter(F.col("n_removed") > 0)
+        .select("doc_id", "n_tokens", "n_removed")
+        .orderBy("doc_id")
+    )

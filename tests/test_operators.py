@@ -1361,3 +1361,71 @@ def test_score_buckets_nan_scores(spark):
     assert [out[i] for i in range(1, 10)] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
+
+
+def test_strip_repeated_spans_semantics(spark):
+    """Cross-doc repeated-span removal: windows in >= min_df DISTINCT
+    docs are removed everywhere; overlapping flagged windows merge;
+    within-doc-only repetition never reaches the threshold."""
+    from science_datalake_spark.operators.dedup import strip_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "SHARED LICENSE TEXT HERE unique one alpha"),
+            (2, "prefix two SHARED LICENSE TEXT HERE suffix two"),
+            (3, "three only SHARED LICENSE TEXT HERE"),
+            (4, "totally different words without boilerplate at all"),
+            # second occurrence of the phrase in the SAME doc: only the
+            # window whose exact 4-gram crosses min_df docs is removed
+            (5, "overlap test SHARED LICENSE TEXT HERE LICENSE TEXT HERE zz"),
+            # intra-doc spam below the cross-doc threshold stays
+            (6, "spam spam spam spam spam spam mine alone entirely"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in strip_repeated_spans(
+            docs, "doc_id", "text", k=4, min_df=3
+        ).collect()
+    }
+    assert got[1] == (7, 4, "unique one alpha")
+    assert got[2] == (8, 4, "prefix two suffix two")
+    assert got[3] == (6, 4, "three only")
+    assert got[4] == (7, 0, "totally different words without boilerplate at all")
+    # only the exact flagged window span is covered; the partial second
+    # copy survives
+    assert got[5] == (10, 4, "overlap test LICENSE TEXT HERE zz")
+    # "spam spam spam spam" occurs in ONE distinct doc -> not boilerplate
+    assert got[6] == (9, 0, "spam spam spam spam spam spam mine alone entirely")
+
+
+def test_strip_repeated_spans_overlap_union_and_hash_parity(spark):
+    """Adjacent overlapping flagged windows union into one span (no
+    double counting), short/empty docs pass through, and the xxhash64
+    and string key paths agree."""
+    from science_datalake_spark.operators.dedup import strip_repeated_spans
+
+    shared = "a b c d e"  # k=4 -> two overlapping flagged windows (0..3, 1..4)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail1"),
+            (2, f"head2 {shared}"),
+            (3, f"{shared}"),
+            (4, "xx"),  # shorter than k: no windows
+            (5, "   "),  # whitespace-only
+        ],
+        "doc_id LONG, text STRING",
+    )
+    for hk in (True, False):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+            for r in strip_repeated_spans(
+                docs, "doc_id", "text", k=4, min_df=3, hash_keys=hk
+            ).collect()
+        }
+        assert got[1] == (6, 5, "tail1")
+        assert got[2] == (6, 5, "head2")
+        assert got[3] == (5, 5, "")
+        assert got[4] == (1, 0, "xx")
+        assert got[5] == (0, 0, "")

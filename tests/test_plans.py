@@ -215,3 +215,17 @@ def test_round6_additive_query_plan_shapes(spark, sf_oracle):
     p = plans.physical_plan(intra)
     assert "Join" not in p and "Window" not in p, p
     assert plans.count_exchanges(intra) <= 1, p  # only the final sort
+
+
+def test_span_dedup_plan_shape(spark, sf_oracle):
+    """strip_repeated_spans keeps its scale contract: window keys are
+    hashed in-row and exploded as longs (no k-gram strings through the
+    shuffle), no corpus-wide Window, no cartesian, and the whole op is
+    a bounded number of hash exchanges (freq agg, covered-positions
+    agg, join back + sort)."""
+    df = QUERIES["text_span_dedup"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "Window" not in p, p
+    assert "xxhash64" in p, p  # keys hashed before the explode
+    assert plans.count_exchanges(df) <= 5, p
