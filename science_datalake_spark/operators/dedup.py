@@ -791,8 +791,30 @@ def strip_repeated_spans(
     if min_df < 2:
         raise ValueError("min_df must be >= 2 (1 would flag every window)")
 
+    # One shared normalization for BOTH the window construction and the
+    # reconstruction below, so window start positions always index the
+    # same token array. coalesce + regexp trim (ALL whitespace, not
+    # F.trim's spaces-only) closes the NULL-text / tab-padded edges:
+    # NULL and whitespace-only docs get n_tokens=0 and text_clean='',
+    # never a NULL count or phantom empty tokens (the same hazard the
+    # winnowing branch above guards explicitly).
+    norm = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""
+    )
+
+    # NOTE on the two corpus passes: `exploded` below is consumed twice
+    # (the document-frequency aggregate, then the flagged join-back).
+    # That recompute is deliberate — the exploded relation is
+    # O(tokens-per-doc) rows per document, i.e. LARGER than the corpus,
+    # so persisting it (the _materialize_release pattern the signature-
+    # sized LSH relations use) would cache/spill more bytes than the
+    # input at any real scale. Two map-side tokenize+hash scans are the
+    # cheaper side of that trade at 100 TB.
     wins = with_word_ngrams(
-        _spread(df.select(id_col, text_col), id_col), text_col, n=k, out="__ng"
+        _spread(df.select(id_col, norm.alias("__norm")), id_col),
+        "__norm",
+        n=k,
+        out="__ng",
     )
     key_arr = (
         F.expr("transform(__ng, w -> xxhash64(w))") if hash_keys else F.col("__ng")
@@ -816,12 +838,13 @@ def strip_repeated_spans(
 
     return (
         df.join(cov, on=id_col, how="left")
-        .withColumn("__tokens", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn("__norm", norm)
+        .withColumn("__tokens", F.split(F.col("__norm"), r"\s+"))
         .withColumn(
             "n_tokens",
-            F.when(
-                F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-            ).otherwise(F.size("__tokens")),
+            F.when(F.col("__norm") == "", F.lit(0)).otherwise(
+                F.size("__tokens")
+            ),
         )
         .withColumn(
             "__cov",
@@ -841,5 +864,5 @@ def strip_repeated_spans(
                 "concat_ws(' ', transform(__kept, p -> element_at(__tokens, p + 1)))"
             ),
         )
-        .drop("__covered", "__cov", "__kept", "__tokens")
+        .drop("__covered", "__cov", "__kept", "__tokens", "__norm")
     )

@@ -1593,9 +1593,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_span_dedup",
     aux=True,  # added late round 7: local parity + bench evidence now, driver rotation next round
-    oracle=r"""
+    oracle=f"""
     WITH toks AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        SELECT doc_id, {_WORDS} AS t
         FROM documents
     ),
     wins AS (

@@ -1414,6 +1414,8 @@ def test_strip_repeated_spans_overlap_union_and_hash_parity(spark):
             (3, f"{shared}"),
             (4, "xx"),  # shorter than k: no windows
             (5, "   "),  # whitespace-only
+            (6, None),  # NULL text: n_tokens must be 0, never NULL
+            (7, "\t mixed\twhitespace padding \n"),  # non-space whitespace
         ],
         "doc_id LONG, text STRING",
     )
@@ -1429,3 +1431,5 @@ def test_strip_repeated_spans_overlap_union_and_hash_parity(spark):
         assert got[3] == (5, 5, "")
         assert got[4] == (1, 0, "xx")
         assert got[5] == (0, 0, "")
+        assert got[6] == (0, 0, "")
+        assert got[7] == (3, 0, "mixed whitespace padding")
