@@ -51,7 +51,7 @@ def interval_overlap_join(
     left_bounds: tuple[str, str] = ("start", "end"),
     right_bounds: tuple[str, str] = ("start", "end"),
     right_suffix: str = "_r",
-    long_span_buckets: int = 64,
+    long_span_buckets: int | None = 64,
 ) -> DataFrame:
     """Inner join of interval pairs that OVERLAP (closed intervals:
     ``l.start <= r.end AND r.start <= l.end``), optionally also equi-keyed
@@ -61,6 +61,13 @@ def interval_overlap_join(
 
     Each surviving pair is emitted exactly once (first-common-bucket
     predicate — see module docstring), so downstream needs no dedup.
+
+    ``long_span_buckets=None`` disables the long-interval split: the
+    banded path is CORRECT for any span (the split is purely a cost
+    guard against band fan-out), so callers whose spans are bounded by
+    construction (e.g. span <= data-model constant << width *
+    long_span_buckets) skip the two fallback join branches and their
+    extra input scans entirely — one banded join, one scan per side.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
@@ -77,6 +84,8 @@ def interval_overlap_join(
     rs, re_ = renames.get(rs, rs), renames.get(re_, re_)
 
     def split(df: DataFrame, s: str, e: str):
+        if long_span_buckets is None:
+            return df, None
         span_buckets = _bucket(F.col(e), bucket_width) - _bucket(
             F.col(s), bucket_width
         )
@@ -125,6 +134,8 @@ def interval_overlap_join(
             return a.join(b, on=on).filter(overlap)
         return a.join(b, overlap)
 
+    if long_span_buckets is None:
+        return banded
     out = banded
     for part in (
         theta(right, l_long, rare_is_right=False),
@@ -143,14 +154,15 @@ def point_in_interval_join(
     bounds: tuple[str, str] = ("start", "end"),
     on: list[str] | None = None,
     right_suffix: str = "_r",
-    long_span_buckets: int = 64,
+    long_span_buckets: int | None = 64,
 ) -> DataFrame:
     """Join each point to every interval CONTAINING it (closed bounds).
     A point lives in exactly one bucket, so no pair dedup is needed —
     only the interval side explodes. Same long-interval theta fallback
-    as ``interval_overlap_join``. Interval-side non-key columns that
-    clash with point names come back suffixed with ``right_suffix``
-    (same contract as the overlap join)."""
+    (and same ``long_span_buckets=None`` banded-only bypass for
+    bounded-span callers) as ``interval_overlap_join``. Interval-side
+    non-key columns that clash with point names come back suffixed
+    with ``right_suffix`` (same contract as the overlap join)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     on = list(on or [])
@@ -164,9 +176,14 @@ def point_in_interval_join(
     s, e = renames.get(s, s), renames.get(e, e)
     contains = (F.col(s) <= F.col(point_col)) & (F.col(point_col) <= F.col(e))
 
-    span_buckets = _bucket(F.col(e), bucket_width) - _bucket(F.col(s), bucket_width)
-    i_short = intervals.filter(span_buckets < long_span_buckets)
-    i_long = intervals.filter(span_buckets >= long_span_buckets)
+    if long_span_buckets is None:
+        i_short, i_long = intervals, None
+    else:
+        span_buckets = _bucket(F.col(e), bucket_width) - _bucket(
+            F.col(s), bucket_width
+        )
+        i_short = intervals.filter(span_buckets < long_span_buckets)
+        i_long = intervals.filter(span_buckets >= long_span_buckets)
 
     pb = points.withColumn("__bucket", _bucket(F.col(point_col), bucket_width))
     ib = i_short.withColumn(
@@ -176,6 +193,8 @@ def point_in_interval_join(
         ),
     )
     banded = pb.join(ib, on=[*on, "__bucket"]).filter(contains).drop("__bucket")
+    if long_span_buckets is None:
+        return banded
     if on:
         fallback = points.join(i_long, on=on).filter(contains)
     else:

@@ -1477,8 +1477,10 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the banded path replaces the quadratic theta join with a
     bucket-keyed shuffle join plus a map-side exactly-once predicate
     (no distinct pass). Spans are bounded by l_quantity <= 50 days, so
-    with bucket_width=16 the fan-out is <= 5 rows per interval and the
-    long-interval fallback carries zero rows at any SF."""
+    with bucket_width=16 the fan-out is <= 5 rows per interval at any
+    SF — a bound from the data model, so the long-interval cost guard
+    is disabled (long_span_buckets=None): banded-only, one join, one
+    lineitem scan per side instead of three fallback-branch rescans."""
     from science_datalake_spark.operators.rangejoin import interval_overlap_join
 
     li = table(spark, sf_dir, "lineitem")
@@ -1493,7 +1495,11 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (base + F.col("l_quantity")).alias("end"),
     )
     pairs = interval_overlap_join(
-        iv, iv, bucket_width=16.0, on=["l_partkey", "l_suppkey"]
+        iv,
+        iv,
+        bucket_width=16.0,
+        on=["l_partkey", "l_suppkey"],
+        long_span_buckets=None,
     ).filter(F.col("uid") < F.col("uid_r"))
     return (
         pairs.groupBy("l_suppkey")

@@ -146,3 +146,43 @@ def test_point_in_interval_clashing_columns(spark):
     assert "start_r" in out.columns and "start" in out.columns
     got = {(r["pid"], r["uid"], r["start"]) for r in out.collect()}
     assert got == {(1, 100, "p-meta"), (2, 200, "p-meta2")}
+
+
+def test_banded_only_bypass_equals_split_path(spark):
+    """long_span_buckets=None (banded-only, for bounded-span callers)
+    returns exactly the split-path result — the split is a cost guard,
+    never a correctness device. Checked for both join flavors,
+    including intervals long enough to take the fallback branch in the
+    split path."""
+    ivals = _intervals(spark, 60, seed=21)  # includes spans > 8 buckets
+    got_a = {
+        tuple(sorted((r["uid"], r["uid_r"])))
+        for r in interval_overlap_join(
+            ivals, ivals, bucket_width=10.0, long_span_buckets=8
+        ).filter(F.col("uid") < F.col("uid_r")).collect()
+    }
+    got_b = {
+        tuple(sorted((r["uid"], r["uid_r"])))
+        for r in interval_overlap_join(
+            ivals, ivals, bucket_width=10.0, long_span_buckets=None
+        ).filter(F.col("uid") < F.col("uid_r")).collect()
+    }
+    assert got_a == got_b and got_a
+
+    pts = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(range(0, 1200, 37))],
+        "pid LONG, x DOUBLE",
+    )
+    pa = {
+        (r["pid"], r["uid"])
+        for r in point_in_interval_join(
+            pts, ivals, bucket_width=10.0, point_col="x", long_span_buckets=8
+        ).collect()
+    }
+    pb = {
+        (r["pid"], r["uid"])
+        for r in point_in_interval_join(
+            pts, ivals, bucket_width=10.0, point_col="x", long_span_buckets=None
+        ).collect()
+    }
+    assert pa == pb and pa
