@@ -1590,23 +1590,40 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# text_span_dedup tuning, shared between the Spark call and the four
+# window-arithmetic sites in its oracle so they cannot drift apart
+_SPAN_K = 6
+_SPAN_MIN_DF = 2
+# The operator's hardened normalization, mirrored for DuckDB: coalesce
+# NULL and regexp-trim ALL whitespace (DuckDB trim() is space-only, so
+# _WORDS would tokenize a tab-padded doc into phantom '' tokens and
+# disagree with strip_repeated_spans on n_tokens)
+_SPAN_WORDS = (
+    "regexp_split_to_array("
+    # 'g' flag: DuckDB regexp_replace is first-match-only by default
+    # (Spark's replaces all), so without it a doc padded on BOTH ends
+    # keeps its trailing phantom token
+    r"regexp_replace(coalesce(text, ''), '^\s+|\s+$', '', 'g'), '\s+')"
+)
+
+
 @query(
     "text_span_dedup",
     aux=True,  # added late round 7: local parity + bench evidence now, driver rotation next round
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, {_WORDS} AS t
+        SELECT doc_id, {_SPAN_WORDS} AS t
         FROM documents
     ),
     wins AS (
         SELECT doc_id, i - 1 AS start,
-               array_to_string(t[i:i+5], ' ') AS win
+               array_to_string(t[i:i+{_SPAN_K - 1}], ' ') AS win
         FROM toks,
-             UNNEST(generate_series(1, greatest(len(t) - 5, 0))) AS g(i)
+             UNNEST(generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS g(i)
     ),
     freq AS (
         SELECT win FROM wins GROUP BY win
-        HAVING count(DISTINCT doc_id) >= 2
+        HAVING count(DISTINCT doc_id) >= {_SPAN_MIN_DF}
     ),
     flagged AS (
         SELECT DISTINCT w.doc_id, w.start
@@ -1614,7 +1631,7 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cov AS (
         SELECT doc_id, count(DISTINCT p) AS n_removed
-        FROM flagged, UNNEST(generate_series(start, start + 5)) AS u(p)
+        FROM flagged, UNNEST(generate_series(start, start + {_SPAN_K - 1})) AS u(p)
         GROUP BY doc_id
     )
     SELECT t.doc_id,
@@ -1631,12 +1648,11 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate; per affected document, how many tokens the union of
     flagged windows covers. The DuckDB twin recomputes windows from
     the actual substrings (the Spark side keys on in-row xxhash64
-    longs — collision-free here, same discipline as ngram_jaccard).
-    Complements text_intra_dedup (WITHIN-doc repeats) and the doc-level
-    near-dup family: this is the only operator that edits text based
-    on CROSS-document evidence."""
+    longs — collision-free here, same discipline as ngram_jaccard) and
+    tokenizes with the operator's NULL-safe all-whitespace trim, so
+    padded documents agree too, not just the clean testdata."""
     d = table(spark, sf_dir, "documents")
-    out = D.strip_repeated_spans(d, "doc_id", "text", k=6, min_df=2)
+    out = D.strip_repeated_spans(d, "doc_id", "text", k=_SPAN_K, min_df=_SPAN_MIN_DF)
     return (
         out.filter(F.col("n_removed") > 0)
         .select("doc_id", "n_tokens", "n_removed")
