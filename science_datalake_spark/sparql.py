@@ -59,7 +59,11 @@ Supported subset:
   paths: sequence ``p1/p2`` (chained through fresh internal variables —
   each hop keeps its pushed predicate filter), alternative ``p1|p2``
   (bag union of branch matches; ``|`` binds looser than ``/``), and
-  inverse ``^p`` (endpoint swap), composable with ``*``/``+`` per step.
+  inverse ``^p`` (endpoint swap), composable with ``*``/``+``/``?``
+  (zero-or-one: the one-hop edges plus the zero-length matches, no
+  closure) per step; negated property sets ``!p`` / ``!(a|b|^c)``
+  (one pushed NOT-IN predicate scan per direction component, unioned
+  per the spec's alt() split).
   Variable predicates with any path operator raise — same cue as below.
 - aggregates: ``(FN([DISTINCT] * | ?v) AS ?n)`` for FN ∈ COUNT / SUM /
   AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(… ; SEPARATOR="s") in the
@@ -79,7 +83,8 @@ Supported subset:
   whitespace-separated ``+ - * /`` arithmetic (try_cast-numeric)
 - ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) (...) }`` inline
   data blocks (UNDEF → NULL binding), joined like any pattern
-No other property paths / subqueries —
+No other property paths (variable-predicate paths, ``{n,m}``
+quantifiers, quantified negated sets ``!(...)*``) / subqueries —
 those are the cue to materialize a view with the DataFrame API instead. Path evaluation runs
 the closure's fixed-point loop EAGERLY (one count action per round);
 everything else stays lazy. Caveat vs full SPARQL
@@ -134,10 +139,24 @@ class _Term:
 
 @dataclass(frozen=True)
 class _Path:
-    """A constant-predicate property path: ``iri*`` or ``iri+``."""
+    """A constant-predicate property path: ``iri*``, ``iri+`` or ``iri?``."""
 
     iri: str
-    mod: str  # "*" | "+"
+    mod: str  # "*" | "+" | "?"
+
+
+@dataclass(frozen=True)
+class _PathNeg:
+    """``!iri`` / ``!(a|b|^c)`` — negated property set (SPARQL 1.1
+    PathNegatedPropertySet). ``forward`` and ``inverse`` hold the
+    excluded IRIs per direction; the match is the UNION of a forward
+    component (any triple whose predicate is outside ``forward``, only
+    present when the set names forward IRIs) and an endpoint-swapped
+    inverse component (predicate outside ``inverse``, only when the set
+    names ``^``-items) — the spec's alt(NPS(fwd), ^NPS(inv)) split."""
+
+    forward: tuple
+    inverse: tuple
 
 
 @dataclass(frozen=True)
@@ -546,9 +565,12 @@ class _Parser:
         if self.peek() is not None and self.peek()[1] == "^":
             self.i += 1
             inverse = True
+        if self.peek() is not None and self.peek()[1] == "!":
+            self.i += 1
+            return _PathStep(self.parse_negated_set(), inverse=inverse)
         tok = self.next()
         kind, val, _lang = tok
-        if kind == "word" and len(val) > 1 and val[-1] in "*+":
+        if kind == "word" and len(val) > 1 and val[-1] in "*+?":
             base = self.term(("word", val[:-1], None))
             if base.kind != "iri":
                 raise SparqlError(f"property path on non-IRI predicate: {val!r}")
@@ -564,7 +586,7 @@ class _Parser:
             if t.kind != "iri":
                 raise SparqlError(f"predicate must be an IRI, got {t.kind}")
             nxt = self.peek()
-            if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+"):
+            if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+", "?"):
                 self.i += 1
                 pred = _Path(t.value, nxt[1])
             else:
@@ -572,6 +594,46 @@ class _Parser:
         if inverse:
             return _PathStep(pred, inverse=True)
         return _PathStep(pred)
+
+    def parse_negated_set(self) -> _PathNeg:
+        """``!iri`` / ``!^iri`` / ``!(a|b|^c)`` after the ``!`` token.
+        Members are constant IRIs (optionally ``^``-inverted); a
+        quantifier on the set (``!(...)*``) is the documented boundary —
+        rewrite as an explicit closure view."""
+        fwd: list[str] = []
+        inv: list[str] = []
+
+        def one() -> None:
+            neg_inv = False
+            if self.peek() is not None and self.peek()[1] == "^":
+                self.i += 1
+                neg_inv = True
+            tok = self.next()
+            kind, val, _lang = tok
+            if kind == "word" and len(val) > 1 and val[-1] in "*+?":
+                raise SparqlError(
+                    f"quantifier inside a negated property set: {val!r}"
+                )
+            t = self.term(tok)
+            if t.kind != "iri":
+                raise SparqlError(
+                    f"negated property sets contain constant IRIs only, got {t.kind}"
+                )
+            (inv if neg_inv else fwd).append(t.value)
+
+        if self.peek() is not None and self.peek()[1] == "(":
+            self.i += 1
+            one()
+            while self.peek() is not None and self.peek()[1] == "|":
+                self.i += 1
+                one()
+            self.expect(")")
+        else:
+            one()
+        nxt = self.peek()
+        if nxt is not None and nxt[1] in ("*", "+", "?"):
+            raise SparqlError("quantified negated property sets are not supported")
+        return _PathNeg(tuple(fwd), tuple(inv))
 
     def parse_group(self) -> _Group:
         self.expect("{")
@@ -1101,7 +1163,20 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
         edges = triples.filter(F.col("p") == path.iri).select(
             F.col("s").alias("src"), F.col("o").alias("dst")
         )
-        if o.kind == "lit" and o.lang is not None:
+        if path.mod == "?":
+            # zero-or-one: the single-hop edge relation, no closure at all
+            # (the zero-length union below is shared with ``*``)
+            if o.kind == "lit" and o.lang is not None:
+                pairs = triples.filter(
+                    (F.col("p") == path.iri)
+                    & (F.col("o") == o.value)
+                    & (F.col("lang") == o.lang)
+                ).select(F.col("s").alias("a"), F.col("o").alias("d"))
+            else:
+                pairs = edges.select(
+                    F.col("src").alias("a"), F.col("dst").alias("d")
+                )
+        elif o.kind == "lit" and o.lang is not None:
             # a lang-tagged literal endpoint constrains the FINAL hop's
             # triple (pattern_df enforces the same for 1-hop patterns):
             # compose closure ∘ lang-matched-last-edge instead of closing
@@ -1125,7 +1200,7 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             pairs = direct.unionByName(via).distinct()
         else:
             pairs = transitive_closure(edges)  # (a, d): 1..n hops
-        if path.mod == "*":
+        if path.mod in ("*", "?"):
             if s.kind == "var" and o.kind == "var":
                 nodes = (
                     triples.select(F.col("s").alias("a"))
@@ -1141,11 +1216,41 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             pairs = pairs.unionByName(zero).distinct()
         return bind_endpoints(pairs, [("a", s), ("d", o)], lang_applicable=False)
 
+    def neg_df(s: _Term, neg: _PathNeg, o: _Term) -> DataFrame:
+        """Negated property set: anti-filter on the predicate column —
+        ONE pushed NOT-IN scan per direction component, no joins. The
+        forward component keeps (s, o) orientation; the ``^``-items
+        component swaps endpoints (triple runs o→s). Components union
+        per the spec's alt() split (bag semantics, like alt_df)."""
+        parts: list[DataFrame] = []
+        if neg.forward:
+            parts.append(
+                bind_endpoints(
+                    triples.filter(~F.col("p").isin(list(neg.forward))),
+                    [("s", s), ("o", o)],
+                    lang_applicable=True,
+                )
+            )
+        if neg.inverse:
+            parts.append(
+                bind_endpoints(
+                    triples.filter(~F.col("p").isin(list(neg.inverse))),
+                    [("s", o), ("o", s)],
+                    lang_applicable=True,
+                )
+            )
+        u = parts[0]
+        for b in parts[1:]:
+            u = u.unionByName(b, allowMissingColumns=True)
+        return u
+
     def step_df(s: _Term, step: _PathStep, o: _Term) -> DataFrame:
         """One composite-path step; ``^`` swaps the endpoints."""
         a, b = (o, s) if step.inverse else (s, o)
         if isinstance(step.pred, _Path):
             return path_df(a, step.pred, b)
+        if isinstance(step.pred, _PathNeg):
+            return neg_df(a, step.pred, b)
         return pattern_df(a, step.pred, b)
 
     def seq_df(s: _Term, seq: _PathSeq, o: _Term) -> DataFrame:
@@ -1212,6 +1317,8 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     out = merge(out, step_df(s, p, o))
                 elif isinstance(p, _Path):
                     out = merge(out, path_df(s, p, o))
+                elif isinstance(p, _PathNeg):
+                    out = merge(out, neg_df(s, p, o))
                 else:
                     out = merge(out, pattern_df(s, p, o))
         elif tag == "optional":

@@ -999,6 +999,104 @@ def test_path_alternative_and_inverse(spark, triples):
     assert got3 == {"http://ex.org/dl", "http://ex.org/cv"}
 
 
+def test_path_zero_or_one(spark, triples):
+    """``p?`` — the one-hop edges plus the zero-length matches, never the
+    transitive closure (cnn broader? must NOT reach ml)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?b WHERE { ex:cnn skos:broader? ?b . }
+    """
+    got = {r["b"] for r in sparql_select(triples, q).collect()}
+    assert got == {"http://ex.org/cnn", "http://ex.org/dl"}
+
+    # constant object end: subjects that are ml or its direct children
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?a WHERE { ?a skos:broader? ex:ml . }
+    """
+    got2 = {r["a"] for r in sparql_select(triples, q2).collect()}
+    assert got2 == {"http://ex.org/ml", "http://ex.org/dl", "http://ex.org/cv"}
+
+    # inside a sequence: self-or-parent labels
+    q3 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?l WHERE { ex:cnn skos:broader?/skos:prefLabel ?l . }
+    """
+    got3 = {r["l"] for r in sparql_select(triples, q3).collect()}
+    assert got3 == {"convnets", "deep learning"}
+
+
+def test_negated_property_set(spark, triples):
+    """``!p`` / ``!(a|b)`` — anti-filter on the predicate; ``^`` members
+    form the endpoint-swapped component of the union."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?s ?o WHERE { ?s !skos:prefLabel ?o . }
+    """
+    got = {(r["s"], r["o"]) for r in sparql_select(triples, q).collect()}
+    skos_concept = "http://www.w3.org/2004/02/skos/core#Concept"
+    assert got == {
+        ("http://ex.org/ml", skos_concept),
+        ("http://ex.org/dl", skos_concept),
+        ("http://ex.org/cv", skos_concept),
+        ("http://ex.org/cnn", skos_concept),
+        ("http://ex.org/dl", "http://ex.org/ml"),
+        ("http://ex.org/cv", "http://ex.org/ml"),
+        ("http://ex.org/cnn", "http://ex.org/dl"),
+    }
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    SELECT ?s ?o WHERE { ?s !(a|skos:prefLabel) ?o . }
+    """
+    got2 = {(r["s"], r["o"]) for r in sparql_select(triples, q2).collect()}
+    assert got2 == {
+        ("http://ex.org/dl", "http://ex.org/ml"),
+        ("http://ex.org/cv", "http://ex.org/ml"),
+        ("http://ex.org/cnn", "http://ex.org/dl"),
+    }
+
+    # mixed forward/inverse set: forward component (ml's non-label
+    # triples) UNION swapped component (triples INTO ml whose predicate
+    # is not broader — none here)
+    q3 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?x WHERE { ex:ml !(skos:prefLabel|^skos:broader) ?x . }
+    """
+    got3 = {r["x"] for r in sparql_select(triples, q3).collect()}
+    assert got3 == {"http://www.w3.org/2004/02/skos/core#Concept"}
+
+    # inverse-only set: triples INTO ml with predicate outside the set
+    q4 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?x WHERE { ex:ml !^skos:prefLabel ?x . }
+    """
+    got4 = {r["x"] for r in sparql_select(triples, q4).collect()}
+    assert got4 == {"http://ex.org/dl", "http://ex.org/cv"}
+
+
+def test_negated_set_errors(spark, triples):
+    with pytest.raises(SparqlError, match="constant IRIs only"):
+        sparql_select(triples, "SELECT ?s WHERE { ?s !?p ?o . }")
+    with pytest.raises(SparqlError, match="quantifier inside"):
+        sparql_select(
+            triples,
+            "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
+            "SELECT ?s WHERE { ?s !(skos:broader*) ?o . }",
+        )
+    with pytest.raises(SparqlError, match="quantified negated"):
+        sparql_select(
+            triples,
+            "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
+            "SELECT ?s WHERE { ?s !(skos:broader)* ?o . }",
+        )
+
+
 def test_path_operator_errors(spark, triples):
     with pytest.raises(SparqlError, match="constant predicates"):
         sparql_select(triples, "SELECT ?s WHERE { ?s ?p/?q ?o . }")
