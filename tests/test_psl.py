@@ -84,6 +84,14 @@ VECTORS = [
     ("k12.ak.us", None),
     ("test.k12.ak.us", "test.k12.ak.us"),
     ("www.test.k12.ak.us", "test.k12.ak.us"),
+    # the round-8 completed cc./lib. state sub-spaces (every k12 state
+    # now carries all three formulaic registries, like upstream)
+    ("cc.ma.us", None),
+    ("college.cc.ma.us", "college.cc.ma.us"),
+    ("www.college.cc.ma.us", "college.cc.ma.us"),
+    ("lib.nv.us", None),
+    ("branch.lib.nv.us", "branch.lib.nv.us"),
+    ("www.branch.lib.nv.us", "branch.lib.nv.us"),
     # IDN labels.
     ("食狮.com.cn", "食狮.com.cn"),
     ("食狮.公司.cn", "食狮.公司.cn"),
