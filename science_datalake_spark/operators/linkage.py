@@ -214,6 +214,7 @@ def knn_embedding_join(
     left_vec: str,
     right_vec: str,
     threshold: float = 0.65,
+    engine: str = "numpy",
 ) -> DataFrame:
     """Embedding kNN linkage: cosine-score right candidates per left
     entity, similarity floor, keep the single best match per left id.
@@ -223,8 +224,37 @@ def knn_embedding_join(
     in the top 20; here exact scoring feeds the same threshold+best filter.
 
     Scale: left (queries) broadcasts; right streams — no corpus shuffle.
+
+    ``engine``: ``"numpy"`` (default) delegates the |L|·|R| scoring to
+    the Arrow/BLAS engine shared with cosine_topk (threshold pushed into
+    the per-batch scan, best-per-left as a k=1 partial top-k); ``"sql"``
+    keeps the column-expression form whose float summation order matches
+    a relational twin bit-for-bit (the cosine_topk dual-engine contract).
     """
-    from science_datalake_spark.operators.similarity import as_double_vec, cosine
+    from science_datalake_spark.operators.similarity import (
+        _cosine_topk_numpy,
+        as_double_vec,
+        cosine,
+    )
+
+    if engine == "numpy":
+        out = _cosine_topk_numpy(
+            right.select(F.col(right_id).alias("__id"), F.col(right_vec).alias("__v")),
+            left.select(F.col(left_id).alias("__id"), F.col(left_vec).alias("__v")),
+            "__id",
+            "__v",
+            k=1,
+            exclude_self=False,
+            round_digits=6,
+            threshold=threshold,
+        )
+        return out.select(
+            F.col("query_id").alias("left_id"),
+            F.col("cand_id").alias("right_id"),
+            F.col("sim").alias("similarity"),
+        )
+    if engine != "sql":
+        raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
 
     q = left.select(F.col(left_id).alias("left_id"), as_double_vec(left_vec).alias("__lv"))
     c = right.select(F.col(right_id).alias("right_id"), as_double_vec(right_vec).alias("__rv"))

@@ -13,10 +13,14 @@ Three tiers (BASELINE.json north star):
   keyed on bucket). This is the FAISS IVF design as a DataFrame plan —
   recall tunable via n_probe, cost O(|C|·K) once + O(|Q|·probed lists).
 
-All vector math is native Spark SQL higher-order functions (zip_with +
-aggregate) over DOUBLE — JVM-side, no Python. For very hot paths a
-pandas_udf with numpy matmul is the alternative; at 64-dim the native
-expressions are already cheap and keep the whole plan in codegen.
+Vector math engines: the ANN tiers (sign-LSH, IVF) stay native Spark SQL
+higher-order functions (zip_with + aggregate) over DOUBLE — JVM-side,
+bucket-pruned, cheap per probed candidate. The exact brute-force tier
+scores |Q|·|C| pairs, which is precisely the workload where interpreted
+lambdas lose to BLAS (~5M element-ops/s vs billions — the semantic_dedup
+measurement), so ``cosine_topk`` defaults to an Arrow/numpy matmul engine
+with the column-expression form kept for bit-level oracle parity
+(``engine="sql"``).
 """
 
 from __future__ import annotations
@@ -52,13 +56,33 @@ def cosine_topk(
     vec_col: str,
     k: int = 10,
     exclude_self: bool = True,
+    engine: str = "numpy",
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × corpus.
 
     Scale: queries broadcast (small side), corpus streams — no shuffle of
     the corpus at all; the per-query top-k is a window over (query_id),
     which shuffles only (query, candidate, sim) triples, k-prunable by AQE.
+
+    ``engine``: the semantic_dedup dual-engine discipline, applied to the
+    exact tier (round-7 verdict "Next round" #4). ``"numpy"`` (default)
+    streams the corpus through ``mapInPandas``: one BLAS matmul per Arrow
+    batch against the driver-collected query matrix, with a per-batch
+    partial top-k so the final window sees only ``batches × |Q| × k``
+    rows instead of ``|C| × |Q|`` — the partial is safe because each
+    candidate's score is batch-independent and the order (sim desc,
+    cand_id asc) is total. ``"sql"`` keeps the higher-order-lambda column
+    expressions, whose float summation ORDER matches the DuckDB oracle
+    exactly; the numpy path's blocked/SIMD summation can differ in the
+    last ulp, which flips a rounded boundary only when a true cosine sits
+    within ~1e-15 of the 4-digit rounding grid (engines are
+    equality-tested on the fixtures; use "sql" where bit-reproducibility
+    against a relational twin matters more than speed).
     """
+    if engine == "numpy":
+        return _cosine_topk_numpy(corpus, queries, id_col, vec_col, k, exclude_self)
+    if engine != "sql":
+        raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
@@ -73,6 +97,105 @@ def cosine_topk(
     )
     return top_k_per_key(
         scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
+    )
+
+
+def _cosine_topk_numpy(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    exclude_self: bool,
+    round_digits: int = 4,
+    threshold: float | None = None,
+) -> DataFrame:
+    """The Arrow/numpy engine behind cosine_topk (see its docstring) and
+    knn_embedding_join (linkage.py — which passes ``threshold``).
+
+    Semantics replicate the SQL path row-for-row: sims are rounded
+    half-away-from-zero to ``round_digits`` BEFORE ranking; a NULL,
+    ragged, or zero-norm vector on either side yields a NULL sim (the
+    zip_with-pads-NULL / divide-by-zero-is-NULL behavior of the column
+    expressions), which sorts LAST under the (sim desc nulls-last,
+    cand_id asc) order yet still earns a rank when a query has fewer
+    than k finite candidates — exactly what the window path emits. With
+    ``threshold`` set, sub-threshold and NULL sims are dropped instead
+    (a SQL ``sim >= t`` filter rejects NULL the same way)."""
+    import numpy as np
+    import pandas as pd
+
+    from science_datalake_spark.operators.dedup import _round_half_away, _vec_matrix
+
+    # the query set is driver-collected: it is the SAME relation the SQL
+    # path broadcasts, small by contract (an ANN/linkage query batch)
+    qrows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[id_col] for r in qrows]
+    qvecs = [r[vec_col] for r in qrows]
+    dim = next((len(v) for v in qvecs if v is not None), 0)
+    nq = len(qrows)
+    qmat = _vec_matrix(pd.Series(qvecs), dim) if nq else None
+    qq = (qmat * qmat).sum(axis=1) if nq else None
+
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, cand_id {cid_t}, sim double"
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            v = _vec_matrix(pdf[vec_col], dim)
+            cids = pdf[id_col].reset_index(drop=True)
+            # denominator sqrt(vv*qq) — the SQL/oracle op order, not
+            # sqrt(vv)*sqrt(qq) (last-ulp divergence, review finding)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (v @ qmat.T) / np.sqrt(
+                    (v * v).sum(axis=1, keepdims=True) * qq[None, :]
+                )
+            sims[~np.isfinite(sims)] = np.nan  # zero-norm / NULL → NULL sim
+            sims = _round_half_away(sims, round_digits)
+            frames = []
+            for j in range(nq):
+                col = sims[:, j]
+                key = np.where(np.isnan(col), -np.inf, col)
+                mask = np.ones(n, dtype=bool)
+                if exclude_self:
+                    mask = (cids != q_ids[j]).to_numpy()
+                if threshold is not None:
+                    mask &= key >= threshold  # -inf (NULL sim) never passes
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                kk = min(k, idx.size)
+                # boundary-tie-safe partial: keep everything at or above
+                # the kth-largest key, then settle ties by the total
+                # order (key desc, cand_id asc) — works for string ids
+                # where a pure-numpy lexsort would not
+                kth = np.partition(key[idx], idx.size - kk)[idx.size - kk]
+                sel = idx[key[idx] >= kth]
+                tmp = pd.DataFrame(
+                    {
+                        "query_id": q_ids[j],
+                        "cand_id": cids.iloc[sel].to_numpy(),
+                        "sim": col[sel],
+                        "__key": key[sel],
+                    }
+                )
+                frames.append(
+                    tmp.sort_values(
+                        ["__key", "cand_id"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    ).head(kk)[["query_id", "cand_id", "sim"]]
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    part = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    return top_k_per_key(
+        part, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
     )
 
 

@@ -229,3 +229,108 @@ def test_sim_ivf_durable_query_matches_in_memory(spark, sf_smoke):
     first = sorted(map(tuple, aq["sim_ivf_durable"](spark, sf_smoke).collect()))
     again = sorted(map(tuple, aq["sim_ivf_durable"](spark, sf_smoke).collect()))
     assert first == want and again == want
+
+
+# ---------------------------------------------------------------------------
+# Dual-engine exact cosine tier (round-8: numpy default, sql for oracle parity)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_engines_equal_on_fixture(spark, sf_oracle):
+    """The Arrow/numpy engine must return row-for-row what the column-
+    expression engine returns on the real fixture (the rounded-to-4-digits
+    boundary contract of the dual-engine discipline)."""
+    e = table(spark, sf_oracle, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    sql_rows = sorted(
+        map(tuple, cosine_topk(e, q, "vec_id", "embedding", k=10, engine="sql").collect())
+    )
+    np_rows = sorted(
+        map(tuple, cosine_topk(e, q, "vec_id", "embedding", k=10, engine="numpy").collect())
+    )
+    assert np_rows == sql_rows
+    assert len(np_rows) == 50
+
+
+def test_cosine_topk_engines_equal_on_degenerate_rows(spark):
+    """NULL, zero-norm, and wrong-length vectors must produce identical
+    (NULL-sim, nulls-last, cand_id-tiebreak) rankings in both engines —
+    the numpy path reproduces zip_with-pads-NULL / divide-by-zero-is-NULL
+    semantics, not just the happy path."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, None),                 # NULL vector -> NULL sim
+        (3, [0.0, 0.0, 0.0]),      # zero norm -> NULL sim
+        (4, [1.0, 0.0]),           # ragged -> NULL sim
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    q = e.filter(F.col("vec_id").isin(0, 2))  # one real query, one NULL query
+    a = sorted(map(tuple, cosine_topk(e, q, "vec_id", "embedding", k=4, engine="sql").collect()))
+    b = sorted(map(tuple, cosine_topk(e, q, "vec_id", "embedding", k=4, engine="numpy").collect()))
+    assert b == a
+
+
+def test_knn_embedding_join_engines_equal(spark, sf_oracle):
+    from science_datalake_spark.operators.linkage import knn_embedding_join
+
+    e = table(spark, sf_oracle, "embeddings")
+    left = e.filter(F.col("vec_id") < 10)
+    right = e.filter(F.col("vec_id") >= 10)
+    a = sorted(
+        map(
+            tuple,
+            knn_embedding_join(
+                left, right, "vec_id", "vec_id", "embedding", "embedding",
+                threshold=0.2, engine="sql",
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            knn_embedding_join(
+                left, right, "vec_id", "vec_id", "embedding", "embedding",
+                threshold=0.2, engine="numpy",
+            ).collect(),
+        )
+    )
+    assert b == a and len(b) == 10
+
+
+def _walk_plan(node, out):
+    out.append(node)
+    kids = node.children()
+    for i in range(kids.size()):
+        _walk_plan(kids.apply(i), out)
+
+
+def test_knn_label_vote_never_builds_on_corpus(spark, sf_smoke):
+    """Round-7 verdict "What's wrong" #1: the labels/truth projections of
+    the FULL embeddings corpus must never be a broadcast build side (an
+    executor OOM at real corpus scale). Every BroadcastExchange in the
+    plan must sit on a k-bounded relation — i.e. its subtree contains a
+    cardinality-reducing node (Window top-k / aggregate / the numpy
+    partial-top-k MapInPandas), never a bare project-of-scan."""
+    from science_datalake_spark.queries import load_all, load_aux
+
+    aq = {**load_aux()[0], **load_all()[0]}
+    df = aq["sim_knn_label_vote"](spark, sf_smoke)
+    nodes: list = []
+    # sparkPlan() is pre-exchange-insertion: broadcasts appear as the
+    # buildSide of a BroadcastHashJoin, not yet as BroadcastExchange
+    _walk_plan(df._jdf.queryExecution().sparkPlan(), nodes)
+    reducing = ("Window", "Aggregate", "MapInPandas", "FlatMapGroupsInPandas")
+    checked = 0
+    for n in nodes:
+        if "BroadcastHashJoin" not in n.nodeName():
+            continue
+        checked += 1
+        build = n.children().apply(0 if "BuildLeft" in n.buildSide().toString() else 1)
+        sub: list = []
+        _walk_plan(build, sub)
+        assert any(
+            any(tag in s.nodeName() for tag in reducing) for s in sub
+        ), f"corpus-side broadcast build: {build.treeString()}"
+    assert checked >= 2  # the hints exist and point at the small side
