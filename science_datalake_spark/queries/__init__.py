@@ -84,6 +84,11 @@ def query(
 # vignette_retraction_profile) rotate IN; four entries with >=2 rounds
 # of driver evidence (extract_doc_tokens, q5_local_supplier_volume,
 # multi_hop_rollup, events_windows) rest in aux.
+#
+# Round-8 rotation (round-7 verdict "Next round" #2): text_span_dedup —
+# the audit's only never-driver-proven entry besides the permanently
+# oracle-less text_compression_ratio — rotates IN; text_vocab_zipf
+# (driver-green r6+r7) rests in aux.
 DRIVER_ORDER: list[str] = [
     "join_range_overlap",
     "events_gap_stats",
@@ -134,7 +139,7 @@ DRIVER_ORDER: list[str] = [
     "text_chunk_rag",
     "text_quality_gate",
     "text_unigram_logprob",
-    "text_vocab_zipf",
+    "text_span_dedup",
 ]
 
 
