@@ -236,7 +236,7 @@ def _synth_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = build_unified_papers_grouped(
         oa, s2, sci, retractions=rw, code_links=pwc
     ).persist()
-    while len(_UNIFIED_CACHE) >= _UNIFIED_CACHE_CAP:
+    while _UNIFIED_CACHE and len(_UNIFIED_CACHE) >= _UNIFIED_CACHE_CAP:
         _, old = _UNIFIED_CACHE.popitem()
         try:
             old.unpersist()
