@@ -14,6 +14,10 @@ are first-class for a 100 TB training-data pipeline).
   side is shingled and broadcast (eval sets are small by definition);
   the corpus side streams through a shingle explode + semi-join-style
   aggregation. No corpus self-join, no eval-side shuffle.
+- :func:`leakage_safe_split` — train/val/test assignment as a pure
+  function of the duplicate-cluster id, so near-copies can never
+  straddle a split boundary (prevention twin of ``decontaminate``'s
+  detection).
 """
 
 from __future__ import annotations
@@ -181,4 +185,100 @@ def temperature_mix(
     weights = temperature_mix_weights(docs, source_col, alpha, text_col)
     return token_budget_mix(
         docs, source_col, weights, budget_tokens, id_col, text_col, seed
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    cluster_col: str | None = None,
+    pairs: DataFrame | None = None,
+    seed: int = 42,
+    u_expr=None,
+) -> DataFrame:
+    """Train/val/test split assignment that cannot leak near-duplicates
+    across splits: the split is a pure function of the document's
+    duplicate-CLUSTER id, so two documents that are (near-)copies of
+    each other always land in the same split. Splitting i.i.d. per
+    document — the naive ``rand() < 0.9`` — puts ~2·p·(1-p) of every
+    duplicate pair across the train/test boundary, which is exactly the
+    train-on-test contamination ``decontaminate`` exists to catch;
+    assigning by cluster removes the failure mode instead of detecting
+    it (the dedup-then-split discipline of every published LLM corpus).
+
+    Cluster source, in precedence order:
+    - ``pairs`` — a (src, dst) near-dup pair relation (any of the
+      dedup family's outputs); clusters are the connected components
+      (``graph.connected_components``, O(log n) rounds), each labeled
+      by its min member id. Documents in no pair form singleton
+      clusters (their own id).
+    - ``cluster_col`` — precomputed cluster labels already on ``docs``
+      (e.g. a persisted dedup run). NULL labels fall back to the row's
+      own id (singleton).
+    - neither — every document is its own cluster (plain deterministic
+      split, still reproducible under any partitioning).
+
+    Assignment: u = (xxhash64(cluster, seed) mod 2^20)/2^20 ∈ [0, 1)
+    banded by the cumulative ``fractions`` in insertion order (must sum
+    to ~1; the last band absorbs rounding residue). Pure column
+    expression — after the (optional) component join, assignment adds
+    NO shuffle and no driver data. Same (data, fractions, seed) ⇒ same
+    split under ANY partitioning (the seeded-hash discipline of
+    operators/sampling.py). ``u_expr`` overrides the hash with a caller
+    expression over ``split_cluster`` → [0, 1) — the systematic-mod
+    form a relational twin can evaluate verbatim (the
+    sample_deterministic discipline); the default stays the seeded hash
+    because cluster ids are NOT uniform (CC labels are min member ids,
+    skewed low; a plain mod over them is biased, a hash is not).
+
+    Returns ``docs`` + ``split_cluster`` + ``split``.
+
+    Scale: the only shuffles are the CC iterations over the PAIR set
+    (bounded by the dedup family's own guards) and one broadcast-able
+    left join of docs against the (node → component) labels — the label
+    relation has one row per PAIRED doc only, typically a small
+    fraction of the corpus. Unpaired docs take the map-side fallback.
+    """
+    total = sum(fractions.values())
+    if not fractions or abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if pairs is not None:
+        from science_datalake_spark.operators.graph import connected_components
+
+        labels = connected_components(pairs, src=pairs.columns[0], dst=pairs.columns[1])
+        labels = labels.select(
+            F.col("node").alias("__n"), F.col("comp").alias("__comp")
+        )
+        docs = docs.join(labels, on=F.col(id_col) == F.col("__n"), how="left").drop(
+            "__n"
+        )
+        cluster = F.coalesce(F.col("__comp"), F.col(id_col))
+        docs = docs.withColumn("split_cluster", cluster).drop("__comp")
+    elif cluster_col is not None:
+        docs = docs.withColumn(
+            "split_cluster", F.coalesce(F.col(cluster_col), F.col(id_col))
+        )
+    else:
+        docs = docs.withColumn("split_cluster", F.col(id_col))
+
+    grid = 1 << 20
+    u = (
+        F.pmod(F.xxhash64(F.col("split_cluster"), F.lit(seed)), F.lit(grid)) / grid
+        if u_expr is None
+        else u_expr
+    )
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        # float-sum drift (0.9 + 0.05 = 0.95000…01) would silently widen
+        # a band past the next one's boundary grid point; 12-digit
+        # rounding restores the exact cumulative bound
+        acc = round(acc + fractions[name], 12)
+        branch = F.when(u < acc, F.lit(name))
+        expr = branch if expr is None else expr.when(u < acc, F.lit(name))
+    last = F.lit(names[-1])
+    return docs.withColumn(
+        "split", last if expr is None else expr.otherwise(last)
     )

@@ -1,0 +1,117 @@
+"""Model-based document quality scoring — the fastText-classifier stage of
+CCNet/RefinedWeb-style pipelines, as a Spark ML pipeline.
+
+The heuristic gate (textops.quality_gate) is rule-based; production web
+curation additionally trains a LINEAR classifier over hashed n-gram
+features ("does this look like the high-quality seed corpus?") and keeps
+documents by predicted probability. That is exactly a Spark ML
+``HashingTF → LogisticRegression`` pipeline: featurization and scoring
+are JVM-side narrow transforms (the fitted coefficient vector broadcasts
+with the task closure — scoring is map-only at any corpus size), and
+LBFGS training is the standard distributed aggregation loop (one
+treeAggregate of gradient partials per iteration — no per-row Python).
+
+No DuckDB oracle is possible (iterative optimizer), so this module is
+test-pinned instead: seed-fixed training on heuristically-labeled
+fixtures must separate held-out classes (tests/test_quality_model.py),
+the scoring plan is asserted join-free/shuffle-free, and determinism is
+checked across repartitionings (LBFGS over float partials is
+order-sensitive in the last ulp, so determinism is asserted at the
+kept/dropped decision level, not the raw probability bit pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: char-level fallback word splitter mirroring textops.tokens; ML's
+#: Tokenizer lowercases, which is what a quality classifier wants
+_WORDS_COL = "__qm_words"
+_GRAMS_COL = "__qm_grams"
+_FEAT_COL = "__qm_features"
+
+
+def _featurize(df: DataFrame, text_col: str, num_features: int, ngram: int):
+    """words + word-bigrams → hashed count vector (the fastText recipe:
+    unigrams and bigrams share one hash space)."""
+    from pyspark.ml.feature import HashingTF, NGram, Tokenizer
+
+    words = Tokenizer(inputCol=text_col, outputCol=_WORDS_COL).transform(df)
+    if ngram >= 2:
+        grams = NGram(n=ngram, inputCol=_WORDS_COL, outputCol=_GRAMS_COL).transform(
+            words
+        )
+        feats_in = grams.withColumn(
+            _WORDS_COL, F.concat(F.col(_WORDS_COL), F.col(_GRAMS_COL))
+        ).drop(_GRAMS_COL)
+    else:
+        feats_in = grams = words
+    htf = HashingTF(
+        inputCol=_WORDS_COL, outputCol=_FEAT_COL, numFeatures=num_features
+    )
+    return htf.transform(feats_in).drop(_WORDS_COL)
+
+
+def train_quality_model(
+    labeled: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    num_features: int = 1 << 16,
+    ngram: int = 2,
+    max_iter: int = 30,
+    reg_param: float = 1e-4,
+):
+    """Fit the hashed-ngram logistic quality classifier.
+
+    ``labeled``: documents with a {0, 1} ``label_col`` (1 = high quality
+    — typically a trusted seed corpus vs raw-crawl negatives, or the
+    heuristic gate's own keep/drop as weak supervision). Returns the
+    fitted LogisticRegressionModel; pass it to :func:`score_quality`.
+
+    Scale: HashingTF is stateless (no vocabulary broadcast — the hash IS
+    the vocabulary, the fastText trick), so the only cluster traffic is
+    LBFGS's per-iteration gradient treeAggregate over ``num_features``
+    doubles."""
+    from pyspark.ml.classification import LogisticRegression
+
+    feats = _featurize(
+        labeled.withColumn("__qm_label", F.col(label_col).cast("double")),
+        text_col,
+        num_features,
+        ngram,
+    )
+    lr = LogisticRegression(
+        featuresCol=_FEAT_COL,
+        labelCol="__qm_label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=False,
+    )
+    model = lr.fit(feats)
+    model._qm_conf = (text_col, num_features, ngram)  # scoring must match
+    return model
+
+
+def score_quality(
+    model,
+    docs: DataFrame,
+    prob_col: str = "quality_prob",
+    keep_threshold: float | None = None,
+) -> DataFrame:
+    """Score documents with a fitted quality model: adds ``prob_col``
+    (P(high quality)); with ``keep_threshold``, also ``model_keep``.
+    Featurization parameters are taken from the model (a mismatch would
+    silently scramble the hash space). Map-only: transform is a narrow
+    JVM stage, the coefficient vector rides the broadcast task closure."""
+    from pyspark.ml.functions import vector_to_array
+
+    text_col, num_features, ngram = model._qm_conf
+    feats = _featurize(docs, text_col, num_features, ngram)
+    scored = model.transform(feats)
+    out = scored.withColumn(
+        prob_col, F.round(vector_to_array(F.col("probability"))[1], 6)
+    ).drop(_FEAT_COL, "rawPrediction", "probability", "prediction")
+    if keep_threshold is not None:
+        out = out.withColumn("model_keep", F.col(prob_col) >= keep_threshold)
+    return out

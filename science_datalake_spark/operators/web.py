@@ -69,6 +69,54 @@ def normalize_url(url: Column) -> Column:
     return F.concat(url_host(url), path)
 
 
+#: query parameters that identify a CLICK, not a PAGE — the ad-tech and
+#: newsletter trackers every web-dedup pipeline strips (two crawls of the
+#: same article differ only in these). Anchored full-key regex alternation.
+_TRACKING_PARAM = (
+    "^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|igshid|mc_[ce]id|_ga|_gl"
+    "|ref|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)="
+)
+
+
+def canonical_url(url: Column, keep_query: bool = True) -> Column:
+    """Semantic-identity canonical form of a URL — the dedup key for
+    URL-level exact dedup when the QUERY STRING can carry meaning
+    (``?id=123`` pages), unlike :func:`normalize_url` which drops it.
+
+    Steps (all codegen string/array expressions in the Java∩RE2 regex
+    subset, so a relational twin evaluates the identical pipeline):
+    scheme dropped; host lowercased and ``www.``-stripped (shared
+    :func:`url_host` expression); path keeps its case (paths are
+    case-sensitive per RFC) minus any trailing ``/``; fragment dropped;
+    query parameters split on ``&``, tracking parameters
+    (``_TRACKING_PARAM``: utm_*, click ids, newsletter ids) and empty
+    segments removed, survivors SORTED (param order is
+    transport-arbitrary) and re-joined — or the whole query dropped when
+    ``keep_query`` is False. Map-only, NULL-safe, no UDF."""
+    rest = F.regexp_replace(url, _SCHEME, "")
+    rest = F.regexp_replace(rest, "#.*$", "")  # fragment first
+    path = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""), "^[^/]+", ""),
+        "/+$",
+        "",
+    )
+    base = F.concat(url_host(url), path)
+    if not keep_query:
+        return base
+    qs = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+        )
+    )
+    return F.concat(
+        base,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
 def domain_cap(
     df: DataFrame,
     url_col: str,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from science_datalake_spark.catalog import table
@@ -1173,6 +1173,116 @@ def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "web_url_canonical",
+    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id,
+               CAST(doc_id % 150 AS VARCHAR) AS pg,
+               CAST((doc_id % 150) % 12 AS VARCHAR) AS st
+        FROM documents
+    ),
+    urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                   WHEN 0 THEN 'https://www.site' || st || '.com/Page/' || pg
+                               || '?id=' || pg || '&utm_source=x'
+                   WHEN 1 THEN 'HTTP://site' || st || '.com/Page/' || pg
+                               || '/?utm_campaign=y&id=' || pg
+                   WHEN 2 THEN 'site' || st || '.com/Page/' || pg
+                               || '?id=' || pg || '&fbclid=abc#frag'
+                   ELSE 'https://site' || st || '.com/Page/' || pg
+                               || '?gclid=1&id=' || pg
+               END AS url
+        FROM pages
+    ),
+    parsed AS (
+        SELECT doc_id, url,
+               regexp_replace(
+                   regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                   '#.*$', '') AS rest
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id,
+               regexp_replace(
+                   lower(regexp_extract(regexp_replace(rest, '[#?].*$', ''),
+                                        '^([^/]+)', 1)),
+                   '^www\\.', '') AS host,
+               regexp_replace(
+                   regexp_replace(regexp_replace(rest, '\\?.*$', ''),
+                                  '^[^/]+', ''),
+                   '/+$', '') AS path,
+               list_sort(list_filter(
+                   str_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                       '^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|igshid|mc_[ce]id|_ga|_gl|ref|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)=')
+               )) AS params
+        FROM parsed
+    ),
+    canon AS (
+        SELECT doc_id, host,
+               host || path || CASE WHEN len(params) > 0
+                   THEN '?' || array_to_string(params, '&') ELSE '' END AS curl
+        FROM parts
+    )
+    SELECT host AS domain,
+           count(*) AS n_urls,
+           count(DISTINCT curl) AS n_pages
+    FROM canon GROUP BY host ORDER BY domain
+    """,
+)
+def web_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization as the page-identity dedup key
+    (operators/web.canonical_url): four crawl spellings of each page —
+    www + scheme case, trailing slash, tracking params in different
+    orders/positions, fragment — collapse to ONE canonical URL while the
+    semantic ``id=`` parameter survives (normalize_url would drop it).
+    Per-site rollup of raw spellings vs canonical pages; the DuckDB twin
+    evaluates the identical regexp/list pipeline."""
+    from science_datalake_spark.operators.web import canonical_url, url_host
+
+    d = table(spark, sf_dir, "documents")
+    pg = (F.col("doc_id") % 150).cast("string")
+    st = ((F.col("doc_id") % 150) % 12).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(F.lit("https://www.site"), st, F.lit(".com/Page/"), pg,
+                     F.lit("?id="), pg, F.lit("&utm_source=x")),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://site"), st, F.lit(".com/Page/"), pg,
+                     F.lit("/?utm_campaign=y&id="), pg),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("site"), st, F.lit(".com/Page/"), pg,
+                     F.lit("?id="), pg, F.lit("&fbclid=abc#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), st, F.lit(".com/Page/"), pg,
+                     F.lit("?gclid=1&id="), pg)
+        )
+    )
+    urls = d.select("doc_id", url.alias("url"))
+    return (
+        urls.select(
+            url_host(F.col("url")).alias("domain"),
+            canonical_url(F.col("url")).alias("curl"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("curl").alias("n_pages"),
+        )
+        .orderBy("domain")
+    )
+
+
 # STRING (not VARCHAR): valid in BOTH dialects — Spark requires a length
 # on VARCHAR, DuckDB aliases STRING to VARCHAR
 _PII_SALT = (
@@ -1430,6 +1540,107 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llm_curation_funnel",
+    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 25 != 0
+    ),
+    base AS (
+        SELECT doc_id, text, {_WORDS} AS words,
+               CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
+                   / greatest(len({_WORDS}), 1) AS stop
+        FROM corpus
+    ),
+    g AS (
+        SELECT doc_id, text, words, stop, len(words) AS n_tokens,
+               list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM base
+    ),
+    q AS (
+        SELECT doc_id, text, words, n_tokens,
+               CASE WHEN n_tokens < 15 THEN 'too_short'
+                    WHEN n_tokens > 2000 THEN 'too_long'
+                    WHEN round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                         ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                              / len(bigrams) END, 4) > 0.2 THEN 'repetitive'
+                    WHEN stop < 0.05 THEN 'low_stopword'
+                    WHEN stop < 0.10 THEN 'non_english'
+               END AS reject
+        FROM g
+    ),
+    dd AS (
+        SELECT *, min(doc_id) OVER (PARTITION BY
+                   CASE WHEN reject IS NULL THEN md5(substr(text, 1, 60))
+                        ELSE '!rejected:' || CAST(doc_id AS VARCHAR) END
+               ) AS canonical
+        FROM q
+    ),
+    d2 AS (
+        SELECT *, (reject IS NULL AND doc_id != canonical) AS is_dup FROM dd
+    ),
+    eval_ng AS (
+        SELECT DISTINCT unnest({_TRIGRAMS}) AS ng
+        FROM (SELECT {_WORDS} AS words FROM documents WHERE doc_id % 25 = 0)
+        WHERE len(words) >= 3
+    ),
+    surv_ng AS (
+        SELECT DISTINCT doc_id, unnest({_TRIGRAMS}) AS ng
+        FROM (SELECT doc_id, words FROM d2 WHERE reject IS NULL AND NOT is_dup)
+        WHERE len(words) >= 3
+    ),
+    ovl AS (
+        SELECT s.doc_id, count(*) AS n_sh, count(e.ng) AS n_shared
+        FROM surv_ng s LEFT JOIN eval_ng e USING (ng)
+        GROUP BY s.doc_id
+    ),
+    st AS (
+        SELECT d.doc_id, d.n_tokens,
+               CASE WHEN d.reject IS NOT NULL THEN 'quality:' || d.reject
+                    WHEN d.is_dup THEN 'duplicate'
+                    WHEN coalesce(round(o.n_shared / o.n_sh, 4), 0.0) > 0.5
+                         THEN 'contaminated'
+                    WHEN d.canonical % 20 < 18 THEN 'kept:train'
+                    WHEN d.canonical % 20 = 18 THEN 'kept:val'
+                    ELSE 'kept:test' END AS curation_status
+        FROM d2 d LEFT JOIN ovl o USING (doc_id)
+    )
+    SELECT curation_status,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM st GROUP BY curation_status ORDER BY curation_status
+    """,
+)
+def llm_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation funnel (operators/curation.curate):
+    quality gate → exact dedup among survivors (prefix-60 key, the scaled
+    fixture's K-copy crawl shape) → trigram decontamination against the
+    every-25th-doc eval set → leakage-safe 90/5/5 split per duplicate
+    cluster — audited as ONE aggregation with first-failing-stage
+    attribution. No per-stage actions: the whole funnel is one lazy
+    relation (the scale argument for the operator vs a notebook script).
+    The split here uses the systematic cluster-mod ``u_expr`` so the
+    relational twin evaluates identical bands; production defaults to the
+    seeded hash."""
+    from science_datalake_spark.operators.curation import curate, curation_funnel
+
+    d = table(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 25 == 0)
+    corpus = d.filter(F.col("doc_id") % 25 != 0).select("doc_id", "text")
+    curated = curate(
+        corpus,
+        "doc_id",
+        "text",
+        dedup_key=F.md5(F.substring("text", 1, 60)),
+        eval_docs=eval_docs,
+        fractions={"train": 0.90, "val": 0.05, "test": 0.05},
+        u_expr=(F.col("split_cluster") % 20) / F.lit(20.0),
+    )
+    return curation_funnel(curated)
+
+
+@query(
     "text_ppl_buckets",
     oracle=f"""
     WITH toks AS (
@@ -1541,6 +1752,61 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.select(
         "doc_id", "source", "n_tokens", "cum_tokens_before"
     ).orderBy("source", "doc_id")
+
+
+@query(
+    "corpus_split_leakage_safe",
+    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
+    oracle="""
+    WITH cl AS (
+        SELECT doc_id, n_chars,
+               min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 60))) AS cluster
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, n_chars, cluster,
+               CASE WHEN cluster % 20 < 18 THEN 'train'
+                    WHEN cluster % 20 = 18 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster) AS n_clusters,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM sp GROUP BY split ORDER BY split
+    """,
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/corpus.
+    leakage_safe_split): duplicate clusters — here exact prefix-60
+    duplicates, the shape of the scaled fixture's K-copy crawl — are
+    assigned to a split as a unit, so no near-copy pair can straddle the
+    train/test boundary. The 90/5/5 assignment here is the systematic
+    cluster-mod form (``u_expr``) so the relational twin evaluates the
+    identical bands; production keeps the default seeded-hash u. Reported
+    as per-split doc/cluster/char rollups."""
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    w = Window.partitionBy(F.md5(F.substring("text", 1, 60)))
+    clustered = d.withColumn("__cl", F.min("doc_id").over(w))
+    split = leakage_safe_split(
+        clustered,
+        "doc_id",
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+        cluster_col="__cl",
+        u_expr=(F.col("split_cluster") % 20) / F.lit(20.0),
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("split_cluster").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
 
 
 @query(

@@ -100,3 +100,99 @@ def test_temperature_mix_weights_and_mix(spark):
         thr = int(Decimal(str(wh[s])) * 500)
         # overshoot by at most one 10-token document
         assert t < thr + 10 + 1, (s, t, thr)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _split_docs(spark):
+    # 12 docs; near-dup pairs chain {0,1,2}, {5,6}; rest singleton
+    rows = [(i, f"text {i}") for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_leakage_safe_split_pairs_keep_clusters_together(spark):
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = _split_docs(spark)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "src LONG, dst LONG"
+    )
+    out = leakage_safe_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, pairs=pairs
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # connected components labeled by min member; unpaired fall back to self
+    assert by_id[0]["split_cluster"] == by_id[1]["split_cluster"] == by_id[2]["split_cluster"] == 0
+    assert by_id[5]["split_cluster"] == by_id[6]["split_cluster"] == 5
+    assert by_id[7]["split_cluster"] == 7
+    # the leakage guarantee: one split per cluster
+    assert len({by_id[i]["split"] for i in (0, 1, 2)}) == 1
+    assert len({by_id[i]["split"] for i in (5, 6)}) == 1
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_deterministic_across_partitionings(spark):
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = _split_docs(spark)
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {(r["doc_id"], r["split"]) for r in leakage_safe_split(d, "doc_id", fr).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in leakage_safe_split(d.repartition(7), "doc_id", fr).collect()
+    }
+    assert a == b
+
+
+def test_leakage_safe_split_fractions_approx(spark):
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = (
+        leakage_safe_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    n = {r["split"]: r["count"] for r in out}
+    assert sum(n.values()) == 2000
+    assert abs(n["train"] / 2000 - 0.8) < 0.05
+    assert abs(n.get("val", 0) / 2000 - 0.1) < 0.03
+    assert abs(n.get("test", 0) / 2000 - 0.1) < 0.03
+
+
+def test_leakage_safe_split_cluster_col_and_u_expr(spark):
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = _split_docs(spark).withColumn(
+        "cl", F.when(F.col("doc_id") < 6, 0).otherwise(F.lit(None))
+    )
+    out = leakage_safe_split(
+        d,
+        "doc_id",
+        {"train": 0.5, "test": 0.5},
+        cluster_col="cl",
+        u_expr=(F.col("split_cluster") % 2) / F.lit(2.0),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # explicit cluster labels honored; NULL labels fall back to own id
+    for i in range(6):
+        assert by_id[i]["split_cluster"] == 0 and by_id[i]["split"] == "train"
+    for i in range(6, 12):
+        assert by_id[i]["split_cluster"] == i
+        assert by_id[i]["split"] == ("train" if i % 2 == 0 else "test")
+
+
+def test_leakage_safe_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from science_datalake_spark.operators.corpus import leakage_safe_split
+
+    d = _split_docs(spark)
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(d, "doc_id", {"train": 0.5, "test": 0.2})

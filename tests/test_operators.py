@@ -879,6 +879,37 @@ def test_url_normalization_collapses_wild_spellings(spark):
         assert r["d"] == r["want_dom"], r
 
 
+def test_canonical_url_semantics(spark):
+    """canonical_url keeps semantic query params (sorted), strips tracking
+    params/fragments/trailing slash, and stays NULL-safe — the page-identity
+    key where normalize_url is the page-location key."""
+    from science_datalake_spark.operators.web import canonical_url
+
+    cases = [
+        # four spellings of one page with a SEMANTIC id param
+        ("https://www.Site.com/A/b?id=7&utm_source=nl", "site.com/A/b?id=7"),
+        ("HTTP://site.com/A/b/?utm_campaign=x&id=7", "site.com/A/b?id=7"),
+        ("site.com/A/b?id=7&fbclid=xyz#frag", "site.com/A/b?id=7"),
+        ("https://site.com/A/b?gclid=1&id=7", "site.com/A/b?id=7"),
+        # param ORDER is transport noise: sorted canonical form
+        ("https://a.com/p?b=2&a=1", "a.com/p?a=1&b=2"),
+        # all-tracking query collapses to no query at all
+        ("https://a.com/p?utm_medium=email&ref=tw", "a.com/p"),
+        # path case survives (paths are case-sensitive), host case does not
+        ("https://A.COM/Path", "a.com/Path"),
+        # empty segments dropped
+        ("https://a.com/p?&a=1&", "a.com/p?a=1"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url STRING")
+    got = [r[0] for r in df.select(canonical_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases], got
+
+    # keep_query=False degrades to the normalize_url-style location key
+    df2 = spark.createDataFrame([("https://www.a.com/p/?id=1",)], "url STRING")
+    assert df2.select(canonical_url(F.col("url"), keep_query=False)).collect()[0][0] == "a.com/p"
+
+
 def test_domain_cap_keeps_n_per_domain_deterministically(spark):
     from science_datalake_spark.operators.web import domain_cap
 
