@@ -89,6 +89,14 @@ def query(
 # the audit's only never-driver-proven entry besides the permanently
 # oracle-less text_compression_ratio — rotates IN; text_vocab_zipf
 # (driver-green r6+r7) rests in aux.
+#
+# Round-8 second wave (same-round additions get rows immediately): the
+# three queries ADDED this round (llm_curation_funnel,
+# corpus_split_leakage_safe, web_url_canonical) rotate IN; three entries
+# with >=2 rounds of driver evidence rest in aux — text_quality_gate
+# (whose stages llm_curation_funnel now exercises as the funnel's first
+# gate), corpus_pack_contiguous (pack_greedy + temperature_mix keep the
+# packing/mixing family's driver rows), inverted_index_reconstruct.
 DRIVER_ORDER: list[str] = [
     "join_range_overlap",
     "events_gap_stats",
@@ -110,7 +118,7 @@ DRIVER_ORDER: list[str] = [
     "text_compression_ratio",
     "text_intra_dedup",
     "text_ppl_buckets",
-    "inverted_index_reconstruct",
+    "llm_curation_funnel",
     "vignette_citation_reliability",
     "text_repetition_stats",
     "dedup_winnow_overlap",
@@ -130,14 +138,14 @@ DRIVER_ORDER: list[str] = [
     "sim_knn_label_vote",
     "sim_ann_bucketed",
     "dedup_simhash_pairs",
-    "corpus_pack_contiguous",
+    "corpus_split_leakage_safe",
     "events_funnel",
     "events_cohort_retention",
     "events_view_click_attrib",
     "graph_pagerank",
     "sparql_path_ancestors",
     "text_chunk_rag",
-    "text_quality_gate",
+    "web_url_canonical",
     "text_unigram_logprob",
     "text_span_dedup",
 ]

@@ -936,6 +936,7 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "inverted_index_reconstruct",
+    aux=True,  # driver-green r6+r7; rests in local parity (round-8 rotation)
     oracle="""
     WITH docs AS (
         SELECT * FROM (VALUES

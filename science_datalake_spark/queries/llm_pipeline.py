@@ -987,6 +987,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pack_contiguous",
+    aux=True,  # driver-green r7; rests in local parity (round-8 rotation)
     oracle="""
     WITH toks AS (
         SELECT doc_id, doc_id % 64 AS shard,
@@ -1175,7 +1176,6 @@ def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "web_url_canonical",
-    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
     oracle="""
     WITH pages AS (
         SELECT doc_id,
@@ -1478,6 +1478,7 @@ def events_view_click_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_gate",
+    aux=True,  # driver-green r7; superset llm_curation_funnel replaces it (r8)
     oracle=f"""
     WITH base AS (
         SELECT doc_id,
@@ -1541,7 +1542,6 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llm_curation_funnel",
-    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
     oracle=f"""
     WITH corpus AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 25 != 0
@@ -1756,7 +1756,6 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_split_leakage_safe",
-    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
     oracle="""
     WITH cl AS (
         SELECT doc_id, n_chars,
