@@ -58,6 +58,18 @@ def main() -> None:
     aux_q, aux_o = load_aux()
     queries = {**aux_q, **queries}
     oracle_sql = {**aux_o, **oracle_sql}
+    # Spot-run filter for big-fixture scaling checks: a comma list of query
+    # names restricts the suite (sf3+ runs of the heaviest queries don't
+    # need the 90-query floor-dominated tail re-measured).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - queries.keys()
+        if unknown:
+            print(f"# bench: unknown SPARK_GRAFT_BENCH_ONLY names {sorted(unknown)}",
+                  file=sys.stderr)
+        queries = {n: f for n, f in queries.items() if n in keep}
+        oracle_sql = {n: s for n, s in oracle_sql.items() if n in keep}
     # Partition-sizing rule, applied instead of the fixed default: shuffle
     # partition count follows INPUT VOLUME (~32 MB target per partition,
     # floored at 8). At sf0.1 (17 MB total) that is 8 partitions — measured

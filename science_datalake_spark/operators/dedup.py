@@ -236,21 +236,41 @@ def simhash(
     """SimHash signature via hash-parity random hyperplanes: bit b is the
     sign of the sum over tokens of ±1, where the sign of each token's
     contribution is derived from one hash of the token — the b-th hex
-    digit's parity for md5 (≤32 independent projections), the b-th BIT for
-    xxhash64 (≤64, and the fast path: long bit-tests instead of substring
-    on a hex string). Near-identical token multisets get identical
-    signatures; Hamming-close docs are near-dups.
+    digit's parity for md5 (one digest per 32 bits: wider signatures
+    concatenate salt-prefixed digests ``md5('k:' || token)``, the same
+    oracle-portable salting as minhash_signatures; ≤32 bits keeps the
+    historical unsalted single digest), the b-th BIT for xxhash64 (≤64,
+    and the fast path: long bit-tests instead of substring on a hex
+    string). Near-identical token multisets get identical signatures;
+    Hamming-close docs are near-dups.
+
+    Signature width is the BAND-SATURATION control downstream
+    (simhash_candidate_pairs buckets on bits/bands-wide band values):
+    hash-parity bits are corpus-biased — template-heavy corpora
+    concentrate on modal band values — so the band value space must stay
+    far ahead of the corpus. Measured on the 30k-doc sf3 shard: 32-bit
+    4-band banding yields 523M candidate-join rows (max bucket 18.9k);
+    64-bit 4-band yields 31M (max 2.1k) — 17× less join work from one
+    extra digest per token.
 
     Scale: one explode + one groupBy(id) with ``bits`` tiny aggregates —
-    identical shuffle profile to minhash_signatures, 1 hash per token.
+    identical shuffle profile to minhash_signatures, ceil(bits/32) md5s
+    (or 1 xxhash64) per token.
     """
     tokens = _spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok")
     )
     if hash_fn == "md5":
-        if bits > 32:
-            raise ValueError("simhash derives bits from one md5 digest; max 32")
-        hashed = tokens.select(id_col, F.md5(F.col("__tok")).alias("__h"))
+        if bits <= 32:
+            digest = F.md5(F.col("__tok"))
+        else:
+            digest = F.concat(
+                *[
+                    F.md5(F.concat(F.lit(f"{k}:"), F.col("__tok")))
+                    for k in range((bits + 31) // 32)
+                ]
+            )
+        hashed = tokens.select(id_col, digest.alias("__h"))
         contribs = [
             F.sum(
                 F.when(F.substring(F.col("__h"), b + 1, 1).isin(*"01234567"), 1).otherwise(-1)
@@ -679,6 +699,7 @@ def simhash_candidate_pairs(
     bits: int = 16,
     bands: int = 4,
     max_hamming: int = 2,
+    scope_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Near-dup pairs from SimHash signatures: band-bucketed candidate
     generation + exact Hamming verification — the pair-finding stage that
@@ -696,6 +717,12 @@ def simhash_candidate_pairs(
     bucket discipline, cost O(Σ bucket²), never all-pairs; the verify
     filter runs only on candidates. Returns distinct
     (id_a, id_b, hamming) with id_a < id_b.
+
+    ``scope_cols`` restricts pairing to rows agreeing (null-safe) on the
+    named columns — e.g. language for text corpora, or modality for
+    perceptual asset hashes (multimodal.asset_near_dup_pairs). The scope
+    columns join into the bucket key, so they also SHRINK buckets;
+    scoped values are carried through on the output rows.
     """
     if bits % bands != 0:
         raise ValueError("bits must divide evenly into bands")
@@ -706,6 +733,7 @@ def simhash_candidate_pairs(
     width = bits // bands
     banded = signatures.select(
         F.col(id_col),
+        *[F.col(c) for c in scope_cols],
         F.col("simhash"),
         F.posexplode(
             F.array(
@@ -721,16 +749,19 @@ def simhash_candidate_pairs(
         f"size(filter(sequence(1, {bits}), "
         "i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))"
     )
+    cond = (
+        (F.col("a.__band") == F.col("b.__band"))
+        & (F.col("a.__val") == F.col("b.__val"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in scope_cols:
+        cond = cond & F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     return (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__val") == F.col("b.__val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
+            *[F.col(f"a.{c}").alias(c) for c in scope_cols],
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

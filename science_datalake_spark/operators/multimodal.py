@@ -476,3 +476,122 @@ def sample_video_assets(
             (i, "video", bytearray(clip), ("video/x-pnm-stream", size, size, frames * 40))
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --- perceptual hashing: modality-aware near-dup fingerprints ---------------
+
+PHASH_BITS = 64
+
+
+def image_dhash(img: np.ndarray, bits: int = PHASH_BITS) -> str:
+    """Difference hash (dHash): luminance → nearest-resample to a
+    (side+1)×side grid → one bit per horizontal gradient sign. The
+    standard crawl-image near-dup fingerprint: invariant to uniform
+    brightness shifts and any resize that preserves gradient signs,
+    unlike a byte hash which a 1-pixel re-encode defeats. Returned as a
+    '0'/'1' bit string so the SimHash band machinery
+    (dedup.simhash_candidate_pairs) consumes it unchanged."""
+    side = int(bits**0.5)
+    if side * side != bits:
+        raise ValueError("bits must be a perfect square (8x8 default)")
+    lum = img.astype(np.float32).mean(axis=2) if img.ndim == 3 else img.astype(np.float32)
+    small = resize_nearest(lum, side + 1, side)
+    grad = small[:, 1:] > small[:, :-1]
+    return "".join("1" if b else "0" for b in grad.reshape(-1))
+
+
+def audio_envelope_hash(
+    samples: np.ndarray, rate: int, bits: int = PHASH_BITS
+) -> str:
+    """Energy-envelope hash: the mono signal is split into ``bits`` equal
+    time windows; each bit is that window's RMS vs the per-clip median
+    RMS. Invariant to amplitude scaling (both sides of the comparison
+    scale together) and to codec-level noise far below the envelope;
+    sensitive to structure (silence/attack patterns). Degenerate clips
+    (empty / all-constant) hash to all-zeros."""
+    if samples.size == 0 or rate <= 0:
+        return "0" * bits
+    windows = np.array_split(samples.astype(np.float32), bits)
+    rms = np.array([np.sqrt(np.mean(w**2)) if w.size else 0.0 for w in windows])
+    med = np.median(rms)
+    return "".join("1" if v > med else "0" for v in rms)
+
+
+def _fake_hash(payload: bytes, bits: int = PHASH_BITS) -> str:
+    """md5-derived stand-in for the format-agnostic plumbing path."""
+    digest = hashlib.md5(payload).digest()
+    return "".join(f"{b:08b}" for b in digest)[:bits]
+
+
+def _real_hash(payload: bytes, bits: int = PHASH_BITS) -> str:
+    img = decode_image(payload)
+    if img is not None:
+        return image_dhash(img, bits)
+    wav = decode_wav(payload)
+    if wav is not None:
+        return audio_envelope_hash(*wav, bits=bits)
+    frames = split_pnm_stream(payload)
+    if frames:  # video: dHash of the middle frame (scene-representative)
+        mid = decode_image(frames[len(frames) // 2])
+        if mid is not None:
+            return image_dhash(mid, bits)
+    raise NotImplementedError(
+        "payload is neither PNM, PCM WAV, nor a PNM stream — compressed "
+        "formats (JPEG/PNG/MP3/video) need PIL/ffmpeg; plug the decoder in here"
+    )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("simhash", StringType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    assets: DataFrame, fake: bool = True, bits: int = PHASH_BITS
+) -> DataFrame:
+    """Per-asset perceptual fingerprint (``simhash`` bit-string column) via
+    mapInPandas — the multimodal twin of the text SimHash stage. Map-only;
+    payload bytes never reach a shuffle (dropped in the same stage that
+    reads them). ``fake=False`` runs the real decoders (PNM/WAV/PNM-stream)
+    and raises at the named plug-in point for compressed formats."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hasher = _fake_hash if fake else _real_hash
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "simhash": pdf["payload"].map(lambda p: hasher(bytes(p), bits)),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def asset_near_dup_pairs(
+    hashes: DataFrame,
+    bands: int = 8,
+    max_hamming: int = 6,
+    bits: int = PHASH_BITS,
+) -> DataFrame:
+    """Near-duplicate asset pairs from perceptual hashes: delegates to the
+    SimHash band-bucket + exact-Hamming machinery
+    (dedup.simhash_candidate_pairs — same pigeonhole recall guarantee,
+    same O(Σ bucket²) bound, never all-pairs), scoped by ``kind`` so
+    cross-modality hash coincidences never pair (and modality shrinks
+    the buckets). One self-join; pairs carry their ``kind``."""
+    from science_datalake_spark.operators.dedup import simhash_candidate_pairs
+
+    return simhash_candidate_pairs(
+        hashes.select("asset_id", "kind", "simhash"),
+        "asset_id",
+        bits=bits,
+        bands=bands,
+        max_hamming=max_hamming,
+        scope_cols=("kind",),
+    )

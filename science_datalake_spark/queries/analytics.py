@@ -646,22 +646,25 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's cross-source citation-count consistency check over 121M
     rows (sanity_checks cell 8).
 
-    Quantiles come from operators.stats.exact_group_quantiles (rank +
-    conditional interpolation — external sort, no per-group value
-    buffering), NOT Spark's ``percentile``/``median`` aggregate: the
-    buffering aggregate was this bench's slowest entry (~2× slower here,
-    OOM-prone at 100 TB group sizes). The algebraic aggregates run in a
-    separate single-shuffle pass and broadcast-join onto the quantiles —
-    measured FASTER than the one-pass fused mode here (the saved 0.4 s
-    aggregation pass costs less than fused mode's second in-partition
-    sort over wider rows; see exact_group_quantiles extra_aggs notes).
+    Quantiles come from operators.stats.exact_group_quantiles_parallel
+    (value-range bucketed two-phase ranking), NOT Spark's
+    ``percentile``/``median`` aggregate (per-group value buffering — the
+    round-1 bench's slowest entry, OOM-prone at 100 TB group sizes) and
+    NOT the window-path exact_group_quantiles: l_returnflag has THREE
+    groups, so the window path hash-partitions the whole corpus into
+    three sort tasks — the low-cardinality serialization its docstring
+    warns about. Measured same-session at two SFs (round 8, idle,
+    best-of-3, results row-identical): window+group_counts 5.33 s →
+    parallel 4.07 s at sf1, 18.8 s → 7.7 s at sf3 — the gap widens with
+    scale exactly as the 3-task bottleneck predicts; fused mode is 2×
+    WORSE than either (wider sort rows). The algebraic aggregates run in
+    a separate single-shuffle pass and broadcast-join onto the quantiles.
     For sketch-accuracy profiling use stats.approx_stats_profile."""
-    from science_datalake_spark.operators.stats import exact_group_quantiles
+    from science_datalake_spark.operators.stats import exact_group_quantiles_parallel
 
     li = table(spark, sf_dir, "lineitem")
     plain = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.count("l_extendedprice").alias("__nv"),
         F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
@@ -669,17 +672,13 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
-    # the plain agg already counts non-null prices per group — feed those
-    # counts to the quantile pass so it ranks with ONE sort, not two
-    quant = exact_group_quantiles(
+    quant = exact_group_quantiles_parallel(
         li,
         ["l_returnflag"],
         "l_extendedprice",
         quantiles=(0.25, 0.5, 0.75, 0.95),
         out_names=("q25", "q50", "q75", "q95"),
-        group_counts=plain.select("l_returnflag", "__nv"),
     )
-    plain = plain.drop("__nv")
     return (
         # LEFT join: a group whose values are all NULL has no quantile row
         # (exact_group_quantiles ranks non-null values only) but must keep

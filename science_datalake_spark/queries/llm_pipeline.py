@@ -24,7 +24,27 @@ from science_datalake_spark.queries import query
 _WORDS = "regexp_split_to_array(trim(text), '\\s+')"
 _WORDS_LOWER = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _NUM_HASHES = 8
-_SIMHASH_BITS = 16
+#: LSH bucket cap for the minhash family (mirrored verbatim in the DuckDB
+#: twins, so parity holds at ANY scale). A (band, minhash) bucket larger
+#: than this means the band's minimum shingle is corpus boilerplate, not
+#: near-duplication — pairs inside it are noise, and the O(bucket²)
+#: self-join output is the scale killer: the round-8 sf3 probe measured
+#: the UNCAPPED join OOMing the 32-thread executor (the fixture's shared
+#: synthetic vocabulary makes the min-shingle collide corpus-wide), while
+#: genuine near-dup clusters stay far below the cap (K-copy crawl shape:
+#: ≤30 docs per bucket at sf3).
+_LSH_MAX_BUCKET = 100
+#: 64-bit signatures (salted double-md5 — oracle-portable): band width is
+#: the bucket-saturation control for SimHash banding — 4 bands of w bits
+#: give 2^w values per band, and hash-parity bits are corpus-BIASED
+#: (template text concentrates on modal band values), so the value space
+#: must stay far ahead of the corpus. Round-8 sf3 probe on the 30k-doc
+#: shard: 16-bit signatures (4-bit bands, 16 values) → 730 s; 32-bit
+#: (8-bit bands) → 401 s, 523M candidate rows, max bucket 18.9k; 64-bit
+#: (16-bit bands, the Manku-et-al web-scale config) → 31M candidate rows,
+#: max bucket 2.1k. Pigeonhole recall stays exact (max_hamming 2 < 4
+#: bands) at every width.
+_SIMHASH_BITS = 64
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -78,10 +98,17 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         {bands}
+    ),
+    kept AS (
+        SELECT bd.doc_id, bd.band, bd.mh
+        FROM bands bd
+        JOIN (SELECT band, mh FROM bands GROUP BY band, mh
+              HAVING count(*) <= {_LSH_MAX_BUCKET}) sz
+          ON bd.band = sz.band AND bd.mh = sz.mh
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
     ORDER BY id_a, id_b
     """
 
@@ -89,11 +116,17 @@ def _minhash_oracle() -> str:
 @query("dedup_minhash_lsh", oracle=_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: word-trigram shingles → 8 salted-md5
-    min-hashes (1 band each) → band-bucket self-join. Shuffles scale with
+    min-hashes (1 band each) → band-bucket self-join with the
+    boilerplate-bucket cap (see _LSH_MAX_BUCKET — round-8 sf3 probe:
+    uncapped, the degenerate min-shingle buckets OOM'd the executor;
+    capped, the join output is linear in genuine near-dup mass). The
+    DuckDB twin applies the identical cap. Shuffles scale with
     docs·bands, never with pairs."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES)
+    pairs = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_NUM_HASHES, max_bucket=_LSH_MAX_BUCKET
+    )
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -153,7 +186,9 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
-    pairs = D.lsh_candidate_pairs(sigs, "doc_id", num_hashes=_NUM_HASHES)
+    pairs = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_NUM_HASHES, max_bucket=_LSH_MAX_BUCKET
+    )
     cc = connected_components(pairs, "id_a", "id_b")
     return (
         cc.groupBy(F.col("comp").alias("cluster_id"))
@@ -171,8 +206,17 @@ def _simhash_oracle() -> str:
     bits = " || ".join(
         f"(CASE WHEN s{b} > 0 THEN '1' ELSE '0' END)" for b in range(_SIMHASH_BITS)
     )
+    if _SIMHASH_BITS <= 32:
+        digest = "md5(w)"
+    else:
+        digest = " || ".join(
+            f"md5('{k}:' || w)" for k in range((_SIMHASH_BITS + 31) // 32)
+        )
     return f"""
-    WITH toks AS (SELECT doc_id, md5(unnest({_WORDS})) AS h FROM documents),
+    WITH toks AS (
+        SELECT doc_id, {digest} AS h
+        FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents)
+    ),
     sums AS (
         SELECT doc_id,
                {sums}
@@ -186,7 +230,7 @@ def _simhash_oracle() -> str:
 
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 16-bit signatures via hash-parity hyperplanes — near-dup docs
+    """SimHash 64-bit signatures via hash-parity hyperplanes — near-dup docs
     collide or land Hamming-close. Same shuffle profile as minhash."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return D.simhash(d, "doc_id", "text", bits=_SIMHASH_BITS).orderBy("doc_id")
@@ -197,15 +241,16 @@ def _simhash_pairs_oracle() -> str:
     sig_body = _simhash_oracle().rsplit("ORDER BY", 1)[0].replace(
         "FROM documents", f"FROM documents WHERE source IN ({srcs})"
     )
+    width = _SIMHASH_BITS // 4
     ham = (
-        "len(list_filter(generate_series(1, 16), "
+        f"len(list_filter(generate_series(1, {_SIMHASH_BITS}), "
         "i -> substr(ha, i, 1) != substr(hb, i, 1)))"
     )
     return f"""
     WITH sig AS ({sig_body}),
     bands AS (
         SELECT doc_id, simhash, gs.b AS band,
-               substr(simhash, gs.b * 4 + 1, 4) AS val
+               substr(simhash, gs.b * {width} + 1, {width}) AS val
         FROM sig, LATERAL unnest(generate_series(0, 3)) gs(b)
     ),
     cand AS (
@@ -224,11 +269,13 @@ def _simhash_pairs_oracle() -> str:
 
 @query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SimHash pair-finding stage: 4-bit band buckets generate
-    candidates (pigeonhole: Hamming ≤ 2 of 16 bits ⇒ ≥ 2 of 4 bands
+    """The SimHash pair-finding stage: 16-bit band buckets generate
+    candidates (pigeonhole: Hamming ≤ 2 of 64 bits ⇒ ≥ 2 of 4 bands
     shared — exact recall), exact bitwise Hamming verifies
     (operators/dedup.simhash_candidate_pairs), on the same 4-source
-    shard as the clustering demo."""
+    shard as the clustering demo. Signature width is the banding's
+    bucket-saturation control (see _SIMHASH_BITS for the measured
+    730 s → 31M-candidate-row progression behind the 64-bit choice)."""
     d = (
         table(spark, sf_dir, "documents")
         .filter(F.col("source").isin(*_CLUSTER_SOURCES))

@@ -63,8 +63,15 @@ Supported subset:
   (zero-or-one: the one-hop edges plus the zero-length matches, no
   closure) per step; negated property sets ``!p`` / ``!(a|b|^c)``
   (one pushed NOT-IN predicate scan per direction component, unioned
-  per the spec's alt() split).
-  Variable predicates with any path operator raise — same cue as below.
+  per the spec's alt() split); grouped paths ``(p1/p2)+`` and
+  quantified negated sets ``!(a|b)*`` / ``!skos:broader+`` (the inner
+  path lowers to its endpoint-pair edge relation once, the quantifier
+  closes/extends it exactly like a single-predicate closure — set
+  semantics under quantifiers per the spec's ALP, bag otherwise).
+  Variable predicates with any path operator raise — by the 1.1
+  grammar a variable is not a path element (a BARE variable predicate
+  is a plain triple pattern, supported); the raise is the malformed-
+  query cue.
 - aggregates: ``(FN([DISTINCT] * | ?v) AS ?n)`` for FN ∈ COUNT / SUM /
   AVG / MIN / MAX / SAMPLE / GROUP_CONCAT(… ; SEPARATOR="s") in the
   SELECT list with ``GROUP BY ?a ?b`` — the ontology-statistics shapes
@@ -83,9 +90,9 @@ Supported subset:
   whitespace-separated ``+ - * /`` arithmetic (try_cast-numeric)
 - ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) (...) }`` inline
   data blocks (UNDEF → NULL binding), joined like any pattern
-No other property paths (variable-predicate paths, ``{n,m}``
-quantifiers, quantified negated sets ``!(...)*``) / subqueries —
-those are the cue to materialize a view with the DataFrame API instead. Path evaluation runs
+The only path syntax left out is the draft-era ``{n,m}`` range
+quantifier (dropped from the SPARQL 1.1 REC) — rewrite as an explicit
+``/``-sequence, or materialize a view with the DataFrame API. Path evaluation runs
 the closure's fixed-point loop EAGERLY (one count action per round);
 everything else stays lazy. Caveat vs full SPARQL
 semantics: a variable bound to NULL by OPTIONAL/UNION padding does not
@@ -160,11 +167,24 @@ class _PathNeg:
 
 
 @dataclass(frozen=True)
-class _PathStep:
-    """One step of a composite path: a plain IRI or a ``_Path``, possibly
-    inverse (``^pred`` swaps subject and object)."""
+class _PathGroup:
+    """``( path )`` with an optional quantifier — SPARQL 1.1 grammar
+    ``PathPrimary ::= ... | '(' Path ')'`` composed with ``PathMod``, and
+    the same node carries quantified negated sets (``!(a|b)*``: grammar
+    puts the modifier on the PathElt wrapping the set). ``inner`` is any
+    path AST (step/seq/alt/negated set); ``mod`` ∈ {None, '*', '+', '?'}."""
 
-    pred: object  # _Term (iri) | _Path
+    inner: object
+    mod: str | None = None
+
+
+@dataclass(frozen=True)
+class _PathStep:
+    """One step of a composite path: a plain IRI, a ``_Path``, a
+    ``_PathNeg`` or a ``_PathGroup``, possibly inverse (``^pred`` swaps
+    subject and object)."""
+
+    pred: object  # _Term (iri) | _Path | _PathNeg | _PathGroup
     inverse: bool = False
 
 
@@ -560,14 +580,40 @@ class _Parser:
             return steps[0]
         return _PathSeq(tuple(steps))
 
+    def parse_path_expr(self):
+        """A full path expression (``seq ('|' seq)*``) — the recursive
+        entry for parenthesized groups."""
+        branches = [self.parse_path_seq(self.parse_path_step())]
+        while self.peek() is not None and self.peek()[1] == "|":
+            self.i += 1
+            branches.append(self.parse_path_seq(self.parse_path_step()))
+        return _PathAlt(tuple(branches)) if len(branches) > 1 else branches[0]
+
+    def _path_modifier(self) -> str | None:
+        nxt = self.peek()
+        if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+", "?"):
+            self.i += 1
+            return nxt[1]
+        return None
+
     def parse_path_step(self, allow_var: bool = False):
         inverse = False
         if self.peek() is not None and self.peek()[1] == "^":
             self.i += 1
             inverse = True
+        if self.peek() is not None and self.peek()[1] == "(":
+            # '(' Path ')' PathMod? — grouped (possibly quantified) path
+            self.i += 1
+            inner = self.parse_path_expr()
+            self.expect(")")
+            return _PathStep(_PathGroup(inner, self._path_modifier()), inverse=inverse)
         if self.peek() is not None and self.peek()[1] == "!":
             self.i += 1
-            return _PathStep(self.parse_negated_set(), inverse=inverse)
+            neg, glued = self.parse_negated_set()
+            mod = glued if glued is not None else self._path_modifier()
+            if mod is not None:  # !(a|b)* / !skos:broader* — PathElt quantifier
+                return _PathStep(_PathGroup(neg, mod), inverse=inverse)
+            return _PathStep(neg, inverse=inverse)
         tok = self.next()
         kind, val, _lang = tok
         if kind == "word" and len(val) > 1 and val[-1] in "*+?":
@@ -595,15 +641,20 @@ class _Parser:
             return _PathStep(pred, inverse=True)
         return _PathStep(pred)
 
-    def parse_negated_set(self) -> _PathNeg:
+    def parse_negated_set(self) -> "tuple[_PathNeg, str | None]":
         """``!iri`` / ``!^iri`` / ``!(a|b|^c)`` after the ``!`` token.
-        Members are constant IRIs (optionally ``^``-inverted); a
-        quantifier on the set (``!(...)*``) is the documented boundary —
-        rewrite as an explicit closure view."""
+        Members are constant IRIs (optionally ``^``-inverted). Returns
+        (set, glued_modifier): the bare prefixed-name form folds a
+        trailing quantifier into its word token (``!skos:broader*``), so
+        the modifier is split off here and quantified by the caller; a
+        quantifier INSIDE the set (``!(a*|b)``) stays illegal per the
+        grammar."""
         fwd: list[str] = []
         inv: list[str] = []
+        glued_mod: str | None = None
 
-        def one() -> None:
+        def one(allow_glued_mod: bool = False) -> None:
+            nonlocal glued_mod
             neg_inv = False
             if self.peek() is not None and self.peek()[1] == "^":
                 self.i += 1
@@ -611,9 +662,12 @@ class _Parser:
             tok = self.next()
             kind, val, _lang = tok
             if kind == "word" and len(val) > 1 and val[-1] in "*+?":
-                raise SparqlError(
-                    f"quantifier inside a negated property set: {val!r}"
-                )
+                if not allow_glued_mod:
+                    raise SparqlError(
+                        f"quantifier inside a negated property set: {val!r}"
+                    )
+                glued_mod = val[-1]
+                tok = ("word", val[:-1], None)
             t = self.term(tok)
             if t.kind != "iri":
                 raise SparqlError(
@@ -629,11 +683,8 @@ class _Parser:
                 one()
             self.expect(")")
         else:
-            one()
-        nxt = self.peek()
-        if nxt is not None and nxt[1] in ("*", "+", "?"):
-            raise SparqlError("quantified negated property sets are not supported")
-        return _PathNeg(tuple(fwd), tuple(inv))
+            one(allow_glued_mod=True)
+        return _PathNeg(tuple(fwd), tuple(inv)), glued_mod
 
     def parse_group(self) -> _Group:
         self.expect("{")
@@ -1244,6 +1295,62 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             u = u.unionByName(b, allowMissingColumns=True)
         return u
 
+    def path_pairs(node) -> DataFrame:
+        """Endpoint-pair relation (a, d) of an ARBITRARY path AST,
+        evaluated with fresh free-variable endpoints — the edge set a
+        grouped quantifier closes over."""
+        uid = next(_PATH_IDS)
+        av, dv = _Term("var", f"__pg{uid}a"), _Term("var", f"__pg{uid}d")
+        if isinstance(node, _PathSeq):
+            rel = seq_df(av, node, dv)
+        elif isinstance(node, _PathAlt):
+            rel = alt_df(av, node, dv)
+        elif isinstance(node, _PathStep):
+            rel = step_df(av, node, dv)
+        elif isinstance(node, _PathNeg):
+            rel = neg_df(av, node, dv)
+        elif isinstance(node, _PathGroup):
+            rel = group_df(av, node, dv)
+        elif isinstance(node, _Path):
+            rel = path_df(av, node, dv)
+        else:  # plain iri _Term
+            rel = pattern_df(av, node, dv)
+        return rel.select(F.col(av.value).alias("a"), F.col(dv.value).alias("d"))
+
+    def group_df(s: _Term, grp: _PathGroup, o: _Term) -> DataFrame:
+        """``( path )`` with an optional quantifier, incl. quantified
+        negated sets: the inner path lowers to its endpoint-pair edge
+        relation once, then '+' closes it transitively (the same
+        O(log diameter) doubling loop as single-predicate closures),
+        '*'/'?' union the SPARQL ZeroLengthPath matches, and no modifier
+        is pure grouping. Closure endpoints match by value — lang tags on
+        literal endpoints are not re-checked across a closed group (the
+        same value-only rule as every closure here, bind_endpoints
+        lang_applicable=False)."""
+        from science_datalake_spark.operators.graph import transitive_closure
+
+        spark = triples.sparkSession
+        edges = path_pairs(grp.inner)
+        if grp.mod == "+":
+            pairs = transitive_closure(edges, src="a", dst="d")
+        elif grp.mod == "*":
+            pairs = transitive_closure(edges, src="a", dst="d")
+        else:  # '?' or plain grouping
+            pairs = edges
+        if grp.mod in ("*", "?"):
+            if s.kind == "var" and o.kind == "var":
+                nodes = (
+                    triples.select(F.col("s").alias("a"))
+                    .unionByName(triples.select(F.col("o").alias("a")))
+                    .distinct()
+                )
+                zero = nodes.select("a", F.col("a").alias("d"))
+            else:
+                const = s.value if s.kind != "var" else o.value
+                zero = local_df(spark, [(const, const)], "a STRING, d STRING")
+            pairs = pairs.unionByName(zero).distinct()
+        return bind_endpoints(pairs, [("a", s), ("d", o)], lang_applicable=False)
+
     def step_df(s: _Term, step: _PathStep, o: _Term) -> DataFrame:
         """One composite-path step; ``^`` swaps the endpoints."""
         a, b = (o, s) if step.inverse else (s, o)
@@ -1251,6 +1358,8 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
             return path_df(a, step.pred, b)
         if isinstance(step.pred, _PathNeg):
             return neg_df(a, step.pred, b)
+        if isinstance(step.pred, _PathGroup):
+            return group_df(a, step.pred, b)
         return pattern_df(a, step.pred, b)
 
     def seq_df(s: _Term, seq: _PathSeq, o: _Term) -> DataFrame:
@@ -1319,6 +1428,8 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
                     out = merge(out, path_df(s, p, o))
                 elif isinstance(p, _PathNeg):
                     out = merge(out, neg_df(s, p, o))
+                elif isinstance(p, _PathGroup):
+                    out = merge(out, group_df(s, p, o))
                 else:
                     out = merge(out, pattern_df(s, p, o))
         elif tag == "optional":

@@ -212,3 +212,128 @@ def test_sample_frames_fake_path_and_ffmpeg_plug_point(spark):
     assert fake.count() == 9  # deterministic 3 rows per asset
     with _pytest.raises(Exception, match="ffmpeg"):
         sample_frames(assets.limit(1), n_frames=2, fake=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_invariances():
+    """dHash is bit-identical under uniform brightness shift and under an
+    upscale that preserves gradient signs, and far from a different image."""
+    import numpy as np
+
+    from science_datalake_spark.operators.multimodal import (
+        image_dhash,
+        resize_nearest,
+    )
+
+    rng_grid = np.add.outer(np.arange(16) * 7, np.arange(16) * 13) % 200
+    img = np.stack([rng_grid, rng_grid, rng_grid], axis=-1).astype(np.uint8)
+    h = image_dhash(img)
+    assert len(h) == 64 and set(h) <= {"0", "1"}
+    # uniform brightness shift (no clipping): identical bits
+    assert image_dhash((img + 40).astype(np.uint8)) == h
+    # 4x nearest upscale replicates pixels: gradient signs at the sampled
+    # grid are preserved
+    big = resize_nearest(img, 64, 64)
+    assert image_dhash(big) == h
+    # a structurally different image lands far away
+    other = np.stack([rng_grid.T, rng_grid.T, rng_grid.T], axis=-1).astype(np.uint8)
+    dist = sum(a != b for a, b in zip(h, image_dhash(other)))
+    assert dist > 10
+
+
+def test_audio_envelope_hash_invariances():
+    import numpy as np
+
+    from science_datalake_spark.operators.multimodal import audio_envelope_hash
+
+    t = np.arange(8000) / 8000.0
+    # amplitude-modulated tone: distinct on/off envelope structure
+    env = (np.sin(2 * np.pi * 3 * t) > 0).astype(np.float32)
+    sig = (np.sin(2 * np.pi * 440 * t) * env).astype(np.float32)
+    h = audio_envelope_hash(sig, 8000)
+    assert len(h) == 64 and "1" in h and "0" in h
+    # amplitude scaling: identical bits
+    assert audio_envelope_hash(sig * 0.25, 8000) == h
+    # different envelope: far away
+    sig2 = (np.sin(2 * np.pi * 440 * t) * (1.0 - env)).astype(np.float32)
+    dist = sum(a != b for a, b in zip(h, audio_envelope_hash(sig2, 8000)))
+    assert dist > 10
+    # degenerate clips hash to all-zeros instead of crashing
+    assert audio_envelope_hash(np.array([], dtype=np.float32), 8000) == "0" * 64
+
+
+def test_perceptual_hashes_real_and_near_dup_pairs(spark):
+    """A perturbed copy of each PPM image pairs with its original at small
+    Hamming distance; structurally different images don't pair."""
+    import numpy as np
+
+    from science_datalake_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        asset_near_dup_pairs,
+        encode_ppm,
+        perceptual_hashes,
+    )
+
+    rows = []
+    base = {}
+    for i in range(4):
+        g = np.add.outer(np.arange(16) * (3 + i), np.arange(16) * (5 + 2 * i)) % 180
+        img = np.stack([g, g, g], axis=-1).astype(np.uint8)
+        base[i] = img
+        rows.append((i, "image", bytearray(encode_ppm(img)), (None, 16, 16, None)))
+        # near-copy: uniform brightness +25 (gradient-sign preserving)
+        rows.append(
+            (100 + i, "image", bytearray(encode_ppm((img + 25).astype(np.uint8))), (None, 16, 16, None))
+        )
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    hashes = perceptual_hashes(assets, fake=False)
+    pairs = asset_near_dup_pairs(hashes, bands=8, max_hamming=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(4):
+        assert (i, 100 + i) in got, (i, got)
+    # no pair between different base images
+    for a, b in got:
+        assert b - a == 100, (a, b)
+    assert all(r["kind"] == "image" for r in pairs)
+
+
+def test_asset_near_dup_pairs_scoped_by_kind(spark):
+    """Identical signatures in different modalities must NOT pair (the
+    scope_cols guard), while same-kind identical signatures do."""
+    from science_datalake_spark.operators.multimodal import asset_near_dup_pairs
+
+    hashes = spark.createDataFrame(
+        [
+            (1, "image", "0" * 64),
+            (2, "audio", "0" * 64),
+            (3, "image", "0" * 64),
+        ],
+        "asset_id LONG, kind STRING, simhash STRING",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["kind"])
+        for r in asset_near_dup_pairs(hashes).collect()
+    }
+    assert got == {(1, 3, "image")}
+
+
+def test_perceptual_hash_video_stream_and_plumbing(spark):
+    """PNM-stream 'video' payloads hash via their middle frame; the fake
+    path stays format-agnostic and deterministic."""
+    from science_datalake_spark.operators.multimodal import (
+        perceptual_hashes,
+        sample_assets,
+        sample_video_assets,
+    )
+
+    vids = sample_video_assets(spark, n=2)
+    out = perceptual_hashes(vids, fake=False).collect()
+    assert len(out) == 2
+    assert all(len(r["simhash"]) == 64 for r in out)
+    fake = perceptual_hashes(sample_assets(spark, n=6)).collect()
+    again = perceptual_hashes(sample_assets(spark, n=6)).collect()
+    assert sorted(map(tuple, fake)) == sorted(map(tuple, again))

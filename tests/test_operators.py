@@ -252,8 +252,21 @@ def test_minhash_xxhash64_fast_path(spark):
         minhash_signatures(docs, "doc_id", "text", hash_fn="sha9")
     with _pytest.raises(ValueError, match="max 64"):
         simhash(docs, "doc_id", "text", bits=65, hash_fn="xxhash64")
-    with _pytest.raises(ValueError, match="max 32"):
-        simhash(docs, "doc_id", "text", bits=33, hash_fn="md5")
+    # md5 path widens past one digest via salted concatenation (round 8):
+    # near-identical docs still collide, distinct docs still separate
+    sh64 = simhash(docs, "doc_id", "text", bits=64, hash_fn="md5")
+    by64 = {r["doc_id"]: r["simhash"] for r in sh64.collect()}
+    assert by64[1] == by64[2] and len(by64[1]) == 64
+    assert by64[1] != by64[3]
+    # <=32 keeps the historical unsalted single-digest bits as a PREFIX
+    sh16 = simhash(docs, "doc_id", "text", bits=16, hash_fn="md5")
+    by16 = {r["doc_id"]: r["simhash"] for r in sh16.collect()}
+    assert len(by16[1]) == 16
+    sh32 = simhash(docs, "doc_id", "text", bits=32, hash_fn="md5")
+    assert all(
+        r["simhash"][:16] == by16[r["doc_id"]]
+        for r in sh32.collect()
+    )
 
 
 def test_lsh_preserves_caller_cache(spark):

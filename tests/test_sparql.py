@@ -1089,12 +1089,6 @@ def test_negated_set_errors(spark, triples):
             "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
             "SELECT ?s WHERE { ?s !(skos:broader*) ?o . }",
         )
-    with pytest.raises(SparqlError, match="quantified negated"):
-        sparql_select(
-            triples,
-            "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
-            "SELECT ?s WHERE { ?s !(skos:broader)* ?o . }",
-        )
 
 
 def test_path_operator_errors(spark, triples):
@@ -1266,3 +1260,93 @@ def test_filter_iriref_operand(spark, triples):
     """
     got = {r["c"] for r in sparql_select(triples, q).collect()}
     assert got == {"http://ex.org/dl", "http://ex.org/cv"}
+
+
+# ---------------------------------------------------------------------------
+# grouped / quantified paths (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_path_plain_and_inverse(spark, triples):
+    """Pure grouping changes nothing; ^(seq) swaps the whole group's
+    endpoints."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?l WHERE { ex:cnn (skos:broader/skos:prefLabel) ?l . }
+    """
+    assert {r["l"] for r in sparql_select(triples, q).collect()} == {"deep learning"}
+
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?x WHERE { ex:ml ^(skos:broader/skos:broader) ?x . }
+    """
+    assert {r["x"] for r in sparql_select(triples, q2).collect()} == {
+        "http://ex.org/cnn"
+    }
+
+
+def test_grouped_path_quantifiers(spark, triples):
+    """(p/p)+ closes over the 2-hop edge relation; * adds zero-length;
+    ? is edges + zero-length."""
+    base = (
+        "PREFIX skos: <http://www.w3.org/2004/02/skos/core#> "
+        "PREFIX ex: <http://ex.org/> "
+    )
+    plus = base + "SELECT ?a WHERE { ex:cnn (skos:broader/skos:broader)+ ?a . }"
+    assert {r["a"] for r in sparql_select(triples, plus).collect()} == {
+        "http://ex.org/ml"
+    }
+    star = base + "SELECT ?a WHERE { ex:cnn (skos:broader/skos:broader)* ?a . }"
+    assert {r["a"] for r in sparql_select(triples, star).collect()} == {
+        "http://ex.org/cnn",
+        "http://ex.org/ml",
+    }
+    opt = base + "SELECT ?a WHERE { ex:cnn (skos:broader/skos:broader)? ?a . }"
+    assert {r["a"] for r in sparql_select(triples, opt).collect()} == {
+        "http://ex.org/cnn",
+        "http://ex.org/ml",
+    }
+
+
+def test_grouped_alternative_closure_is_undirected_reach(spark, triples):
+    """(broader|^broader)+ — the classic undirected-reachability idiom —
+    closes over the symmetric edge set (set semantics under the
+    quantifier per the spec's ALP)."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?x WHERE { ex:dl (skos:broader|^skos:broader)+ ?x . }
+    """
+    assert {r["x"] for r in sparql_select(triples, q).collect()} == {
+        "http://ex.org/ml",
+        "http://ex.org/cv",
+        "http://ex.org/cnn",
+        "http://ex.org/dl",  # dl -> ml -> dl round trip: >= 1 hop, kept
+    }
+
+
+def test_quantified_negated_sets(spark, triples):
+    """!(set)+ closes over the complement edge relation; the bare glued
+    form !p+ quantifies the same way."""
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?o WHERE { ex:cnn !(skos:prefLabel|a)+ ?o . }
+    """
+    assert {r["o"] for r in sparql_select(triples, q).collect()} == {
+        "http://ex.org/dl",
+        "http://ex.org/ml",
+    }
+    q2 = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX ex: <http://ex.org/>
+    SELECT ?o WHERE { ex:cnn !skos:prefLabel+ ?o . }
+    """
+    # complement of prefLabel = broader + rdf:type edges
+    assert {r["o"] for r in sparql_select(triples, q2).collect()} == {
+        "http://ex.org/dl",
+        "http://ex.org/ml",
+        "http://www.w3.org/2004/02/skos/core#Concept",
+    }
