@@ -279,13 +279,15 @@ def test_perceptual_hashes_real_and_near_dup_pairs(spark):
     )
 
     rows = []
-    base = {}
     for i in range(4):
-        g = np.add.outer(np.arange(16) * (3 + i), np.arange(16) * (5 + 2 * i)) % 180
+        # seeded random rasters: distinct images are ~32 bits apart in
+        # dHash space (smooth analytic gradients would all share the
+        # monotone-row sign pattern and falsely pair)
+        g = np.random.default_rng(i).integers(0, 200, size=(16, 16))
         img = np.stack([g, g, g], axis=-1).astype(np.uint8)
-        base[i] = img
         rows.append((i, "image", bytearray(encode_ppm(img)), (None, 16, 16, None)))
-        # near-copy: uniform brightness +25 (gradient-sign preserving)
+        # near-copy: uniform brightness +25 (gradient-sign preserving,
+        # no clipping at max 199+25)
         rows.append(
             (100 + i, "image", bytearray(encode_ppm((img + 25).astype(np.uint8))), (None, 16, 16, None))
         )
