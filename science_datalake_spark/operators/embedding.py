@@ -58,3 +58,62 @@ def embed_text_udf(texts: pd.Series) -> pd.Series:
 
 def embed(df: DataFrame, text_col: str, out_col: str = "embedding") -> DataFrame:
     return df.withColumn(out_col, embed_text_udf(F.col(text_col)))
+
+
+# --- int8 quantization: the embedding-corpus storage/bandwidth lever --------
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_col: str = "q_scale",
+    q_col: str = "q_vec",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage /
+    bandwidth reduction for an embedding corpus (float32 → tinyint while
+    ANN recall stays near-lossless at int8): ``scale = max|v| / 127``,
+    ``q_i = round_half_away(v_i / scale)`` ∈ [-127, 127].
+
+    Pure codegen — one array pass for the scale, one transform for the
+    codes; NO UDF, so a relational twin evaluates the identical
+    arithmetic (round-half-away is spelled ``sign(x)·floor(|x|/s + 0.5)``
+    in both dialects; a bare ROUND would hit the dialects' half-even vs
+    half-up disagreement). All-zero (or NULL-element-only) vectors get
+    scale 0 and all-zero codes, never a division by zero. Max
+    reconstruction error is scale/2 per element by construction.
+
+    Scale: map-only at any corpus size; at 100 TB of float32 embeddings
+    this is the difference between shuffling 100 TB and 25 TB through
+    every downstream ANN index build."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (amax / F.lit(127.0)).cast("double")
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))  # guard /0; codes 0 anyway
+    code = F.transform(
+        v,
+        lambda x: F.when(
+            scale > 0,
+            F.signum(x) * F.floor(F.abs(x) / safe + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("tinyint"),
+    )
+    return df.withColumn(scale_col, F.coalesce(scale, F.lit(0.0))).withColumn(
+        q_col, code
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: ``v_i ≈ q_i · scale`` (float
+    array, ready for the similarity tier unchanged). Map-only."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda x: (x.cast("double") * F.col(scale_col)).cast("float")
+        ),
+    )

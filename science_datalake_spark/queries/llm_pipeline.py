@@ -1980,3 +1980,112 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_removed")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "sim_quantize_int8",
+    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    sc AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) / 127.0 AS s
+        FROM base
+    ),
+    codes AS (
+        SELECT vec_id, embedding,
+               CASE WHEN s > 0 THEN s ELSE 0.0 END AS q_scale,
+               list_transform(embedding,
+                   x -> CASE WHEN s > 0
+                        THEN CAST(sign(CAST(x AS DOUBLE))
+                                  * floor(abs(x) / s + 0.5) AS TINYINT)
+                        ELSE CAST(0 AS TINYINT) END) AS qv
+        FROM sc
+    ),
+    m AS (
+        SELECT vec_id % 8 AS cohort, len(embedding) AS d,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        - CAST(qv[i] AS DOUBLE) * q_scale) AS err,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)) AS vd,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(qv[i] AS DOUBLE) * q_scale) AS qd,
+               list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CAST(qv[i] AS DOUBLE) * q_scale)) AS dotl
+        FROM codes
+    ),
+    f AS (
+        SELECT cohort,
+               round(list_sum(list_transform(err, x -> x * x)) / d, 10) AS mse,
+               list_max(list_transform(err, x -> abs(x))) AS maxe,
+               CASE WHEN list_sum(list_transform(vd, x -> x * x)) > 0
+                     AND list_sum(list_transform(qd, x -> x * x)) > 0
+                    THEN round(list_sum(dotl)
+                         / (sqrt(list_sum(list_transform(vd, x -> x * x)))
+                            * sqrt(list_sum(list_transform(qd, x -> x * x)))), 8)
+               END AS cosf
+        FROM m
+    )
+    SELECT cohort, count(*) AS n_vecs,
+           CAST(round(avg(mse), 6) AS DOUBLE) AS avg_mse,
+           CAST(round(max(maxe), 6) AS DOUBLE) AS max_abs_err,
+           CAST(round(avg(cosf), 6) AS DOUBLE) AS avg_cos
+    FROM f GROUP BY cohort ORDER BY cohort
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization fidelity audit
+    (operators/embedding.quantize_int8): symmetric per-vector int8 codes
+    (4× storage/bandwidth for an embedding corpus), rolled up per cohort
+    as reconstruction MSE, max absolute error (≤ scale/2 by
+    construction, rounded once at 6 dp — a per-vector 10-dp pre-round
+    plus an 8-dp max double-rounded across the engines' round
+    implementations and flipped a last digit) and cosine(original,
+    dequantized). Every term is a
+    codegen array expression with EXPLICIT double casts, and the DuckDB
+    twin evaluates the identical arithmetic — float→double widening is
+    exact, so the per-vector values match bit-for-bit and per-vector
+    rounding (10/8 dp) absorbs the engines' aggregate summation-order
+    ulps before the cohort averages."""
+    from science_datalake_spark.operators.embedding import quantize_int8
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    qd = quantize_int8(e)
+    v, qv, s = F.col("embedding"), F.col("q_vec"), F.col("q_scale")
+    err = F.zip_with(v, qv, lambda a, b: a.cast("double") - b.cast("double") * s)
+    vd = F.transform(v, lambda a: a.cast("double"))
+    dql = F.transform(qv, lambda b: b.cast("double") * s)
+    dotl = F.zip_with(
+        v, qv, lambda a, b: a.cast("double") * (b.cast("double") * s)
+    )
+
+    def lsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    sq = lambda arr: lsum(F.transform(arr, lambda x: x * x))  # noqa: E731
+    mse = F.round(lsum(F.transform(err, lambda x: x * x)) / F.size(v), 10)
+    maxe = F.array_max(F.transform(err, lambda x: F.abs(x)))
+    cosf = F.when(
+        (sq(vd) > 0) & (sq(dql) > 0),
+        F.round(lsum(dotl) / (F.sqrt(sq(vd)) * F.sqrt(sq(dql))), 8),
+    )
+    per_vec = qd.select(
+        (F.col("vec_id") % 8).alias("cohort"),
+        mse.alias("mse"),
+        maxe.alias("maxe"),
+        cosf.alias("cosf"),
+    )
+    return (
+        per_vec.groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.max("maxe"), 6).alias("max_abs_err"),
+            F.round(F.avg("cosf"), 6).alias("avg_cos"),
+        )
+        .orderBy("cohort")
+    )

@@ -334,3 +334,53 @@ def test_knn_label_vote_never_builds_on_corpus(spark, sf_smoke):
             any(tag in s.nodeName() for tag in reducing) for s in sub
         ), f"corpus-side broadcast build: {build.treeString()}"
     assert checked >= 2  # the hints exist and point at the small side
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_roundtrip_and_edge_cases(spark):
+    """Codes bounded to [-127, 127], reconstruction error <= scale/2 per
+    element, zero vectors get scale 0 / all-zero codes, NULL embeddings
+    pass through untouched."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.operators.embedding import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.0015]),
+        (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (4, None),                    # NULL embedding
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = quantize_int8(df)
+    by_id = {r["vec_id"]: r for r in q.collect()}
+    assert by_id[3]["q_scale"] == 0.0 and by_id[3]["q_vec"] == [0, 0, 0, 0]
+    assert by_id[4]["q_vec"] is None and by_id[4]["q_scale"] == 0.0
+    # the max-magnitude element maps to exactly +/-127
+    assert by_id[1]["q_vec"][1] == -127
+    assert all(-127 <= c <= 127 for c in by_id[1]["q_vec"])
+    # roundtrip error bound: |v - q*s| <= s/2
+    deq = dequantize_int8(q.filter(F.col("embedding").isNotNull()), out_col="recon")
+    for r in deq.collect():
+        s = r["q_scale"]
+        for a, b in zip(r["embedding"], r["recon"]):
+            assert abs(a - b) <= s / 2 + 1e-9, (r["vec_id"], a, b, s)
+
+
+def test_quantize_int8_map_only_plan(spark):
+    """Quantization must not shuffle — it is a narrow projection."""
+    from science_datalake_spark import plans
+    from science_datalake_spark.operators.embedding import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    plan = plans.physical_plan(quantize_int8(df))
+    assert "Exchange" not in plan
