@@ -384,3 +384,32 @@ def test_quantize_int8_map_only_plan(spark):
     )
     plan = plans.physical_plan(quantize_int8(df))
     assert "Exchange" not in plan
+
+
+def test_quantized_ann_recall(spark):
+    """int8 round-trip is near-lossless for ANN: top-1 neighbors over
+    dequantized vectors match the float top-1 on the synthetic corpus."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.operators.embedding import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from science_datalake_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    qv = e.filter(F.col("vec_id") % 50 == 0)  # small query set
+    exact = {
+        r["query_id"]: r["cand_id"]
+        for r in cosine_topk(e, qv, "vec_id", "embedding", k=1).collect()
+    }
+    deq = dequantize_int8(quantize_int8(e)).select("vec_id", "embedding")
+    approx = {
+        r["query_id"]: r["cand_id"]
+        for r in cosine_topk(deq, qv.select("vec_id", "embedding"), "vec_id", "embedding", k=1).collect()
+    }
+    assert exact.keys() == approx.keys() and len(exact) > 0
+    agree = sum(exact[q] == approx[q] for q in exact)
+    assert agree / len(exact) >= 0.9, (agree, len(exact))
