@@ -282,3 +282,77 @@ def leakage_safe_split(
     return docs.withColumn(
         "split", last if expr is None else expr.otherwise(last)
     )
+
+
+def token_budget_mix_upsampled(
+    docs: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    id_col: str,
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Epoch-aware :func:`token_budget_mix`: a source whose AVAILABLE
+    tokens fall short of its share is REPLICATED — ``epochs =
+    ceil(share / available)`` copies per document — before the same
+    deterministic prior-cumulative boundary rule truncates the final
+    epoch. This is the "epochs > 1" upsampling semantics of published
+    mixes (the Pile's Wikipedia×3, mT5's temperature-upsampled tails):
+    plain budget mixing SATURATES an undersized source and silently
+    undershoots its share; upsampling repeats the source's documents in
+    full passes (epoch 0 first, then epoch 1, …) so every source meets
+    its share exactly (± one document).
+
+    Output adds ``epoch`` (0-based copy index), ``n_tokens`` and
+    ``cum_tokens_before``. Ordering inside a source is (epoch, seeded
+    md5, id): full epochs drain in sequence and only the LAST epoch is
+    partial — deterministic under any partitioning, replayable by a
+    relational twin (generate_series + the same window frame).
+
+    Scale: one extra per-source aggregate (tiny relation, broadcast
+    back) and a sequence-explode whose fan-out is the replication factor
+    of undersized sources only; the running-total window is the same
+    per-source shape as the base mixer. The per-source threshold stays a
+    driver-resolved exact integer (see token_budget_mix — no float
+    products in the plan)."""
+    from decimal import Decimal
+
+    thresholds = {
+        src: int(Decimal(str(wt)) * budget_tokens) for src, wt in weights.items()
+    }
+    share_tokens = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in (kv[0], kv[1])]
+    )
+    toks = docs.withColumn("__nt", token_count(F.col(text_col)))
+    per_src = (
+        toks.groupBy(source_col)
+        .agg(F.sum("__nt").alias("__tot"))
+        .withColumn("__share", F.coalesce(share_tokens[F.col(source_col)], F.lit(0)))
+        .withColumn(
+            "__k",
+            F.when(
+                (F.col("__tot") > 0) & (F.col("__share") > F.col("__tot")),
+                F.ceil(F.col("__share") / F.col("__tot")),
+            )
+            .otherwise(F.lit(1))
+            .cast("int"),
+        )
+        .select(source_col, "__share", "__k")
+    )
+    rep = toks.join(F.broadcast(per_src), source_col).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.col("__k") - 1))
+    )
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("epoch", order_key, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = rep.withColumn("__cum_before", F.coalesce(F.sum("__nt").over(w), F.lit(0)))
+    return (
+        cum.filter(F.col("__cum_before") < F.col("__share"))
+        .withColumn("n_tokens", F.col("__nt"))
+        .withColumn("cum_tokens_before", F.col("__cum_before"))
+        .drop("__nt", "__cum_before", "__share", "__k")
+    )

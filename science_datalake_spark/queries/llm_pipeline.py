@@ -2089,3 +2089,73 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+@query(
+    "corpus_epoch_upsample",
+    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, len({_WORDS}) AS nt,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS ord
+        FROM documents WHERE source IN ('src0', 'src1') AND doc_id < 3000
+    ),
+    tot AS (SELECT source, sum(nt) AS tot FROM toks GROUP BY source),
+    shares AS (
+        SELECT source, tot,
+               CASE source WHEN 'src0' THEN 12000 ELSE 8000 END AS share
+        FROM tot
+    ),
+    ks AS (
+        SELECT source, share,
+               CASE WHEN tot > 0 AND share > tot
+                    THEN CAST(ceil(CAST(share AS DOUBLE) / tot) AS INT)
+                    ELSE 1 END AS k
+        FROM shares
+    ),
+    rep AS (
+        SELECT t.doc_id, t.source, t.nt, t.ord, s.share, e.epoch
+        FROM toks t
+        JOIN ks s USING (source),
+        LATERAL unnest(generate_series(0, s.k - 1)) e(epoch)
+    ),
+    cum AS (
+        SELECT source, epoch, nt, share,
+               coalesce(sum(nt) OVER (
+                   PARTITION BY source ORDER BY epoch, ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM rep
+    )
+    SELECT source, epoch,
+           count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM cum WHERE cb < share
+    GROUP BY source, epoch ORDER BY source, epoch
+    """,
+)
+def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware corpus upsampling
+    (operators/corpus.token_budget_mix_upsampled): two sources pinned to
+    an ABSOLUTE 150-doc subset (same rows at every SF) get shares far
+    above their available tokens, so both replicate — full epochs drain
+    in sequence, the last truncates at the prior-cumulative boundary.
+    The Pile/mT5 "epochs > 1" semantics; the DuckDB twin replays the
+    replication (generate_series fan-out) and the same window. Rolled up
+    per (source, epoch)."""
+    from science_datalake_spark.operators.corpus import token_budget_mix_upsampled
+
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1") & (F.col("doc_id") < 3000)
+    )
+    mix = token_budget_mix_upsampled(
+        d, "source", {"src0": 0.6, "src1": 0.4}, budget_tokens=20000,
+        id_col="doc_id",
+    )
+    return (
+        mix.groupBy("source", "epoch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "epoch")
+    )

@@ -196,3 +196,75 @@ def test_leakage_safe_split_rejects_bad_fractions(spark):
     d = _split_docs(spark)
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(d, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix_upsampled (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _mix_docs(spark):
+    # source A: 5 docs x 10 tokens = 50 available; B: 10 docs x 10 = 100
+    rows = [(i, "A", " ".join(["tok"] * 10)) for i in range(5)]
+    rows += [(100 + i, "B", " ".join(["tok"] * 10)) for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+
+
+def test_upsampled_mix_replicates_undersized_sources(spark):
+    from science_datalake_spark.operators.corpus import token_budget_mix_upsampled
+
+    d = _mix_docs(spark)
+    # A's share: 0.6 * 200 = 120 > 50 available -> 3 epochs (ceil(120/50));
+    # B's share: 0.4 * 200 = 80 < 100 available -> 1 epoch
+    out = token_budget_mix_upsampled(
+        d, "source", {"A": 0.6, "B": 0.4}, 200, "doc_id"
+    )
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    # boundary rule: kept while cum_before < share -> overshoot <= 1 doc
+    tok_a = sum(r["n_tokens"] for r in by_src["A"])
+    tok_b = sum(r["n_tokens"] for r in by_src["B"])
+    assert 120 <= tok_a < 120 + 10 + 1, tok_a
+    assert 80 <= tok_b < 80 + 10 + 1, tok_b
+    # A needed replication: epochs 0 and 1 complete (5 docs each), epoch 2 partial
+    epochs_a = sorted(r["epoch"] for r in by_src["A"])
+    assert epochs_a.count(0) == 5 and epochs_a.count(1) == 5
+    assert epochs_a.count(2) == len(by_src["A"]) - 10 > 0
+    # B never replicated
+    assert {r["epoch"] for r in by_src["B"]} == {0}
+    # full epochs drain before the partial one: every epoch-2 row's
+    # cum_before covers the two full passes
+    assert all(r["cum_tokens_before"] >= 100 for r in by_src["A"] if r["epoch"] == 2)
+
+
+def test_upsampled_mix_deterministic_and_degrades_to_plain(spark):
+    from science_datalake_spark.operators.corpus import (
+        token_budget_mix,
+        token_budget_mix_upsampled,
+    )
+
+    d = _mix_docs(spark)
+    fr = {"A": 0.2, "B": 0.8}
+    # shares (20, 80) both within available -> identical to the plain mixer
+    up = token_budget_mix_upsampled(d, "source", fr, 100, "doc_id")
+    plain = token_budget_mix(d, "source", fr, 100, "doc_id")
+    a = sorted((r["doc_id"], r["cum_tokens_before"]) for r in up.collect())
+    b = sorted((r["doc_id"], r["cum_tokens_before"]) for r in plain.collect())
+    assert a == b
+    assert {r["epoch"] for r in up.collect()} == {0}
+    # deterministic across partitionings
+    c = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in token_budget_mix_upsampled(
+            d.repartition(7), "source", {"A": 0.6, "B": 0.4}, 200, "doc_id"
+        ).collect()
+    )
+    e = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in token_budget_mix_upsampled(
+            d, "source", {"A": 0.6, "B": 0.4}, 200, "doc_id"
+        ).collect()
+    )
+    assert c == e
