@@ -22,7 +22,11 @@ kept/dropped decision level, not the raw probability bit pattern).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: char-level fallback word splitter mirroring textops.tokens; ML's
@@ -66,8 +70,9 @@ def train_quality_model(
 
     ``labeled``: documents with a {0, 1} ``label_col`` (1 = high quality
     — typically a trusted seed corpus vs raw-crawl negatives, or the
-    heuristic gate's own keep/drop as weak supervision). Returns the
-    fitted LogisticRegressionModel; pass it to :func:`score_quality`.
+    heuristic gate's own keep/drop as weak supervision). Returns a
+    :class:`QualityModel` (fitted LogisticRegressionModel + featurization
+    config, save/load-able as one unit); pass it to :func:`score_quality`.
 
     Scale: HashingTF is stateless (no vocabulary broadcast — the hash IS
     the vocabulary, the fastText trick), so the only cluster traffic is
@@ -89,8 +94,47 @@ def train_quality_model(
         standardization=False,
     )
     model = lr.fit(feats)
-    model._qm_conf = (text_col, num_features, ngram)  # scoring must match
-    return model
+    return QualityModel(model, text_col, num_features, ngram)
+
+
+@dataclass
+class QualityModel:
+    """A fitted quality classifier PLUS the featurization parameters it
+    was trained with — scoring with mismatched (num_features, ngram)
+    would silently scramble the hash space, so the two travel together.
+
+    Persistence round-trips BOTH halves (round-8 ADVICE: a dynamic
+    attribute on the Spark ML model is lost across save/load): ``save``
+    writes the LogisticRegressionModel via Spark ML's own writer under
+    ``<path>/model`` and the featurization config as a JSON sidecar at
+    ``<path>/featurization.json``; ``QualityModel.load`` restores both."""
+
+    model: object  # pyspark.ml.classification.LogisticRegressionModel
+    text_col: str
+    num_features: int
+    ngram: int
+
+    def save(self, path: str, overwrite: bool = True) -> None:
+        writer = self.model.write()
+        if overwrite:
+            writer = writer.overwrite()
+        writer.save(os.path.join(path, "model"))
+        conf = {
+            "text_col": self.text_col,
+            "num_features": self.num_features,
+            "ngram": self.ngram,
+        }
+        with open(os.path.join(path, "featurization.json"), "w") as f:
+            json.dump(conf, f)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "QualityModel":
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        model = LogisticRegressionModel.load(os.path.join(path, "model"))
+        with open(os.path.join(path, "featurization.json")) as f:
+            conf = json.load(f)
+        return cls(model, conf["text_col"], conf["num_features"], conf["ngram"])
 
 
 def score_quality(
@@ -106,9 +150,8 @@ def score_quality(
     JVM stage, the coefficient vector rides the broadcast task closure."""
     from pyspark.ml.functions import vector_to_array
 
-    text_col, num_features, ngram = model._qm_conf
-    feats = _featurize(docs, text_col, num_features, ngram)
-    scored = model.transform(feats)
+    feats = _featurize(docs, model.text_col, model.num_features, model.ngram)
+    scored = model.model.transform(feats)
     out = scored.withColumn(
         prob_col, F.round(vector_to_array(F.col("probability"))[1], 6)
     ).drop(_FEAT_COL, "rawPrediction", "probability", "prediction")

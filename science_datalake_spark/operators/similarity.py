@@ -57,6 +57,7 @@ def cosine_topk(
     k: int = 10,
     exclude_self: bool = True,
     engine: str = "numpy",
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × corpus.
 
@@ -78,9 +79,19 @@ def cosine_topk(
     within ~1e-15 of the 4-digit rounding grid (engines are
     equality-tested on the fixtures; use "sql" where bit-reproducibility
     against a relational twin matters more than speed).
+
+    NOTE (eager action): ``engine="numpy"`` collects the query relation to
+    the driver AT CALL TIME — constructing the returned DataFrame runs a
+    Spark job. The collect is bounded by ``max_query_rows`` (collection
+    stops at the cap and raises rather than materializing an oversized
+    query side); callers with a large query relation should pass
+    ``engine="sql"``, whose broadcast degrades gracefully instead.
     """
     if engine == "numpy":
-        return _cosine_topk_numpy(corpus, queries, id_col, vec_col, k, exclude_self)
+        return _cosine_topk_numpy(
+            corpus, queries, id_col, vec_col, k, exclude_self,
+            max_query_rows=max_query_rows,
+        )
     if engine != "sql":
         raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     q = queries.select(
@@ -109,6 +120,7 @@ def _cosine_topk_numpy(
     exclude_self: bool,
     round_digits: int = 4,
     threshold: float | None = None,
+    max_query_rows: int = 65536,
 ) -> DataFrame:
     """The Arrow/numpy engine behind cosine_topk (see its docstring) and
     knn_embedding_join (linkage.py — which passes ``threshold``).
@@ -128,8 +140,17 @@ def _cosine_topk_numpy(
     from science_datalake_spark.operators.dedup import _round_half_away, _vec_matrix
 
     # the query set is driver-collected: it is the SAME relation the SQL
-    # path broadcasts, small by contract (an ANN/linkage query batch)
-    qrows = queries.select(id_col, vec_col).collect()
+    # path broadcasts, small by contract (an ANN/linkage query batch).
+    # The collect is CAPPED — limit(cap+1) bounds what the driver ever
+    # materializes, and an over-cap query side raises with a pointer to
+    # the lazy engine instead of OOMing the driver (ADVICE round 8)
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"numpy cosine engine collects the query side to the driver, "
+            f"but it exceeds max_query_rows={max_query_rows}; pass "
+            f'engine="sql" (lazy broadcast) or raise max_query_rows'
+        )
     q_ids = [r[id_col] for r in qrows]
     qvecs = [r[vec_col] for r in qrows]
     dim = next((len(v) for v in qvecs if v is not None), 0)

@@ -72,13 +72,19 @@ def normalize_url(url: Column) -> Column:
 #: query parameters that identify a CLICK, not a PAGE — the ad-tech and
 #: newsletter trackers every web-dedup pipeline strips (two crawls of the
 #: same article differ only in these). Anchored full-key regex alternation.
+#: Bare ``ref`` is deliberately NOT in the list (round-8 ADVICE): it is a
+#: semantic parameter on many sites (git branch refs, forum thread refs),
+#: and stripping it would collapse genuinely distinct pages at dedup
+#: time; only the unambiguous ``ref_src`` tracker is stripped.
 _TRACKING_PARAM = (
     "^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|igshid|mc_[ce]id|_ga|_gl"
-    "|ref|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)="
+    "|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)="
 )
 
 
-def canonical_url(url: Column, keep_query: bool = True) -> Column:
+def canonical_url(
+    url: Column, keep_query: bool = True, tracking_params: str | None = None
+) -> Column:
     """Semantic-identity canonical form of a URL — the dedup key for
     URL-level exact dedup when the QUERY STRING can carry meaning
     (``?id=123`` pages), unlike :func:`normalize_url` which drops it.
@@ -92,7 +98,12 @@ def canonical_url(url: Column, keep_query: bool = True) -> Column:
     (``_TRACKING_PARAM``: utm_*, click ids, newsletter ids) and empty
     segments removed, survivors SORTED (param order is
     transport-arbitrary) and re-joined — or the whole query dropped when
-    ``keep_query`` is False. Map-only, NULL-safe, no UDF."""
+    ``keep_query`` is False. Map-only, NULL-safe, no UDF.
+
+    ``tracking_params`` overrides the default strip set (an anchored
+    full-key regex like ``_TRACKING_PARAM``) so corpus builders can tune
+    it per crawl — e.g. add a site-specific session key, or strip bare
+    ``ref`` on crawls where it is known to be a tracker."""
     rest = F.regexp_replace(url, _SCHEME, "")
     rest = F.regexp_replace(rest, "#.*$", "")  # fragment first
     path = F.regexp_replace(
@@ -103,11 +114,12 @@ def canonical_url(url: Column, keep_query: bool = True) -> Column:
     base = F.concat(url_host(url), path)
     if not keep_query:
         return base
+    strip = _TRACKING_PARAM if tracking_params is None else tracking_params
     qs = F.regexp_extract(rest, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
             F.split(qs, "&"),
-            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM),
+            lambda p: (p != "") & ~p.rlike(strip),
         )
     )
     return F.concat(

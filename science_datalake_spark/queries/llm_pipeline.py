@@ -1264,7 +1264,7 @@ def web_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sort(list_filter(
                    str_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
                    x -> x <> '' AND NOT regexp_matches(x,
-                       '^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|igshid|mc_[ce]id|_ga|_gl|ref|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)=')
+                       '^(utm_[a-z]+|fbclid|gclid|dclid|msclkid|igshid|mc_[ce]id|_ga|_gl|ref_src|spm|cmpid|s_kwcid|yclid|wt_mc)=')
                )) AS params
         FROM parsed
     ),

@@ -237,7 +237,10 @@ def _synth_unified(spark: SparkSession, sf_dir: str) -> DataFrame:
         oa, s2, sci, retractions=rw, code_links=pwc
     ).persist()
     while _UNIFIED_CACHE and len(_UNIFIED_CACHE) >= _UNIFIED_CACHE_CAP:
-        _, old = _UNIFIED_CACHE.popitem()
+        # evict the OLDEST entry (FIFO, like the IVF index registry in
+        # similarity.py) — dict.popitem() would drop the newest and let
+        # stale spines from stopped sessions linger
+        old = _UNIFIED_CACHE.pop(next(iter(_UNIFIED_CACHE)))
         try:
             old.unpersist()
         except Exception:

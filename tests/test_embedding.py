@@ -272,6 +272,25 @@ def test_cosine_topk_engines_equal_on_degenerate_rows(spark):
     assert b == a
 
 
+def test_cosine_topk_numpy_query_cap(spark):
+    """The numpy engine's driver collect of the query side is bounded:
+    an over-cap query relation raises (pointing at engine='sql') instead
+    of materializing it on the driver (round-8 ADVICE), and the collect
+    itself is limit-capped so even the failing path never pulls the full
+    relation."""
+    import pytest
+
+    e = spark.range(20).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk(e, e, "vec_id", "embedding", k=2, max_query_rows=5)
+    # at or under the cap still works
+    q = e.filter(F.col("vec_id") < 3)
+    assert cosine_topk(e, q, "vec_id", "embedding", k=2, max_query_rows=3).count() == 6
+
+
 def test_knn_embedding_join_engines_equal(spark, sf_oracle):
     from science_datalake_spark.operators.linkage import knn_embedding_join
 

@@ -907,7 +907,10 @@ def test_canonical_url_semantics(spark):
         # param ORDER is transport noise: sorted canonical form
         ("https://a.com/p?b=2&a=1", "a.com/p?a=1&b=2"),
         # all-tracking query collapses to no query at all
-        ("https://a.com/p?utm_medium=email&ref=tw", "a.com/p"),
+        ("https://a.com/p?utm_medium=email&ref_src=tw", "a.com/p"),
+        # bare ref is SEMANTIC (git branch refs, forum threads) — kept
+        # (round-8 ADVICE: stripping it merged distinct pages)
+        ("https://a.com/repo?ref=main&utm_source=x", "a.com/repo?ref=main"),
         # path case survives (paths are case-sensitive), host case does not
         ("https://A.COM/Path", "a.com/Path"),
         # empty segments dropped
@@ -921,6 +924,14 @@ def test_canonical_url_semantics(spark):
     # keep_query=False degrades to the normalize_url-style location key
     df2 = spark.createDataFrame([("https://www.a.com/p/?id=1",)], "url STRING")
     assert df2.select(canonical_url(F.col("url"), keep_query=False)).collect()[0][0] == "a.com/p"
+
+    # the strip set is caller-overridable per crawl: a site where ref IS
+    # a tracker can strip it
+    df3 = spark.createDataFrame([("https://a.com/p?ref=tw&id=1",)], "url STRING")
+    got3 = df3.select(
+        canonical_url(F.col("url"), tracking_params="^(ref)=")
+    ).collect()[0][0]
+    assert got3 == "a.com/p?id=1"
 
 
 def test_domain_cap_keeps_n_per_domain_deterministically(spark):

@@ -73,6 +73,26 @@ def test_quality_decisions_deterministic_across_partitionings(spark):
     assert a == b
 
 
+def test_quality_model_save_load_round_trip(spark, tmp_path):
+    """Persistence round-trips BOTH the fitted coefficients and the
+    featurization config (round-8 ADVICE: a dynamic attribute on the
+    Spark ML model was lost across save/load) — the reloaded model must
+    score identically."""
+    from science_datalake_spark.operators.quality_model import QualityModel
+
+    d = _labeled(spark, n=20)
+    model = train_quality_model(d, "label", num_features=1 << 12)
+    path = str(tmp_path / "qm")
+    model.save(path)
+    back = QualityModel.load(spark, path)
+    assert (back.text_col, back.num_features, back.ngram) == (
+        model.text_col, model.num_features, model.ngram,
+    )
+    a = {(r["doc_id"], r["quality_prob"]) for r in score_quality(model, d).collect()}
+    b = {(r["doc_id"], r["quality_prob"]) for r in score_quality(back, d).collect()}
+    assert a == b
+
+
 def test_quality_model_unigram_only_path(spark):
     d = _labeled(spark, n=20)
     model = train_quality_model(d, "label", num_features=1 << 12, ngram=1)
