@@ -97,6 +97,12 @@ def query(
 # (whose stages llm_curation_funnel now exercises as the funnel's first
 # gate), corpus_pack_contiguous (pack_greedy + temperature_mix keep the
 # packing/mixing family's driver rows), inverted_index_reconstruct.
+#
+# Round-9 rotation (round-8 verdict "Next round" #1): corpus_epoch_upsample
+# and sim_quantize_int8 — the audit's only never-driver-proven oracle-paired
+# entries — rotate IN; two entries with >=2 rounds of driver evidence rest
+# in aux: join_cooccurrence (join family keeps range_overlap/anti_semi/asof
+# rows) and events_view_click_attrib (events family keeps 4 rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap",
     "events_gap_stats",
@@ -110,7 +116,7 @@ DRIVER_ORDER: list[str] = [
     "ontology_skos_khop",
     "join_anti_semi",
     "vignette_code_rate_by_year",
-    "join_cooccurrence",
+    "corpus_epoch_upsample",
     "agg_stats_profile",
     "corpus_temperature_mix",
     "sim_ivf_durable",
@@ -141,7 +147,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_split_leakage_safe",
     "events_funnel",
     "events_cohort_retention",
-    "events_view_click_attrib",
+    "sim_quantize_int8",
     "graph_pagerank",
     "sparql_path_ancestors",
     "text_chunk_rag",

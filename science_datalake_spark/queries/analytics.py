@@ -551,6 +551,7 @@ def multi_hop_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_cooccurrence",
+    aux=True,  # rested round 9 (driver-green r7+r8; join family keeps 3 rows)
     oracle="""
     WITH m AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     pairs AS (

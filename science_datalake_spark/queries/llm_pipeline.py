@@ -1489,6 +1489,7 @@ def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_view_click_attrib",
+    aux=True,  # rested round 9 (driver-green r7+r8; events family keeps 4 rows)
     oracle="""
     WITH v AS (
         SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
@@ -1984,7 +1985,6 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_quantize_int8",
-    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
     oracle="""
     WITH base AS (
         SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
@@ -2093,7 +2093,6 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_epoch_upsample",
-    aux=True,  # added round 8: local parity now, driver rotation when a slot frees
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS nt,
