@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from science_datalake_spark.operators.dedup import _spread, with_word_ngrams
+from science_datalake_spark.operators.dedup import _spread, with_hashed_word_ngrams
 from science_datalake_spark.operators.textops import token_count
 
 
@@ -98,15 +98,27 @@ def decontaminate(
     aggregation (the eval set is small); the corpus is scanned ONCE —
     per-document-distinct shingles via array_distinct, then explode_outer
     so shingle-less documents keep a null row (and therefore a result
-    row) without a second corpus scan to restore them."""
+    row) without a second corpus scan to restore them.
+
+    Shingles are xxhash64-folded LONGS on both sides
+    (``with_hashed_word_ngrams``), not concatenated strings: the string
+    form spent the bulk of the stage in JVM concat churn + string
+    array_distinct (the round-4 profiling pin; the same fix measured
+    7.6→4.9 s on dup_bigram_fraction), while the long form keeps
+    array_distinct, the distinct, and the broadcast join all on
+    primitive keys. Overlap fractions are identical absent a 64-bit
+    collision (p ≈ pairs/2⁶⁴); relational twins keep comparing shingle
+    strings and the parity suite pins the values equal."""
     eval_ng = (
-        with_word_ngrams(eval_docs.select(text_col), text_col, n)
+        with_hashed_word_ngrams(eval_docs.select(text_col), text_col, n)
         .select(F.explode("ng").alias("__ng"))
         .distinct()
         .withColumn("__hit", F.lit(True))
     )
     corpus_ng = (
-        with_word_ngrams(_spread(corpus.select(id_col, text_col), id_col), text_col, n)
+        with_hashed_word_ngrams(
+            _spread(corpus.select(id_col, text_col), id_col), text_col, n
+        )
         .select(id_col, F.explode_outer(F.array_distinct("ng")).alias("__ng"))
     )
     return (

@@ -114,6 +114,42 @@ def with_word_ngrams(df: DataFrame, text_col: str, n: int = 3, out: str = "ng") 
     return df.withColumn(out, ngram_expr).drop("__words")
 
 
+def with_hashed_word_ngrams(
+    df: DataFrame, text_col: str, n: int = 3, out: str = "ng"
+) -> DataFrame:
+    """Add an ARRAY<BIGINT> column of xxhash64-folded word n-grams — the
+    hash-to-long discipline of ``dup_bigram_fraction`` (textops.py)
+    generalized to arbitrary ``n``: the shingle is represented as
+    ``xxhash64(...xxhash64(xxhash64(w1), w2)..., wn)`` instead of the
+    concatenated string, so every downstream ``array_distinct`` /
+    ``distinct`` / join takes the primitive long path and the n-1
+    per-shingle string concats (JVM string churn — the round-4 profiling
+    pin) disappear entirely.
+
+    The fold is deterministic and engine-independent, so two relations
+    hashing with the same ``n`` join correctly on the long key; a
+    collision ACROSS distinct shingles flips one membership bit with
+    p ≈ pairs/2⁶⁴ (relational twins keep comparing shingle STRINGS and
+    the parity suite pins results equal at fixture scale). Same shifted-
+    view zip_with chain as :func:`with_word_ngrams` — shifted slices are
+    passed as zip_with ARGUMENTS, never re-derived inside the lambda
+    (element_at re-evaluates the outer subtree per element, measured
+    13× slower)."""
+    df = df.withColumn("__words", F.split(F.trim(F.col(text_col)), r"\s+"))
+    cnt = f"(size(__words) - {n - 1})"
+    chain = f"transform(slice(__words, 1, {cnt}), a1 -> xxhash64(a1))"
+    for k in range(2, n + 1):
+        chain = (
+            f"zip_with({chain}, slice(__words, {k}, {cnt}), "
+            f"(a{k}, b{k}) -> xxhash64(a{k}, b{k}))"
+        )
+    ngram_expr = F.expr(
+        f"CASE WHEN size(__words) >= {n} THEN {chain} "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    return df.withColumn(out, ngram_expr).drop("__words")
+
+
 def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     """Exact dedup by content key: mark each row with its group's canonical
     (minimum) id. One shuffle on the key; at 100 TB this is a plain

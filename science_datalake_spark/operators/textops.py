@@ -55,14 +55,22 @@ def bpe_regex_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN))
 
 
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS
+) -> Column:
+    """``stopword_ratio`` over an ALREADY-tokenized array column — the
+    building block for plans that materialize the split once (see
+    :func:`quality_gate_flags`)."""
+    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
     """Fraction of tokens that are function words — the language-ID signal.
     Membership is ``isin`` (constant-folds to an InSet hash probe), not
     ``array_contains`` over a literal array (a linear scan per token —
     measured 1.4× slower over the sf1 corpus)."""
-    toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda w: w.isin(*stopwords)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return stopword_ratio_from_tokens(tokens(text), stopwords)
 
 
 def alpha_ratio(text: Column) -> Column:
@@ -165,7 +173,17 @@ def dup_bigram_fraction(text: Column) -> Column:
     the outer token array from inside the lambda via element_at
     re-evaluates the whole tokenize subtree per element (measured 13×
     slower)."""
-    toks = tokens(text)
+    return dup_bigram_fraction_from_tokens(tokens(text))
+
+
+def dup_bigram_fraction_from_tokens(toks: Column) -> Column:
+    """``dup_bigram_fraction`` over an ALREADY-tokenized array column.
+    When ``toks`` is a plain column reference the split is evaluated
+    once; when it is the inline ``tokens(text)`` expression, the four
+    references here (two slices, two sizes) each re-evaluate it —
+    measured 5.2 s vs 2.2 s per corpus pass at sf1. Plans that consume
+    several token-derived signals should materialize the split as a
+    column first (:func:`quality_gate_flags`)."""
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -208,7 +226,32 @@ def quality_gate(
     n = token_count(text)
     dup_bi = dup_bigram_fraction(text)
     stop = stopword_ratio(text)
-    reason = (
+    reason = _gate_reason(
+        n, dup_bi, stop, min_tokens, max_tokens, max_dup_bigram,
+        min_stopword, lang_threshold,
+    )
+    return {
+        "n_tokens": n,
+        "dup_bigram_frac": dup_bi,
+        "stop_ratio": F.round(stop, 4),
+        "reject_reason": reason,
+        "keep": reason.isNull(),
+    }
+
+
+def _gate_reason(
+    n: Column,
+    dup_bi: Column,
+    stop: Column,
+    min_tokens: int,
+    max_tokens: int,
+    max_dup_bigram: float,
+    min_stopword: float,
+    lang_threshold: float,
+) -> Column:
+    """First-failing-rule reason from the three gate signals (``stop`` is
+    the RAW unrounded ratio)."""
+    return (
         F.when(n < min_tokens, "too_short")
         .when(n > max_tokens, "too_long")
         .when(dup_bi > max_dup_bigram, "repetitive")
@@ -221,13 +264,55 @@ def quality_gate(
         # length rules never fire on NULL
         .when(stop.isNull() | (stop < lang_threshold), "non_english")
     )
-    return {
-        "n_tokens": n,
-        "dup_bigram_frac": dup_bi,
-        "stop_ratio": F.round(stop, 4),
-        "reject_reason": reason,
-        "keep": reason.isNull(),
-    }
+
+
+def quality_gate_flags(
+    df: "DataFrame",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 2000,
+    max_dup_bigram: float = 0.2,
+    min_stopword: float = 0.05,
+    lang_threshold: float = 0.10,
+) -> "DataFrame":
+    """:func:`quality_gate` as a DataFrame transform that evaluates each
+    signal ONCE: adds ``n_tokens``, ``dup_bigram_frac``, ``stop_ratio``,
+    ``quality_reject`` (same values as the Column form — one shared
+    oracle).
+
+    Why this exists: the Column form hands back four independent
+    expression trees, and Catalyst does not share subtrees ACROSS
+    project-list items whose lambdas block codegen CSE — a plan that
+    evaluates all four re-runs the tokenizer ~10× (measured 13.1 s per
+    sf1 corpus pass vs 2.3 s for this form; the round-9 funnel
+    profiling). Here the split is materialized as one column, each
+    signal is computed from it in one projection, and the reason is
+    built from the materialized signal COLUMNS in a second projection —
+    layered so CollapseProject won't inline a non-cheap producer into
+    multiple consumers (each signal stays evaluated once)."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.withColumn("__toks", t).withColumns(
+        {
+            "n_tokens": F.size("__toks"),
+            "dup_bigram_frac": dup_bigram_fraction_from_tokens(F.col("__toks")),
+            "__stop_raw": stopword_ratio_from_tokens(F.col("__toks")),
+        }
+    )
+    return out.withColumns(
+        {
+            "stop_ratio": F.round(F.col("__stop_raw"), 4),
+            "quality_reject": _gate_reason(
+                F.col("n_tokens"),
+                F.col("dup_bigram_frac"),
+                F.col("__stop_raw"),
+                min_tokens,
+                max_tokens,
+                max_dup_bigram,
+                min_stopword,
+                lang_threshold,
+            ),
+        }
+    ).drop("__toks", "__stop_raw")
 
 
 def chunk_text(

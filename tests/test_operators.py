@@ -771,6 +771,45 @@ def test_quality_gate_reason_order_and_keep(spark):
     assert out[5] == ("non_english", False)
 
 
+def test_quality_gate_flags_matches_column_form(spark):
+    """quality_gate_flags (the evaluate-each-signal-once DataFrame form
+    the curation funnel uses — round-9 refactor) must emit the identical
+    values as the Column form for every signal, including NULL text and
+    the boundary docs that pick each reject reason."""
+    from science_datalake_spark.operators.textops import (
+        quality_gate,
+        quality_gate_flags,
+    )
+
+    en = "the cat sat of the mat and the dog is to run in the house again"
+    rows = [
+        (1, en),
+        (2, "short text"),
+        (3, " ".join(["spam ham"] * 40)),
+        (4, " ".join(f"w{i}" for i in range(20))),
+        (5, " ".join(["the"] * 10 + [f"u{i}" for i in range(190)])),
+        (6, None),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    g = quality_gate(F.col("text"))
+    want = {
+        r["doc_id"]: (r["n"], r["d"], r["s"], r["r"])
+        for r in df.select(
+            "doc_id",
+            g["n_tokens"].alias("n"),
+            g["dup_bigram_frac"].alias("d"),
+            g["stop_ratio"].alias("s"),
+            g["reject_reason"].alias("r"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_bigram_frac"], r["stop_ratio"], r["quality_reject"])
+        for r in quality_gate_flags(df, "text").collect()
+    }
+    assert got == want
+
+
 def test_pack_greedy_matches_python_mirror_and_is_partition_invariant(spark):
     """pack_greedy vs a plain-python first-fit mirror on a nasty input:
     an oversized document (> budget → own bin, overflowed), a NULL token
