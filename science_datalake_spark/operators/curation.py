@@ -38,6 +38,8 @@ def curate(
     text_col: str = "text",
     *,
     dedup_key=None,
+    quality_model=None,
+    model_threshold: float = 0.5,
     eval_docs: DataFrame | None = None,
     fractions: dict[str, float] | None = None,
     seed: int = 42,
@@ -51,9 +53,15 @@ def curate(
 
     - ``quality:<reason>`` — first failing quality rule
       (``textops.quality_gate``; thresholds via ``gate_kwargs``)
+    - ``model:low_quality`` — heuristic-gate survivor scored below
+      ``model_threshold`` by ``quality_model`` (a fitted
+      ``quality_model.QualityModel``; stage skipped — and the
+      ``quality_prob``/``model_keep`` columns NULL — when no model is
+      passed). Scoring is the classifier's map-only transform chain,
+      so the no-per-stage-actions contract still holds.
     - ``duplicate`` — non-canonical member of an exact-dup group among
-      quality survivors (``dedup_key`` column expression over the row;
-      default md5 of the full text)
+      quality (and model) survivors (``dedup_key`` column expression
+      over the row; default md5 of the full text)
     - ``contaminated`` — unique survivor sharing > ``max_overlap`` of its
       word ``shingle_n``-grams with ``eval_docs`` (stage skipped when
       ``eval_docs`` is None)
@@ -61,8 +69,8 @@ def curate(
       per duplicate CLUSTER (``kept`` when ``fractions`` is None)
 
     Also keeps the stage evidence columns (n_tokens, dup_bigram_frac,
-    stop_ratio, canonical_id, group_size, overlap, split) so audits can
-    drill past the status label.
+    stop_ratio, quality_prob, model_keep, canonical_id, group_size,
+    overlap, split) so audits can drill past the status label.
     """
     from science_datalake_spark.operators.corpus import (
         decontaminate,
@@ -77,14 +85,33 @@ def curate(
     # per corpus pass at sf1)
     flagged = quality_gate_flags(docs, text_col, **gate_kwargs)
 
+    if quality_model is not None:
+        from science_datalake_spark.operators.quality_model import score_quality
+
+        flagged = score_quality(
+            quality_model, flagged, keep_threshold=model_threshold
+        )
+        # a NULL probability (no model output for the row) is a reject,
+        # not a silent keep
+        model_pass = F.coalesce(F.col("model_keep"), F.lit(False))
+    else:
+        flagged = flagged.withColumns(
+            {
+                "quality_prob": F.lit(None).cast("double"),
+                "model_keep": F.lit(None).cast("boolean"),
+            }
+        )
+        model_pass = F.lit(True)
+
     # dedup among quality survivors WITHOUT splitting the relation:
     # rejected rows get a per-row unique key, so the dedup window treats
     # them as singleton groups (they can never be, or displace, a
     # canonical). One window, one shuffle.
     key = F.md5(F.col(text_col)) if dedup_key is None else dedup_key
-    safe_key = F.when(
-        F.col("quality_reject").isNull(), key
-    ).otherwise(F.concat(F.lit("!rejected:"), F.col(id_col).cast("string")))
+    gate_pass = F.col("quality_reject").isNull() & model_pass
+    safe_key = F.when(gate_pass, key).otherwise(
+        F.concat(F.lit("!rejected:"), F.col(id_col).cast("string"))
+    )
     deduped = exact_dedup(flagged, id_col, safe_key)
 
     if eval_docs is not None:
@@ -112,7 +139,7 @@ def curate(
         deduped = deduped.join(
             contam, on=F.col(id_col) == F.col("__cid"), how="left"
         ).drop("__cid")
-        survivor = F.col("quality_reject").isNull() & ~F.col("is_dup")
+        survivor = gate_pass & ~F.col("is_dup")
         deduped = deduped.withColumns(
             {
                 "overlap": F.when(survivor, F.col("overlap")),
@@ -142,6 +169,7 @@ def curate(
             F.col("quality_reject").isNotNull(),
             F.concat(F.lit("quality:"), F.col("quality_reject")),
         )
+        .when(~model_pass, F.lit("model:low_quality"))
         .when(F.col("is_dup"), F.lit("duplicate"))
         .when(F.coalesce(F.col("is_contaminated"), F.lit(False)), F.lit("contaminated"))
         .otherwise(kept)

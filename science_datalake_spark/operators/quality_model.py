@@ -41,7 +41,12 @@ def _featurize(df: DataFrame, text_col: str, num_features: int, ngram: int):
     unigrams and bigrams share one hash space)."""
     from pyspark.ml.feature import HashingTF, NGram, Tokenizer
 
-    words = Tokenizer(inputCol=text_col, outputCol=_WORDS_COL).transform(df)
+    # Tokenizer NPEs on NULL input; feed a null-coalesced shadow column
+    # so scoring a raw corpus (curate()'s model stage) never crashes —
+    # a NULL text featurizes as empty (and scores like one)
+    shadow = "__qm_text"
+    df = df.withColumn(shadow, F.coalesce(F.col(text_col), F.lit("")))
+    words = Tokenizer(inputCol=shadow, outputCol=_WORDS_COL).transform(df).drop(shadow)
     if ngram >= 2:
         grams = NGram(n=ngram, inputCol=_WORDS_COL, outputCol=_GRAMS_COL).transform(
             words

@@ -290,6 +290,95 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _phash_pairs_oracle() -> str:
+    """DuckDB twin of the perceptual-hash near-dup pipeline: the asset
+    fixture's md5-derived hash (the format-agnostic ``_fake_hash``
+    plumbing path — first 64 digest bits) expanded hex-char→4-bit, then
+    the identical kind-scoped band-bucket join + exact Hamming verify
+    (the ``_simhash_pairs_oracle`` pattern over 8-bit bands)."""
+    hexmap = {format(v, "x"): format(v, "04b") for v in range(16)}
+    cases = " ".join(f"WHEN '{c}' THEN '{b}'" for c, b in hexmap.items())
+    bits = " || ".join(
+        f"(CASE substr(h, {i}, 1) {cases} END)" for i in range(1, 17)
+    )
+    ham = (
+        "len(list_filter(generate_series(1, 64), "
+        "i -> substr(ha, i, 1) != substr(hb, i, 1)))"
+    )
+    return f"""
+    WITH assets AS (
+        SELECT doc_id AS asset_id,
+               CASE CAST(doc_id % 3 AS INTEGER)
+                   WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+               END AS kind,
+               'asset:' || CAST(doc_id % 125 AS VARCHAR) AS payload
+        FROM documents WHERE doc_id < 2000
+    ),
+    hex AS (SELECT asset_id, kind, md5(payload) AS h FROM assets),
+    sig AS (SELECT asset_id, kind, {bits} AS simhash FROM hex),
+    bands AS (
+        SELECT asset_id, kind, simhash, gs.b AS band,
+               substr(simhash, gs.b * 8 + 1, 8) AS val
+        FROM sig, LATERAL unnest(generate_series(0, 7)) gs(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.asset_id AS id_a, b.asset_id AS id_b,
+               a.kind AS kind, a.simhash AS ha, b.simhash AS hb
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.val = b.val
+                    AND a.kind = b.kind
+                    AND a.asset_id < b.asset_id
+    ),
+    scored AS (
+        SELECT id_a, id_b, kind, CAST({ham} AS INTEGER) AS hamming FROM cand
+    )
+    SELECT id_a, id_b, kind, hamming FROM scored
+    WHERE hamming <= 6
+    ORDER BY id_a, id_b
+    """
+
+
+@query("asset_phash_pairs", aux=True, oracle=_phash_pairs_oracle())
+def asset_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over a deterministic multimodal
+    asset fixture — the first oracle-checked query for the multimodal
+    family (round-8 verdict "Next round" #4). The fixture derives a
+    bounded asset table from ``documents`` (``doc_id < 2000`` — constant
+    work at every SF; the banding machinery's scale evidence is
+    dedup_simhash_pairs' sf3 run): binary payloads ``asset:<doc_id%125>``
+    whose duplicate groups SPAN modalities (125 % 3 ≠ 0, so a payload
+    group cycles image/audio/video), and ``kind = doc_id % 3``.
+
+    The Spark side runs the REAL multimodal plumbing: binary payload
+    column → ``perceptual_hashes`` mapInPandas (the md5 ``_fake_hash``
+    plumbing path — deterministic and oracle-expressible, unlike the
+    PNM/WAV decoders) → ``asset_near_dup_pairs`` (kind-scoped SimHash
+    band buckets + exact Hamming). What the result proves: same-kind
+    exact-dup groups pair at hamming 0; cross-kind identical payloads
+    are EXCLUDED by the scope (the oracle joins on kind too); random
+    single-band md5 collisions become candidates and are rejected by
+    the Hamming ≤ 6 verify on both sides."""
+    from science_datalake_spark.operators import multimodal as M
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(
+            F.concat(F.lit("asset:"), (F.col("doc_id") % 125).cast("string")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    hashes = M.perceptual_hashes(assets, fake=True)
+    pairs = M.asset_near_dup_pairs(hashes, bands=8, max_hamming=6)
+    return pairs.select(
+        "id_a", "id_b", "kind", F.col("hamming").cast("int").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
