@@ -123,3 +123,152 @@ def dequantize_int8(
             F.col(q_col), lambda x: (x.cast("double") * F.col(scale_col)).cast("float")
         ),
     )
+
+
+# --- product quantization: the sub-byte-per-dimension ANN storage tier ------
+#
+# PQ (Jégou et al. 2011, the FAISS IVF-PQ backbone) splits each d-dim
+# vector into m subvectors and replaces each with the index of its nearest
+# per-subspace centroid: d floats become m small codes (here d/8 bytes —
+# 32× under int8's 4×). Complements quantize_int8 (which keeps every
+# dimension) and the IVF tier (which prunes the SEARCH; PQ compresses the
+# RESIDENT data — FAISS composes them as IVF-PQ).
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks: the subvectors of the
+    ``k`` corpus vectors with the smallest ids (exemplar seeding — the
+    same engine-reproducible discipline as IVF's exemplar_centroids; a
+    production build swaps per-subspace KMeans trained on a sample, and
+    every downstream plan is unchanged). Returns
+    ``books[j][c] = centroid c of subspace j`` as plain python floats —
+    a driver-local m×k×(d/m) structure consumed by the encode/decode
+    broadcasts. Centroid index = position in ascending-id order, so a
+    relational twin derives the identical codebook with
+    ``ORDER BY id LIMIT k``."""
+    from science_datalake_spark.operators.similarity import as_double_vec
+
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("__i"), as_double_vec(vec_col).alias("__v"))
+        .orderBy("__i")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks needs a non-empty corpus")
+    d = len(rows[0]["__v"])
+    if d % m != 0:
+        raise ValueError(f"vector dim {d} must divide into m={m} subspaces")
+    w = d // m
+    return [
+        [[float(x) for x in r["__v"][j * w : (j + 1) * w]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_book_df(spark, books: list[list[list[float]]]):
+    """The codebooks as a ONE-ROW broadcastable relation (the ivf_assign
+    ride-along pattern: array literals would build an m·k·w-node
+    expression tree Catalyst pays to analyze; a joined row replicates a
+    pointer)."""
+    payload = [
+        ([[(c, cents[c]) for c in range(len(cents))] for cents in books],)
+    ]
+    return spark.createDataFrame(
+        payload,
+        "__pqbook array<array<struct<c:int,v:array<double>>>>",
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace j, the index of the
+    nearest centroid by squared L2 (rounded to 6 dp BEFORE the argmin
+    with centroid-index tie-break, so engines agree on boundaries).
+    Map-only — the codebook rides a 1-row broadcast; nothing shuffles.
+    A NULL (or wrong-length) vector yields a NULL code array: its
+    per-subspace distances are NULL, which must LOSE the argmin (the
+    ivf_assign nulls-last guard), leaving no winner."""
+    m = len(books)
+    w = len(books[0][0])
+    spark = df.sparkSession
+    staged = df.crossJoin(F.broadcast(_pq_book_df(spark, books)))
+    v = F.col(vec_col)
+
+    def code_for(j: int):
+        sub = F.transform(
+            F.slice(v, j * w + 1, w), lambda x: x.cast("double")
+        )
+        cents = F.col("__pqbook")[j]
+
+        def scored(c):
+            dist = F.round(
+                F.aggregate(
+                    F.zip_with(sub, c["v"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            # NULL/short subvector → NULL dist: sort LAST, never win
+            nd = F.coalesce(dist, F.lit(float("inf")))
+            return F.struct(nd.alias("nd"), c["c"].alias("c"))
+
+        best = F.array_min(F.transform(cents, scored))
+        # an all-NULL scoring (impossible with a non-empty codebook) or a
+        # NULL input vector must produce a NULL code, not centroid 0
+        return F.when(
+            (F.size(v) >= (j + 1) * w) & best["nd"].isNotNull()
+            & (best["nd"] != float("inf")),
+            best["c"],
+        )
+
+    codes = F.array(*[code_for(j) for j in range(m)])
+    out = staged.withColumn(
+        code_col,
+        F.when(
+            v.isNotNull() & ~F.array_contains(
+                F.transform(codes, lambda c: c.isNull()), True
+            ),
+            codes,
+        ),
+    )
+    return out.drop("__pqbook")
+
+
+def pq_decode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    code_col: str = "pq_code",
+    out_col: str = "pq_vec",
+) -> DataFrame:
+    """Reconstruct the PQ approximation: concatenation of each code's
+    centroid (``v̂ = [books[0][c0], books[1][c1], ...]``). Map-only;
+    NULL codes reconstruct to NULL. Reconstruction error is bounded by
+    the per-subspace quantization radius — audited end-to-end by the
+    sim_pq_recall query."""
+    staged = df.crossJoin(F.broadcast(_pq_book_df(df.sparkSession, books)))
+    book = F.col("__pqbook")
+    # index-aware transform: subspace j's centroid list, entry code_j.
+    # book[j] / element_at are cheap attribute accesses on a broadcast
+    # row — not the expensive-subtree-in-lambda trap
+    recon = F.flatten(
+        F.transform(
+            F.col(code_col),
+            lambda c, j: F.element_at(F.element_at(book, j + 1), c + 1)["v"],
+        )
+    )
+    return staged.withColumn(
+        out_col, F.when(F.col(code_col).isNotNull(), recon)
+    ).drop("__pqbook")

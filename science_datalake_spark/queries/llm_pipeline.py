@@ -2181,6 +2181,117 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_pq_recall",
+    aux=True,  # added round 9: local parity now, driver rotation when a slot frees
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ex AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+        FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 16)
+    ),
+    sub AS (
+        SELECT c, gs.j AS j,
+               list_slice(v, gs.j * 8 + 1, gs.j * 8 + 8) AS cent
+        FROM ex, LATERAL unnest(generate_series(0, 7)) gs(j)
+    ),
+    dist AS (
+        SELECT b.vec_id, s.j, s.c, s.cent,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (b.v[s.j * 8 + i] - s.cent[i])
+                        * (b.v[s.j * 8 + i] - s.cent[i]))), 6) AS d
+        FROM base b CROSS JOIN sub s
+    ),
+    asg AS (
+        SELECT vec_id, j, cent,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM dist
+    ),
+    dec AS (
+        SELECT vec_id, flatten(list(cent ORDER BY j)) AS rec
+        FROM asg WHERE rn = 1 GROUP BY vec_id
+    ),
+    m AS (
+        SELECT b.vec_id % 8 AS cohort, len(b.v) AS d, b.v, r.rec,
+               list_transform(generate_series(1, len(b.v)),
+                   i -> b.v[i] - r.rec[i]) AS err,
+               list_transform(generate_series(1, len(b.v)),
+                   i -> b.v[i] * r.rec[i]) AS dotl
+        FROM base b JOIN dec r USING (vec_id)
+    ),
+    f AS (
+        SELECT cohort,
+               round(list_sum(list_transform(err, x -> x * x)) / d, 10) AS mse,
+               CASE WHEN list_sum(list_transform(v, x -> x * x)) > 0
+                     AND list_sum(list_transform(rec, x -> x * x)) > 0
+                    THEN round(list_sum(dotl)
+                         / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                            * sqrt(list_sum(list_transform(rec, x -> x * x)))), 8)
+               END AS cosf
+        FROM m
+    )
+    SELECT cohort, count(*) AS n_vecs,
+           CAST(round(avg(mse), 6) AS DOUBLE) AS avg_mse,
+           CAST(round(avg(cosf), 6) AS DOUBLE) AS avg_cos
+    FROM f GROUP BY cohort ORDER BY cohort
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization fidelity audit (operators/embedding.pq_*):
+    64-dim embeddings → 8 subspaces × 16 exemplar centroids = 8 codes
+    per vector (32× storage vs float32 — the FAISS IVF-PQ resident-data
+    tier; int8 keeps every dimension at 4×, PQ replaces dimensions with
+    codebook indices). Encode is map-only with the codebook riding a
+    1-row broadcast; per-subspace squared-L2 distances are rounded at
+    6 dp BEFORE the argmin (centroid-index tie-break) so both engines
+    pick identical codes; decode reconstructs centroid concatenations.
+    Rolled up per cohort as reconstruction MSE and cosine(original,
+    reconstruction) with the int8 audit's per-vector 10/8-dp pre-round
+    discipline. The DuckDB twin derives the identical exemplar codebook
+    (ORDER BY vec_id LIMIT 16 + list_slice) and replays
+    assign/decode/stats relationally."""
+    from science_datalake_spark.operators.embedding import (
+        pq_codebooks,
+        pq_decode,
+        pq_encode,
+    )
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    books = pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
+    dec = pq_decode(pq_encode(e, books, "embedding"), books)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    rec = F.col("pq_vec")
+    err = F.zip_with(v, rec, lambda a, b: a - b)
+    dotl = F.zip_with(v, rec, lambda a, b: a * b)
+
+    def lsum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    sq = lambda arr: lsum(F.transform(arr, lambda x: x * x))  # noqa: E731
+    mse = F.round(sq(err) / F.size(v), 10)
+    cosf = F.when(
+        (sq(v) > 0) & (sq(rec) > 0),
+        F.round(lsum(dotl) / (F.sqrt(sq(v)) * F.sqrt(sq(rec))), 8),
+    )
+    per_vec = dec.select(
+        (F.col("vec_id") % 8).alias("cohort"),
+        mse.alias("mse"),
+        cosf.alias("cosf"),
+    )
+    return (
+        per_vec.groupBy("cohort")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.avg("cosf"), 6).alias("avg_cos"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
     "corpus_epoch_upsample",
     oracle=f"""
     WITH toks AS (

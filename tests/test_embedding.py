@@ -272,6 +272,76 @@ def test_cosine_topk_engines_equal_on_degenerate_rows(spark):
     assert b == a
 
 
+def test_pq_encode_decode_matches_numpy_mirror(spark):
+    """PQ codes and reconstructions must match a plain-numpy mirror of
+    the spec (per-subspace argmin of 6dp-rounded squared L2, centroid-
+    index tie-break), and NULL/ragged vectors must code and reconstruct
+    to NULL — never to centroid 0."""
+    import numpy as np
+
+    from science_datalake_spark.operators.embedding import (
+        pq_codebooks,
+        pq_decode,
+        pq_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(40)]
+    rows.append((100, None))
+    rows.append((101, [1.0, 2.0]))  # ragged
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    books = pq_codebooks(df, "vec_id", "embedding", m=4, k=5)
+    assert len(books) == 4 and all(len(b) == 5 for b in books)
+    got = {
+        r["vec_id"]: (r["pq_code"], r["pq_vec"])
+        for r in pq_decode(pq_encode(df, books), books).collect()
+    }
+    B = [np.array(b) for b in books]
+    for i, v in rows:
+        code, rec = got[i]
+        if v is None or len(v) != 8:
+            assert code is None and rec is None, (i, code, rec)
+            continue
+        vv = np.array(v)
+        want = [
+            int(np.argmin(np.round(((B[j] - vv[j * 2:(j + 1) * 2]) ** 2).sum(axis=1), 6)))
+            for j in range(4)
+        ]
+        assert code == want, (i, code, want)
+        assert np.allclose(rec, np.concatenate([B[j][code[j]] for j in range(4)]))
+
+
+def test_pq_encode_is_map_only(spark):
+    """The encode plan must contain no shuffle: the codebook rides a
+    broadcast, the argmin is a projection — the 100 TB contract."""
+    from science_datalake_spark.operators.embedding import pq_codebooks, pq_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    books = pq_codebooks(df, "vec_id", "embedding", m=2, k=3)
+    plan = (
+        pq_encode(df, books)._jdf.queryExecution().sparkPlan().toString()
+    )
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+
+
+def test_pq_codebooks_validation(spark):
+    import pytest
+
+    from science_datalake_spark.operators.embedding import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pq_codebooks(df, "vec_id", "embedding", m=2, k=1)
+    empty = df.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_codebooks(empty, "vec_id", "embedding", m=3, k=1)
+
+
 def test_cosine_topk_numpy_query_cap(spark):
     """The numpy engine's driver collect of the query side is bounded:
     an over-cap query relation raises (pointing at engine='sql') instead
