@@ -103,6 +103,14 @@ def query(
 # entries — rotate IN; two entries with >=2 rounds of driver evidence rest
 # in aux: join_cooccurrence (join family keeps range_overlap/anti_semi/asof
 # rows) and events_view_click_attrib (events family keeps 4 rows).
+#
+# Round-9 second wave (same-round additions get rows immediately): the
+# three queries ADDED this round (asset_phash_pairs — the multimodal
+# family's first oracle row, sim_pq_recall, sim_ivfpq_topk) rotate IN;
+# three entries with >=2 rounds of driver evidence rest in aux —
+# events_funnel (events keeps sessionize/cohort/gap), sparql_count_group
+# (sparql keeps agg_stats/leaf_profile/path_ancestors),
+# dedup_ngram_jaccard (dedup keeps 6 rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap",
     "events_gap_stats",
@@ -120,7 +128,7 @@ DRIVER_ORDER: list[str] = [
     "agg_stats_profile",
     "corpus_temperature_mix",
     "sim_ivf_durable",
-    "sparql_count_group",
+    "asset_phash_pairs",
     "text_compression_ratio",
     "text_intra_dedup",
     "text_ppl_buckets",
@@ -136,7 +144,7 @@ DRIVER_ORDER: list[str] = [
     "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "sim_pq_recall",
     "dedup_semantic",
     "corpus_pack_greedy",
     "web_domain_cap",
@@ -145,7 +153,7 @@ DRIVER_ORDER: list[str] = [
     "sim_ann_bucketed",
     "dedup_simhash_pairs",
     "corpus_split_leakage_safe",
-    "events_funnel",
+    "sim_ivfpq_topk",
     "events_cohort_retention",
     "sim_quantize_int8",
     "graph_pagerank",

@@ -1267,6 +1267,7 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel",
+    aux=True,  # rested round 9 (driver-green r7+r8; events family keeps 3 rows)
     oracle="""
     WITH s1 AS (
         SELECT user_id, min(ts) AS t1 FROM events

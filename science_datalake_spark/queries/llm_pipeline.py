@@ -338,7 +338,7 @@ def _phash_pairs_oracle() -> str:
     """
 
 
-@query("asset_phash_pairs", aux=True, oracle=_phash_pairs_oracle())
+@query("asset_phash_pairs", oracle=_phash_pairs_oracle())
 def asset_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over a deterministic multimodal
     asset fixture — the first oracle-checked query for the multimodal
@@ -381,6 +381,7 @@ def asset_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    aux=True,  # rested round 9 (driver-green r6-r8; dedup family keeps 6 rows)
     oracle=f"""
     WITH sub AS (
         SELECT doc_id, text FROM documents
@@ -637,6 +638,112 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = S.ivf_index(e, "vec_id", "embedding", k=8, cache_key=sf_dir)
     q = e.filter(F.col("vec_id") < 12)
     out = S.ivf_topk(assigned, cents, q, "vec_id", "embedding", k=5, n_probe=2)
+    return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
+
+
+# IVF-PQ: the IVF probe over PQ-RECONSTRUCTED posting lists (asymmetric
+# scoring — queries stay float, resident corpus is 8 codes/vector). The
+# oracle splices the PQ codebook/assign/decode CTEs (sim_pq_recall's
+# pattern) between the IVF assignment and the probe of _IVF_TOPK_ORACLE.
+_IVFPQ_TOPK_ORACLE = f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cent_vec
+        FROM corpus ORDER BY vec_id LIMIT 8
+    ),
+    asg AS (
+        SELECT c.vec_id, c.v, ct.cent_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY round({_COS.format(a='c.v', b='ct.cent_vec')}, 6) DESC,
+                            ct.cent_id) AS rn
+        FROM corpus c CROSS JOIN cents ct
+    ),
+    assigned AS (SELECT vec_id, v, cent_id AS bucket FROM asg WHERE rn = 1),
+    pqsub AS (
+        SELECT ex.c, gs.j AS j,
+               list_slice(ex.v, gs.j * 8 + 1, gs.j * 8 + 8) AS cent
+        FROM (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+            FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 16)
+        ) ex, LATERAL unnest(generate_series(0, 7)) gs(j)
+    ),
+    pqdist AS (
+        SELECT a.vec_id, s.j, s.c, s.cent,
+               round(list_sum(list_transform(generate_series(1, 8),
+                   i -> (a.v[s.j * 8 + i] - s.cent[i])
+                        * (a.v[s.j * 8 + i] - s.cent[i]))), 6) AS d
+        FROM corpus a CROSS JOIN pqsub s
+    ),
+    pqasg AS (
+        SELECT vec_id, j, cent,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+        FROM pqdist
+    ),
+    dec AS (
+        SELECT vec_id, flatten(list(cent ORDER BY j)) AS rec
+        FROM pqasg WHERE rn = 1 GROUP BY vec_id
+    ),
+    comp AS (
+        SELECT a.vec_id, d.rec AS v, a.bucket
+        FROM assigned a JOIN dec d USING (vec_id)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 12),
+    pr AS (
+        SELECT q.query_id, q.qv, ct.cent_id AS bucket,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round({_COS.format(a='q.qv', b='ct.cent_vec')}, 6) DESC,
+                            ct.cent_id) AS rn
+        FROM q CROSS JOIN cents ct
+    ),
+    probed AS (SELECT query_id, qv, bucket FROM pr WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS cand_id,
+               CAST(round({_COS.format(a='p.qv', b='a.v')}, 4) AS DOUBLE) AS sim
+        FROM probed p JOIN comp a USING (bucket)
+        WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, cand_id) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, sim, rank FROM ranked
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_IVFPQ_TOPK_ORACLE)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the FAISS composition of the two resident tiers: the IVF
+    coarse quantizer prunes the SEARCH (queries probe 2 of 8 buckets)
+    while PQ compresses the RESIDENT posting lists (8 codes per vector,
+    32× under float32); scoring is asymmetric (ADC) — the float query
+    against each candidate's PQ reconstruction. Expressed as plain
+    composition: ``ivf_topk`` over posting lists whose ``vec`` is the
+    ``pq_decode`` reconstruction — no new probe machinery, which IS the
+    point of keeping the tiers as DataFrame-to-DataFrame operators. At
+    100 TB the reconstruction would be materialized with the bucketed
+    index (or looked up from per-query distance tables inside a Pandas
+    UDF — the literal FAISS ADC); the plan shape (broadcast probes, no
+    corpus shuffle) is identical. Ranks differ from sim_ivf_topk's
+    exactly where quantization error moves a cosine across the 4-dp
+    grid — fidelity is audited by sim_pq_recall."""
+    from science_datalake_spark.operators.embedding import (
+        pq_codebooks,
+        pq_decode,
+        pq_encode,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
+    cents, assigned = S.ivf_index(e, "vec_id", "embedding", k=8, cache_key=sf_dir)
+    compressed = pq_decode(pq_encode(assigned, books, vec_col="vec"), books).select(
+        "vec_id", F.col("pq_vec").alias("vec"), "bucket"
+    )
+    q = e.filter(F.col("vec_id") < 12)
+    out = S.ivf_topk(compressed, cents, q, "vec_id", "embedding", k=5, n_probe=2)
     return out.select("query_id", "cand_id", "sim", "rank").orderBy("query_id", "rank")
 
 
@@ -2182,7 +2289,6 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pq_recall",
-    aux=True,  # added round 9: local parity now, driver rotation when a slot frees
     oracle="""
     WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -374,6 +374,7 @@ def sparql_path_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_count_group",
+    aux=True,  # rested round 9 (driver-green r7+r8; sparql family keeps 3 rows)
     oracle=f"""
     WITH broader(c, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),
