@@ -747,7 +747,8 @@ def simhash_candidate_pairs(
     a candidate. With the defaults (4 bands, max_hamming 2 < 4) recall
     is exact: every qualifying pair shares ≥ 2 bands and is generated.
     Candidates are then verified by exact bitwise Hamming distance
-    (a filter over the 2 signatures' differing positions — pure codegen).
+    (bit_count over xor of the packed signature halves — pure codegen,
+    O(1) per candidate).
 
     Scale: the self-join keys on (band index, band value) — the LSH
     bucket discipline, cost O(Σ bucket²), never all-pairs; the verify
@@ -767,10 +768,24 @@ def simhash_candidate_pairs(
             "max_hamming must be < bands for the pigeonhole recall guarantee"
         )
     width = bits // bands
+    # The exact-Hamming verify compares PACKED halves (bit-string →
+    # 32-bit ints via conv, map-side once per row) with bit_count(xor) —
+    # O(1) per candidate instead of the per-character filter lambda
+    # (2·bits interpreted substring calls per candidate pair; measured
+    # 4.9 → 1.0 s on the asset-pair fixture at sf0.1). 32-bit chunks
+    # keep conv's unsigned result inside BIGINT range at any ``bits``.
+    n_chunks = (bits + 31) // 32
+    chunks = {
+        f"__h{k}": F.conv(
+            F.substring(F.col("simhash"), k * 32 + 1, min(32, bits - k * 32)), 2, 10
+        ).cast("bigint")
+        for k in range(n_chunks)
+    }
     banded = signatures.select(
         F.col(id_col),
         *[F.col(c) for c in scope_cols],
         F.col("simhash"),
+        *[v.alias(name) for name, v in chunks.items()],
         F.posexplode(
             F.array(
                 *[
@@ -781,9 +796,9 @@ def simhash_candidate_pairs(
         ).alias("__band", "__val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.expr(
-        f"size(filter(sequence(1, {bits}), "
-        "i -> substring(a.simhash, i, 1) != substring(b.simhash, i, 1)))"
+    hamming = sum(
+        F.bit_count(F.col(f"a.__h{k}").bitwiseXOR(F.col(f"b.__h{k}")))
+        for k in range(n_chunks)
     )
     cond = (
         (F.col("a.__band") == F.col("b.__band"))

