@@ -368,3 +368,28 @@ def token_budget_mix_upsampled(
         .withColumn("cum_tokens_before", F.col("__cum_before"))
         .drop("__nt", "__cum_before", "__share", "__k")
     )
+
+
+def shard_shuffle(
+    docs: DataFrame,
+    id_col: str,
+    seed: int = 42,
+    shard_hex_chars: int = 1,
+) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the last
+    step before a training corpus is written: every document gets a
+    reproducible pseudo-random ``order_key`` (md5 of ``id:seed``, the
+    portable seeded-hash discipline of :func:`token_budget_mix`) and a
+    ``shard`` (the key's first ``shard_hex_chars`` hex chars →
+    ``16**chars`` uniformly-sized shards).
+
+    Purely map-side — NO shuffle is introduced here. The intended 100 TB
+    write path is ``.repartition('shard').sortWithinPartitions(
+    'order_key').write.partitionBy('shard')``: exactly one exchange and
+    a per-shard sort, never a global sort. A different ``seed`` is a new
+    epoch-order permutation at zero extra cost.
+    """
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    return docs.withColumn("order_key", order_key).withColumn(
+        "shard", F.substring(F.col("order_key"), 1, shard_hex_chars)
+    )

@@ -165,6 +165,35 @@ def exact_dedup(df: DataFrame, id_col: str, key: Column) -> DataFrame:
     )
 
 
+def keep_best_per_key(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    order_by: list[Column],
+) -> DataFrame:
+    """Policy dedup: pick ONE representative per duplicate-key group by an
+    explicit quality ordering instead of :func:`exact_dedup`'s arbitrary
+    min-id. This is the keep rule real corpus builds use (keep the
+    highest-quality / longest / most-recent copy, drop the rest).
+
+    ``order_by`` must be a TOTAL order (end it with the id column) so the
+    representative is deterministic under any partitioning. Adds
+    ``best_id`` (the group winner), ``group_size`` and ``is_kept``. Same
+    scale shape as exact_dedup: one hash-partitioned window on the key —
+    no join, no second shuffle; at 100 TB the key partitioning is the
+    only exchange.
+    """
+    w = Window.partitionBy("__key").orderBy(*order_by)
+    grp = Window.partitionBy("__key")
+    return (
+        df.withColumn("__key", key)
+        .withColumn("best_id", F.first(F.col(id_col)).over(w))
+        .withColumn("group_size", F.count("*").over(grp))
+        .withColumn("is_kept", F.col(id_col) == F.col("best_id"))
+        .drop("__key")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

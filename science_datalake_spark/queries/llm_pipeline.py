@@ -2464,3 +2464,98 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "epoch")
     )
+
+
+@query(
+    "dedup_keep_best",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+                   AS key,
+               CAST(round(least(
+                   0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              AS DOUBLE) / greatest(length(text), 1))
+                 + 0.3 * (CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL}))
+                              AS DOUBLE) / greatest(len({_WORDS}), 1)) * 5.0
+                 + 0.3 * least(len({_WORDS}) / 30.0, 1.0), 1.0), 4) AS DOUBLE)
+                   AS quality
+        FROM documents
+    )
+    SELECT doc_id,
+           first_value(doc_id) OVER
+               (PARTITION BY key ORDER BY quality DESC, doc_id) AS best_id,
+           count(*) OVER (PARTITION BY key) AS group_size,
+           doc_id = first_value(doc_id) OVER
+               (PARTITION BY key ORDER BY quality DESC, doc_id) AS is_kept,
+           quality
+    FROM scored ORDER BY doc_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy dedup (operators/dedup.keep_best_per_key): one representative
+    per exact-fingerprint group chosen by quality score DESC (doc_id
+    tiebreak) — the keep rule production corpus builds apply (keep the
+    best copy, not an arbitrary one; C4/RefinedWeb discipline). Same
+    single-window scale shape as dedup_exact; the DuckDB twin replays the
+    identical fingerprint, quality formula and total order."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.withColumn("quality", T.quality_score(F.col("text")))
+    out = D.keep_best_per_key(
+        scored,
+        "doc_id",
+        T.fingerprint(F.col("text")),
+        [F.col("quality").desc(), F.col("doc_id")],
+    )
+    return out.select(
+        "doc_id", "best_id", "group_size", "is_kept", "quality"
+    ).orderBy("doc_id")
+
+
+@query(
+    "corpus_shard_shuffle",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, len({_WORDS}) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS order_key,
+               substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 1) AS shard
+        FROM documents
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT source) AS n_sources,
+           min_by(doc_id, order_key) AS first_doc,
+           max_by(doc_id, order_key) AS last_doc
+    FROM sh GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding
+    (operators/corpus.shard_shuffle): seeded md5 order key, 16 shards from
+    its first hex char — map-only until the one per-shard rollup here
+    (at 100 TB: repartition(shard) + sortWithinPartitions(order_key) on
+    write, exactly one exchange, no global sort). Audited per shard:
+    doc/source counts, token mass, shuffle-order endpoints."""
+    from science_datalake_spark.operators.corpus import shard_shuffle
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sh = shard_shuffle(
+        d.withColumn("n_tokens", T.token_count(F.col("text"))),
+        "doc_id",
+        seed=42,
+        shard_hex_chars=1,
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min_by("doc_id", "order_key").alias("first_doc"),
+            F.max_by("doc_id", "order_key").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -268,3 +268,39 @@ def test_upsampled_mix_deterministic_and_degrades_to_plain(spark):
         ).collect()
     )
     assert c == e
+
+
+# --- shard_shuffle (round 9) -------------------------------------------------
+
+
+def test_shard_shuffle_deterministic_and_complete(spark):
+    from science_datalake_spark.operators.corpus import shard_shuffle
+
+    d = _docs(spark)
+    a = shard_shuffle(d, "doc_id", seed=7).collect()
+    b = shard_shuffle(d.repartition(5), "doc_id", seed=7).collect()
+    assert {(r["doc_id"], r["shard"], r["order_key"]) for r in a} == {
+        (r["doc_id"], r["shard"], r["order_key"]) for r in b
+    }
+    # every row kept, shard is the order key's first hex char
+    assert len(a) == 30
+    assert all(r["shard"] == r["order_key"][0] for r in a)
+
+
+def test_shard_shuffle_seed_changes_order_not_membership(spark):
+    from science_datalake_spark.operators.corpus import shard_shuffle
+
+    d = _docs(spark)
+    s1 = {r["doc_id"]: r["order_key"] for r in shard_shuffle(d, "doc_id", seed=1).collect()}
+    s2 = {r["doc_id"]: r["order_key"] for r in shard_shuffle(d, "doc_id", seed=2).collect()}
+    assert set(s1) == set(s2)  # same documents
+    assert s1 != s2  # different permutation
+
+
+def test_shard_shuffle_is_map_only(spark):
+    """No exchange is introduced: the plan must be scan+project only."""
+    from science_datalake_spark.operators.corpus import shard_shuffle
+
+    d = _docs(spark)
+    plan = shard_shuffle(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

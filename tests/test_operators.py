@@ -1527,3 +1527,39 @@ def test_strip_repeated_spans_overlap_union_and_hash_parity(spark):
         assert got[5] == (0, 0, "")
         assert got[6] == (0, 0, "")
         assert got[7] == (3, 0, "mixed whitespace padding")
+
+
+# --- keep_best_per_key (round 9 policy dedup) --------------------------------
+
+
+def test_keep_best_per_key_picks_quality_winner(spark):
+    from science_datalake_spark.operators.dedup import keep_best_per_key
+
+    rows = [
+        (1, "k1", 0.2),
+        (2, "k1", 0.9),  # winner of k1
+        (3, "k1", 0.9),  # quality tie -> lower id 2 still wins
+        (4, "k2", 0.1),  # singleton keeps itself
+    ]
+    d = spark.createDataFrame(rows, "doc_id INT, key STRING, q DOUBLE")
+    out = keep_best_per_key(
+        d, "doc_id", F.col("key"), [F.col("q").desc(), F.col("doc_id")]
+    )
+    got = {r["doc_id"]: (r["best_id"], r["group_size"], r["is_kept"]) for r in out.collect()}
+    assert got[1] == (2, 3, False)
+    assert got[2] == (2, 3, True)
+    assert got[3] == (2, 3, False)
+    assert got[4] == (4, 1, True)
+
+
+def test_keep_best_per_key_deterministic_across_partitionings(spark):
+    from science_datalake_spark.operators.dedup import keep_best_per_key
+
+    rows = [(i, f"k{i % 4}", float((i * 7) % 10)) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id INT, key STRING, q DOUBLE")
+    order = [F.col("q").desc(), F.col("doc_id")]
+    a = keep_best_per_key(d, "doc_id", F.col("key"), order).collect()
+    b = keep_best_per_key(d.repartition(9), "doc_id", F.col("key"), order).collect()
+    assert {(r["doc_id"], r["best_id"]) for r in a} == {
+        (r["doc_id"], r["best_id"]) for r in b
+    }
