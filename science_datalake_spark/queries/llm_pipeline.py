@@ -2559,3 +2559,77 @@ def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def _source_overlap_oracle() -> str:
+    """Twin of lsh pairs → doc→source joins → symmetric source matrix,
+    on the 4-source shard (same body reuse as _cluster_oracle)."""
+    srcs = ", ".join(f"'{s}'" for s in _CLUSTER_SOURCES)
+    pairs_body = _minhash_oracle().rsplit("ORDER BY", 1)[0]
+    pairs_body = pairs_body.replace(
+        "FROM documents", f"FROM documents WHERE source IN ({srcs})"
+    )
+    return f"""
+    WITH pairs AS ({pairs_body})
+    SELECT least(da.source, db.source)    AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           count(*) AS n_pairs,
+           count(DISTINCT CASE WHEN da.source <= db.source
+                               THEN p.id_a ELSE p.id_b END) AS n_docs_lo,
+           count(DISTINCT CASE WHEN da.source <= db.source
+                               THEN p.id_b ELSE p.id_a END) AS n_docs_hi
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY src_lo, src_hi
+    ORDER BY src_lo, src_hi
+    """
+
+
+@query(
+    "dedup_source_overlap",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle=_source_overlap_oracle(),
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: which sources near-duplicate
+    which (crawl A re-hosting crawl B is the usual 100 TB surprise, and
+    this is the audit that finds it before mixing weights are chosen).
+    LSH candidate pairs on the 4-source shard, each endpoint joined to
+    its source, rolled up per unordered source pair with distinct-doc
+    counts per side. Scale: the pair relation is bucket-capped (linear),
+    and the two doc→source joins shuffle on doc_id only — no new
+    self-join, no pair-side blowup."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(*_CLUSTER_SOURCES))
+        .select("doc_id", "source", "text")
+    )
+    sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
+    pairs = D.lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=_NUM_HASHES, max_bucket=_LSH_MAX_BUCKET
+    )
+    src = d.select("doc_id", "source")
+    j = (
+        pairs.join(src.alias("sa"), pairs["id_a"] == F.col("sa.doc_id"))
+        .join(src.alias("sb"), pairs["id_b"] == F.col("sb.doc_id"))
+        .select(
+            F.least("sa.source", "sb.source").alias("src_lo"),
+            F.greatest("sa.source", "sb.source").alias("src_hi"),
+            F.when(F.col("sa.source") <= F.col("sb.source"), pairs["id_a"])
+            .otherwise(pairs["id_b"])
+            .alias("doc_lo"),
+            F.when(F.col("sa.source") <= F.col("sb.source"), pairs["id_b"])
+            .otherwise(pairs["id_a"])
+            .alias("doc_hi"),
+        )
+    )
+    return (
+        j.groupBy("src_lo", "src_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_lo").alias("n_docs_lo"),
+            F.countDistinct("doc_hi").alias("n_docs_hi"),
+        )
+        .orderBy("src_lo", "src_hi")
+    )
