@@ -229,3 +229,20 @@ def test_span_dedup_plan_shape(spark, sf_oracle):
     assert "Window" not in p, p
     assert "xxhash64" in p, p  # keys hashed before the explode
     assert plans.count_exchanges(df) <= 5, p
+
+
+def test_keep_best_single_window_shuffle(spark, sf_oracle):
+    """Policy dedup (round 9) is ONE key-partitioned window pass + the
+    final presentation sort — no join, no second data shuffle."""
+    df = QUERIES["dedup_keep_best"](spark, sf_oracle)
+    assert plans.count_exchanges(df) <= 2, plans.physical_plan(df)
+
+
+def test_shard_shuffle_rollup_single_agg_shuffle(spark, sf_oracle):
+    """Shard assignment is map-only; the per-shard audit pays one hash
+    aggregate exchange (+ presentation sort). countDistinct expands to an
+    extra partial, so allow 3 — but never a join or window."""
+    df = QUERIES["corpus_shard_shuffle"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    assert plans.count_exchanges(df) <= 3, p
+    assert "Join" not in p and "Window" not in p, p
