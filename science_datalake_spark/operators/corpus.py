@@ -393,3 +393,46 @@ def shard_shuffle(
     return docs.withColumn("order_key", order_key).withColumn(
         "shard", F.substring(F.col("order_key"), 1, shard_hex_chars)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    fingerprint_col: str,
+) -> DataFrame:
+    """Corpus-version audit: classify every document id across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    comparing a content fingerprint (both inputs must already carry
+    ``fingerprint_col`` — textops.fingerprint is the usual key). This is
+    the release gate between corpus v(n) and v(n+1): how much churned,
+    and where.
+
+    ONE full-outer hash join on the id — the only scale-correct shape
+    (anti-join per status would scan both sides three times). All other
+    columns ride along COALESCEd from whichever side is present, so the
+    caller can roll up by source/lang without a second join.
+    """
+    o = old.select(
+        F.col(id_col).alias("__id_o"),
+        F.col(fingerprint_col).alias("__fp_o"),
+        *[F.col(c).alias(f"__o_{c}") for c in old.columns if c not in (id_col, fingerprint_col)],
+    )
+    n = new.select(
+        F.col(id_col).alias("__id_n"),
+        F.col(fingerprint_col).alias("__fp_n"),
+        *[F.col(c).alias(f"__n_{c}") for c in new.columns if c not in (id_col, fingerprint_col)],
+    )
+    j = o.join(n, o["__id_o"] == n["__id_n"], "full_outer")
+    status = (
+        F.when(F.col("__id_o").isNull(), F.lit("added"))
+        .when(F.col("__id_n").isNull(), F.lit("removed"))
+        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    shared = [c for c in old.columns if c in new.columns and c not in (id_col, fingerprint_col)]
+    return j.select(
+        F.coalesce("__id_o", "__id_n").alias(id_col),
+        status.alias("status"),
+        *[F.coalesce(f"__n_{c}", f"__o_{c}").alias(c) for c in shared],
+    )

@@ -2633,3 +2633,68 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_lo", "src_hi")
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents WHERE doc_id % 7 != 0
+    ),
+    new AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(substr(
+                   CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END,
+                   1, 200)), '\\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT coalesce(n.source, o.source) AS source,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp != n.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           count(*) AS n_docs
+    FROM old o
+    FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version release audit (operators/corpus.snapshot_diff):
+    added/removed/changed/unchanged per source between two snapshots —
+    simulated deterministically from the fixture (v1 drops doc_id%7==0,
+    v2 drops %5==0 and rewrites %3==0), so both engines derive identical
+    versions. One full-outer hash join on doc_id, then one rollup; never
+    the three anti-join rescans."""
+    from science_datalake_spark.operators.corpus import snapshot_diff
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    old = d.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "fp", T.fingerprint(F.col("text"))
+    )
+    new = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("fp", T.fingerprint(F.col("text")))
+    )
+    diff = snapshot_diff(
+        old.select("doc_id", "source", "fp"),
+        new.select("doc_id", "source", "fp"),
+        "doc_id",
+        "fp",
+    )
+    return (
+        diff.groupBy("source", "status")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "status")
+    )

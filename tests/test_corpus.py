@@ -304,3 +304,39 @@ def test_shard_shuffle_is_map_only(spark):
     d = _docs(spark)
     plan = shard_shuffle(d, "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- snapshot_diff (round 9) ---------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from science_datalake_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s0", "fpA"), (2, "s0", "fpB"), (3, "s1", "fpC")],
+        "doc_id INT, source STRING, fp STRING",
+    )
+    new = spark.createDataFrame(
+        [(2, "s0", "fpB"), (3, "s1", "fpC2"), (4, "s1", "fpD")],
+        "doc_id INT, source STRING, fp STRING",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new, "doc_id", "fp").collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_diff_single_join(spark):
+    from science_datalake_spark import plans
+    from science_datalake_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame([(1, "s", "a")], "doc_id INT, source STRING, fp STRING")
+    new = spark.createDataFrame([(1, "s", "a")], "doc_id INT, source STRING, fp STRING")
+    out = snapshot_diff(old, new, "doc_id", "fp")
+    p = plans.physical_plan(out)
+    # formatted plans repeat node names in the detail section — count the
+    # numbered detail entries, one per physical node
+    import re
+
+    joins = re.findall(r"^\(\d+\) \S*Join", p, flags=re.M)
+    assert len(joins) == 1, p
+    # source rides along coalesced — no second join to recover attributes
+    assert "source" in out.columns and "status" in out.columns
