@@ -421,3 +421,61 @@ def sparql_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ?parent
     """
     return sparql_select(triples, q).orderBy("parent")
+
+
+@query(
+    "sparql_path_range",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle=f"""
+    WITH edges(child, parent) AS (VALUES
+        ('{_C}physics',   '{_C}science'),
+        ('{_C}quantum',   '{_C}physics'),
+        ('{_C}optics',    '{_C}physics'),
+        ('{_C}qft',       '{_C}quantum'),
+        ('{_C}chemistry', '{_C}science'),
+        ('{_C}biology',   '{_C}science'),
+        ('{_C}genetics',  '{_C}biology')
+    ),
+    labels(id, label) AS (VALUES
+        ('{_C}science',   'Science'),
+        ('{_C}physics',   'Physics'),
+        ('{_C}physics',   'Physik'),
+        ('{_C}quantum',   'Quantum mechanics'),
+        ('{_C}optics',    'Optics'),
+        ('{_C}qft',       'Quantum field theory'),
+        ('{_C}chemistry', 'Chemistry'),
+        ('{_C}biology',   'Biology'),
+        ('{_C}genetics',  'Genetics')
+    ),
+    hops AS (
+        SELECT parent AS concept FROM edges WHERE child = '{_C}qft'
+        UNION
+        SELECT e2.parent FROM edges e1
+        JOIN edges e2 ON e2.child = e1.parent
+        WHERE e1.child = '{_C}qft'
+    )
+    SELECT h.concept, l.label
+    FROM hops h JOIN labels l ON l.id = h.concept
+    ORDER BY concept, label
+    """,
+)
+def sparql_path_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL range-quantified property path (``skos:broader{1,2}`` —
+    the draft-era bounded repetition several engines kept): ancestors of
+    qft exactly 1 or 2 hops up, joined to their prefLabels (physics binds
+    both its @en and @de labels). Lowered to a finite union of edge
+    powers by sparql.py's group_df; the DuckDB twin enumerates the same
+    two hop lengths as explicit joins."""
+    from science_datalake_spark.sources.ontology import parse_turtle
+    from science_datalake_spark.sparql import quads_to_triples_df, sparql_select
+
+    triples = quads_to_triples_df(spark, parse_turtle(_TTL_FIXTURE))
+    q = """
+    PREFIX skos: <http://www.w3.org/2004/02/skos/core#>
+    PREFIX c: <https://ex.org/concepts/>
+    SELECT ?concept ?label WHERE {
+        c:qft skos:broader{1,2} ?concept .
+        ?concept skos:prefLabel ?label
+    }
+    """
+    return sparql_select(triples, q).orderBy("concept", "label")

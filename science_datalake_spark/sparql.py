@@ -90,9 +90,12 @@ Supported subset:
   whitespace-separated ``+ - * /`` arithmetic (try_cast-numeric)
 - ``VALUES ?x { ... }`` / ``VALUES (?x ?y) { (...) (...) }`` inline
   data blocks (UNDEF → NULL binding), joined like any pattern
-The only path syntax left out is the draft-era ``{n,m}`` range
-quantifier (dropped from the SPARQL 1.1 REC) — rewrite as an explicit
-``/``-sequence, or materialize a view with the DataFrame API. Path evaluation runs
+The draft-era ``{n}``/``{n,}``/``{n,m}`` range quantifier (dropped from
+the SPARQL 1.1 REC, kept by several engines) is supported on predicates,
+groups and negated sets: the bounded form is a union of edge powers
+(the bound is a query literal, so the plan stays finite), the open form
+composes the n-hop floor with the 1..∞ closure, and ``{0,…}`` joins the
+ZeroLengthPath union exactly like ``*``. Path evaluation runs
 the closure's fixed-point loop EAGERLY (one count action per round);
 everything else stays lazy. Caveat vs full SPARQL
 semantics: a variable bound to NULL by OPTIONAL/UNION padding does not
@@ -172,10 +175,12 @@ class _PathGroup:
     ``PathPrimary ::= ... | '(' Path ')'`` composed with ``PathMod``, and
     the same node carries quantified negated sets (``!(a|b)*``: grammar
     puts the modifier on the PathElt wrapping the set). ``inner`` is any
-    path AST (step/seq/alt/negated set); ``mod`` ∈ {None, '*', '+', '?'}."""
+    path AST (step/seq/alt/negated set); ``mod`` ∈ {None, '*', '+', '?'}
+    or ``("range", lo, hi)`` for the ``{n}``/``{n,}``/``{n,m}`` bounded
+    repetition (hi=None for the open form)."""
 
     inner: object
-    mod: str | None = None
+    mod: "str | tuple | None" = None
 
 
 @dataclass(frozen=True)
@@ -589,11 +594,41 @@ class _Parser:
             branches.append(self.parse_path_seq(self.parse_path_step()))
         return _PathAlt(tuple(branches)) if len(branches) > 1 else branches[0]
 
-    def _path_modifier(self) -> str | None:
+    def _path_modifier(self) -> "str | tuple | None":
         nxt = self.peek()
         if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+", "?"):
             self.i += 1
             return nxt[1]
+        if nxt is not None and nxt[1] == "{":
+            # {n} / {n,} / {n,m} range quantifier — draft-era SPARQL 1.1
+            # (dropped from the REC but retained by several engines);
+            # returns ("range", lo, hi) with hi=None for the open form.
+            save = self.i
+            self.i += 1
+            tok = self.next()
+            if tok[0] != "num" or not tok[1].isdigit():
+                # a '{' that doesn't open digits is a graph-pattern brace
+                self.i = save
+                return None
+            lo = int(tok[1])
+            hi: int | None = lo
+            tok = self.next()
+            if tok[1] == ",":
+                if self.peek() is not None and self.peek()[0] == "num":
+                    t2 = self.next()
+                    if not t2[1].isdigit():
+                        raise SparqlError(f"malformed path quantifier bound: {t2[1]!r}")
+                    hi = int(t2[1])
+                else:
+                    hi = None
+                tok = self.next()
+            if tok[1] != "}":
+                raise SparqlError("malformed {n,m} path quantifier")
+            if hi is not None and hi < lo:
+                raise SparqlError(
+                    f"path quantifier upper bound below lower: {{{lo},{hi}}}"
+                )
+            return ("range", lo, hi)
         return None
 
     def parse_path_step(self, allow_var: bool = False):
@@ -631,10 +666,13 @@ class _Parser:
                 return t
             if t.kind != "iri":
                 raise SparqlError(f"predicate must be an IRI, got {t.kind}")
-            nxt = self.peek()
-            if nxt is not None and nxt[0] == "word" and nxt[1] in ("*", "+", "?"):
-                self.i += 1
-                pred = _Path(t.value, nxt[1])
+            mod = self._path_modifier()
+            if isinstance(mod, tuple):
+                # p{n,m}: bounded repetition lowers through the grouped-path
+                # machinery (the single-predicate edge set IS the group edge)
+                pred = _PathGroup(t, mod)
+            elif mod is not None:
+                pred = _Path(t.value, mod)
             else:
                 pred = t
         if inverse:
@@ -1331,13 +1369,57 @@ def _eval_group(triples: DataFrame, group: _Group) -> DataFrame:
 
         spark = triples.sparkSession
         edges = path_pairs(grp.inner)
+
+        def compose(l: DataFrame, r: DataFrame) -> DataFrame:
+            """Path concatenation: join through the shared midpoint."""
+            return (
+                l.alias("l")
+                .join(r.alias("r"), F.col("l.d") == F.col("r.a"))
+                .select(F.col("l.a").alias("a"), F.col("r.d").alias("d"))
+                .distinct()
+            )
+
         if grp.mod == "+":
             pairs = transitive_closure(edges, src="a", dst="d")
         elif grp.mod == "*":
             pairs = transitive_closure(edges, src="a", dst="d")
+        elif isinstance(grp.mod, tuple):
+            # ("range", lo, hi): paths of length lo..hi (hi=None → lo..∞),
+            # set semantics like every quantifier here. Bounded form is an
+            # explicit union of edge powers (hi is small by construction —
+            # it is a literal in the query text); the open form composes
+            # the lo-hop floor with the 1..∞ closure. Zero-length (lo=0)
+            # joins the shared '*'-style union below.
+            _, lo, hi = grp.mod
+            if hi is None:
+                clo = transitive_closure(edges, src="a", dst="d")
+                if lo <= 1:
+                    pairs = clo
+                else:
+                    base = edges
+                    for _ in range(lo - 1):
+                        base = compose(base, edges)
+                    pairs = base.unionByName(compose(base, clo)).distinct()
+            elif hi == 0:
+                pairs = edges.limit(0)  # zero-length only ({0}/{0,0})
+            else:
+                powers: list[DataFrame] = []
+                cur = edges
+                for k in range(1, hi + 1):
+                    if k >= max(lo, 1):
+                        powers.append(cur)
+                    if k < hi:
+                        cur = compose(cur, edges)
+                pairs = powers[0]
+                for p in powers[1:]:
+                    pairs = pairs.unionByName(p)
+                pairs = pairs.distinct()
         else:  # '?' or plain grouping
             pairs = edges
-        if grp.mod in ("*", "?"):
+        zero_matches = grp.mod in ("*", "?") or (
+            isinstance(grp.mod, tuple) and grp.mod[1] == 0
+        )
+        if zero_matches:
             if s.kind == "var" and o.kind == "var":
                 nodes = (
                     triples.select(F.col("s").alias("a"))

@@ -1350,3 +1350,92 @@ def test_quantified_negated_sets(spark, triples):
         "http://ex.org/ml",
         "http://www.w3.org/2004/02/skos/core#Concept",
     }
+
+
+# --- {n,m} range quantifier (round 9) ----------------------------------------
+
+
+def test_path_range_exact_n(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{2} ?a }"
+        ).collect()
+    }
+    assert got == {"e/physics"}
+
+
+def test_path_range_bounded(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{1,2} ?a }"
+        ).collect()
+    }
+    assert got == {"e/quantum", "e/physics"}
+
+
+def test_path_range_zero_lower_includes_zero_length(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{0,1} ?a }"
+        ).collect()
+    }
+    assert got == {"e/qft", "e/quantum"}
+
+
+def test_path_range_open_upper(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{2,} ?a }"
+        ).collect()
+    }
+    assert got == {"e/physics", "e/science"}
+
+
+def test_path_range_zero_only(spark, chain):
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{0} ?a }"
+        ).collect()
+    }
+    assert got == {"e/qft"}
+
+
+def test_path_range_on_group(spark, chain):
+    """(p/p){1,2}: the 2-hop edge relation repeated once or twice."""
+    got = {
+        r["a"]
+        for r in sparql_select(
+            chain,
+            _P + "SELECT ?a WHERE { <e/qft> (skos:broader/skos:broader){1,2} ?a }",
+        ).collect()
+    }
+    assert got == {"e/physics"}
+
+
+def test_path_range_equals_explicit_sequence(spark, chain):
+    """p{2} ≡ p/p on every endpoint pair (var-var form)."""
+    rng = sparql_select(
+        chain, _P + "SELECT ?s ?a WHERE { ?s skos:broader{2} ?a }"
+    )
+    seq = sparql_select(
+        chain, _P + "SELECT ?s ?a WHERE { ?s skos:broader/skos:broader ?a }"
+    )
+    assert {(r["s"], r["a"]) for r in rng.collect()} == {
+        (r["s"], r["a"]) for r in seq.collect()
+    }
+
+
+def test_path_range_bad_bounds_raise(spark, chain):
+    import pytest as _pytest
+
+    from science_datalake_spark.sparql import SparqlError
+
+    with _pytest.raises(SparqlError):
+        sparql_select(
+            chain, _P + "SELECT ?a WHERE { <e/qft> skos:broader{3,2} ?a }"
+        )
