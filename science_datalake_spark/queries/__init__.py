@@ -111,11 +111,20 @@ def query(
 # events_funnel (events keeps sessionize/cohort/gap), sparql_count_group
 # (sparql keeps agg_stats/leaf_profile/path_ancestors),
 # dedup_ngram_jaccard (dedup keeps 6 rows).
+# Round-9 third wave (same-round additions get rows immediately): the five
+# queries ADDED late this round rotate IN — dedup_keep_best (policy dedup),
+# corpus_shard_shuffle, dedup_source_overlap, corpus_snapshot_diff,
+# sparql_path_range ({n,m} quantifier). Five entries with >=2 rounds of
+# driver evidence rest in aux, keeping every family represented:
+# events_gap_stats (events keeps sessionize/cohort), sparql_leaf_profile
+# (sparql keeps agg_stats/path_ancestors + the new path_range), join_asof
+# (joins keep range_overlap/anti_semi), text_repetition_stats (text keeps
+# 8 rows), vignette_retraction_profile (vignettes keep 4 rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap",
-    "events_gap_stats",
-    "sparql_leaf_profile",
-    "vignette_retraction_profile",
+    "corpus_snapshot_diff",
+    "sparql_path_range",
+    "dedup_keep_best",
     "vignette_disruption_by_code",
     "q3_top_unshipped_orders",
     "top_customers_flagged",
@@ -134,10 +143,10 @@ DRIVER_ORDER: list[str] = [
     "text_ppl_buckets",
     "llm_curation_funnel",
     "vignette_citation_reliability",
-    "text_repetition_stats",
+    "dedup_source_overlap",
     "dedup_winnow_overlap",
     "events_sessionize",
-    "join_asof",
+    "corpus_shard_shuffle",
     "unify_coverage",
     "linkage_fuzzy_jw",
     "linkage_knn_best_match",

@@ -1207,6 +1207,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_asof",
+    aux=True,  # rested round 9 wave 3 (>=2 rounds driver-green; parity continues)
     oracle="""
     SELECT c.event_id, c.user_id, c.ts,
            e.ts AS right_ts, e.event_id AS right_event_id
@@ -1520,7 +1521,7 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_gap_stats",
-    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
+    aux=True,  # rested round 9 wave 3 (driver-green r7+r8; parity continues)
     oracle="""
     WITH g AS (
         SELECT user_id,

@@ -1588,6 +1588,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_repetition_stats",
+    aux=True,  # rested round 9 wave 3 (>=2 rounds driver-green; parity continues)
     oracle=f"""
     WITH w AS (
         SELECT doc_id, {_WORDS} AS words FROM documents WHERE doc_id < 300
@@ -2468,7 +2469,7 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle=f"""
     WITH scored AS (
         SELECT doc_id,
@@ -2515,7 +2516,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_shard_shuffle",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -2588,7 +2589,7 @@ def _source_overlap_oracle() -> str:
 
 @query(
     "dedup_source_overlap",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle=_source_overlap_oracle(),
 )
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2637,7 +2638,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_snapshot_diff",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle="""
     WITH old AS (
         SELECT doc_id, source,

@@ -182,7 +182,7 @@ def sparql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_leaf_profile",
-    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
+    aux=True,  # rested round 9 wave 3 (driver-green r7+r8; parity continues)
     oracle=f"""
     WITH broader(c, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),
@@ -425,7 +425,7 @@ def sparql_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_path_range",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle=f"""
     WITH edges(child, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),

@@ -486,7 +486,7 @@ def vignette_topic_patent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "vignette_retraction_profile",
-    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
+    aux=True,  # rested round 9 wave 3 (driver-green r7+r8; parity continues)
     oracle=_unify_ctes()
     + """
     SELECT CASE WHEN has_retraction THEN 'Retracted'
