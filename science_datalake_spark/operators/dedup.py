@@ -424,6 +424,30 @@ def ngram_jaccard_pairs(
     return _materialize_release(scored, shingles, slot="ngram_jaccard_pairs")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    hash_keys: bool = True,
+) -> DataFrame:
+    """Broder containment on top of :func:`ngram_jaccard_pairs`:
+    ``containment = inter / min(size_a, size_b)`` — the fraction of the
+    SMALLER document's shingles present in the larger one. Jaccard
+    dilutes when sizes differ (a page quoted inside a 100× larger doc
+    scores ~0.01 Jaccard but 1.0 containment), so sub-document
+    duplication — quote farms, aggregator pages, boilerplate-wrapped
+    copies — needs this measure, not Jaccard. Same plan as the Jaccard
+    pass (the min() is one extra map-side expression); same candidate-
+    verification contract (feed LSH candidates at scale, not a corpus).
+    """
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, hash_keys=hash_keys)
+    return pairs.withColumn(
+        "containment",
+        F.round(F.col("inter") / F.least("size_a", "size_b"), 4),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     id_col: str,

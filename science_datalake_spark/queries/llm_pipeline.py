@@ -2699,3 +2699,64 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "status")
     )
+
+
+@query(
+    "dedup_containment",
+    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    oracle=f"""
+    WITH sub AS (
+        SELECT doc_id, text FROM documents
+        WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    w AS (SELECT doc_id, {_WORDS} AS words FROM sub),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                      i -> array_to_string(list_slice(words, i, i + 2), ' '))) AS ng
+        FROM w WHERE len(words) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ng GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM ng a JOIN ng b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT id_a, id_b, inter,
+               CAST(sa.sz AS BIGINT) AS size_a,
+               CAST(sb.sz AS BIGINT) AS size_b,
+               CAST(round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4)
+                    AS DOUBLE) AS jaccard,
+               CAST(round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 4)
+                    AS DOUBLE) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a, id_b, inter, size_a, size_b, jaccard, containment
+    FROM scored
+    ORDER BY containment DESC, jaccard ASC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment verification
+    (operators/dedup.ngram_containment_pairs): pairs where the SMALLER
+    document's shingles are mostly inside the larger one — the
+    sub-document duplication Jaccard-threshold dedup misses (a quoted
+    page inside a 100x larger doc is ~0.01 Jaccard, 1.0 containment).
+    Ordered so the highest-containment/lowest-Jaccard pairs — exactly
+    the ones only this measure finds — surface first. Same
+    source-restricted shard and plan shape as dedup_ngram_jaccard."""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+        .select("doc_id", "text")
+    )
+    pairs = D.ngram_containment_pairs(d, "doc_id", "text", n=3)
+    return (
+        pairs.orderBy(F.desc("containment"), F.asc("jaccard"), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard", "containment")
+    )

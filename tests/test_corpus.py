@@ -340,3 +340,16 @@ def test_snapshot_diff_single_join(spark):
     assert len(joins) == 1, p
     # source rides along coalesced — no second join to recover attributes
     assert "source" in out.columns and "status" in out.columns
+
+
+def test_containment_catches_subdocument_dup(spark):
+    """A small doc fully quoted inside a much larger one: containment 1.0
+    while Jaccard stays low — the case Jaccard-threshold dedup misses."""
+    from science_datalake_spark.operators.dedup import ngram_containment_pairs
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"tok{i} filler{i} pad{i}" for i in range(30))
+    d = spark.createDataFrame([(1, small), (2, big)], "doc_id INT, text STRING")
+    row = ngram_containment_pairs(d, "doc_id", "text", n=3).collect()[0]
+    assert row["containment"] == 1.0
+    assert row["jaccard"] < 0.2
