@@ -318,3 +318,40 @@ def test_stream_pack_greedy_state_carries_open_bin(spark, tmp_path):
         )
     }
     assert spans, "test data never exercised the cross-batch bin carry-over"
+
+
+def test_shard_shuffle_streams_unchanged(spark, tmp_path):
+    """corpus.shard_shuffle is map-only, so the SAME operator runs on a
+    stream without modification (stateless projection — no watermark, no
+    state store) and assigns the identical (order_key, shard) per id as
+    the batch twin: the durable training-shard write path can ingest
+    incrementally."""
+    import json as _json
+
+    from science_datalake_spark.operators.corpus import shard_shuffle
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    for fi in range(2):
+        with open(src / f"docs-{fi}.json", "w") as f:
+            for i in range(25):
+                f.write(_json.dumps({"doc_id": fi * 25 + i, "text": f"doc {i}"}) + "\n")
+    schema = "doc_id LONG, text STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    assert stream.isStreaming
+    sharded = shard_shuffle(stream, "doc_id", seed=11)
+    assert sharded.isStreaming  # stateless: still a plain streaming projection
+    run_available_now(
+        sharded, str(tmp_path / "ckpt_shard"), "shard_stream", output_mode="append"
+    )
+    got = {
+        (r["doc_id"], r["order_key"], r["shard"])
+        for r in spark.sql("SELECT doc_id, order_key, shard FROM shard_stream").collect()
+    }
+    batch = {
+        (r["doc_id"], r["order_key"], r["shard"])
+        for r in shard_shuffle(
+            spark.read.schema(schema).json(str(src)), "doc_id", seed=11
+        ).collect()
+    }
+    assert got == batch and len(got) == 50
