@@ -139,7 +139,7 @@ DRIVER_ORDER: list[str] = [
     "sim_ivf_durable",
     "asset_phash_pairs",
     "text_compression_ratio",
-    "text_intra_dedup",
+    "dedup_containment",
     "text_ppl_buckets",
     "llm_curation_funnel",
     "vignette_citation_reliability",

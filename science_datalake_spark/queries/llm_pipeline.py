@@ -2055,6 +2055,7 @@ def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_intra_dedup",
+    aux=True,  # rested round 9 wave 4 (driver-green r7+r8; parity continues)
     oracle="""
     WITH parts AS (
         SELECT doc_id, str_split(text, ' ') AS p FROM documents
@@ -2703,7 +2704,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment",
-    aux=True,  # new round 9: parity-gated now, driver-rotation candidate
+    # rotated INTO driver round 9 wave 4 (added this round; no driver row yet)
     oracle=f"""
     WITH sub AS (
         SELECT doc_id, text FROM documents
