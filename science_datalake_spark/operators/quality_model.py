@@ -36,6 +36,35 @@ _GRAMS_COL = "__qm_grams"
 _FEAT_COL = "__qm_features"
 
 
+def _hadoop_fs_path(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` under the session's Hadoop conf —
+    the same resolution Spark ML's writer uses, so artifact halves always
+    land on one filesystem (local, hdfs://, s3a://, ...)."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[attr-defined]
+    return fs, jpath
+
+
+def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _hadoop_fs_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _hadoop_fs_path(spark, path)
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both ends even on a short read
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return baos.toString("UTF-8")
+
+
 def _featurize(df: DataFrame, text_col: str, num_features: int, ngram: int):
     """words + word-bigrams → hashed count vector (the fastText recipe:
     unigrams and bigrams share one hash space)."""
@@ -112,7 +141,12 @@ class QualityModel:
     attribute on the Spark ML model is lost across save/load): ``save``
     writes the LogisticRegressionModel via Spark ML's own writer under
     ``<path>/model`` and the featurization config as a JSON sidecar at
-    ``<path>/featurization.json``; ``QualityModel.load`` restores both."""
+    ``<path>/featurization.json``; ``QualityModel.load`` restores both.
+    The sidecar goes through the SAME Hadoop filesystem that resolves the
+    model path (round-9 ADVICE: a local ``open()`` next to a Hadoop-path
+    writer silently splits the artifact when the default FS is hdfs/s3 —
+    the model lands remote, the sidecar lands on one executor-less local
+    disk, and ``load`` fails)."""
 
     model: object  # pyspark.ml.classification.LogisticRegressionModel
     text_col: str
@@ -129,16 +163,21 @@ class QualityModel:
             "num_features": self.num_features,
             "ngram": self.ngram,
         }
-        with open(os.path.join(path, "featurization.json"), "w") as f:
-            json.dump(conf, f)
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("QualityModel.save requires an active SparkSession")
+        _hadoop_write_text(
+            spark, os.path.join(path, "featurization.json"), json.dumps(conf)
+        )
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "QualityModel":
         from pyspark.ml.classification import LogisticRegressionModel
 
         model = LogisticRegressionModel.load(os.path.join(path, "model"))
-        with open(os.path.join(path, "featurization.json")) as f:
-            conf = json.load(f)
+        conf = json.loads(
+            _hadoop_read_text(spark, os.path.join(path, "featurization.json"))
+        )
         return cls(model, conf["text_col"], conf["num_features"], conf["ngram"])
 
 

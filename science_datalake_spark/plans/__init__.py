@@ -63,6 +63,19 @@ def is_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
 
 
+def count_broadcast_hints(df: DataFrame) -> int:
+    """Number of FORCED broadcast hints surviving analysis (ResolvedHint
+    nodes in the analyzed logical plan). Planner- or AQE-chosen broadcast
+    joins don't count — only explicit ``F.broadcast()`` / ``.hint()``
+    calls. Round-10 policy (round-9 verdict item 1): forced hints are
+    reserved for relations whose cardinality is FIXED (nation/region,
+    codebooks, 1-row aggregates) or contract-bounded (query batches,
+    probe sets); a hint on anything that scales with the data is a latent
+    broadcast OOM at 100× that AQE would have avoided."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # type: ignore[attr-defined]
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """WholeStageCodegen subtree count. NOTE: AQE defers codegen to
     execution time — build ``df`` with ``spark.sql.adaptive.enabled=false``

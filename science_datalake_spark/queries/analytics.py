@@ -398,12 +398,14 @@ def join_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ON 'W'||CAST(oaid AS VARCHAR) = sc.paperid`` and
     ``ON 'https://openalex.org/'||sc.paperid = oa.id`` (SCHEMA.md:174-273).
     Catalyst evaluates the key expression before the shuffle, so this stays
-    a hash join, not a nested loop."""
+    a hash join, not a nested loop. customer scales with the data, so no
+    forced broadcast hint — AQE picks broadcast while it fits (round-10
+    policy: hints only on fixed-cardinality dims)."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     key = F.concat(F.lit("Customer#"), F.lpad(F.col("o_custkey").cast("string"), 9, "0"))
     return (
-        o.join(F.broadcast(c), key == c.c_name)
+        o.join(c, key == c.c_name)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
@@ -489,7 +491,9 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_left_coverage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+J3: left-join fan-in producing coverage flags — the shape of the
     6-way unified_papers join (materialize_unified_papers.py:287-407).
-    Right sides are pre-distinct'd so the left join can't fan out."""
+    Right sides are pre-distinct'd so the left join can't fan out; they
+    are customer-cardinality key sets (scale with the data), so no forced
+    broadcast — AQE decides (round-10 policy)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     all_cust = o.select("o_custkey").distinct().withColumnRenamed("o_custkey", "any_custkey")
@@ -500,8 +504,8 @@ def join_left_coverage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "hv_custkey")
     )
     return (
-        c.join(F.broadcast(all_cust), c.c_custkey == all_cust.any_custkey, "left")
-        .join(F.broadcast(hv_cust), c.c_custkey == hv_cust.hv_custkey, "left")
+        c.join(all_cust, c.c_custkey == all_cust.any_custkey, "left")
+        .join(hv_cust, c.c_custkey == hv_cust.hv_custkey, "left")
         .select(
             "c_custkey",
             F.col("any_custkey").isNotNull().alias("has_orders"),
@@ -529,14 +533,17 @@ def join_left_coverage_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multi_hop_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10: multi-hop lookup chain region→nation→supplier→lineitem, like the
-    doi_map multi-source hop joins (SCHEMA.md:202-209). All hops broadcast —
-    zero shuffles before the final aggregation."""
+    doi_map multi-source hop joins (SCHEMA.md:202-209). nation/region hops
+    broadcast (fixed 25/5 rows); supplier scales with the data, so its hop
+    is AQE's call (round-10 policy: no forced broadcast of data-scaling
+    relations) — zero shuffles before the final aggregation while supplier
+    fits the threshold."""
     r = table(spark, sf_dir, "region")
     n = table(spark, sf_dir, "nation")
     s = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -736,8 +743,8 @@ def agg_upset_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "hv_custkey")
     )
     return (
-        c.join(F.broadcast(all_cust), c.c_custkey == all_cust.any_custkey, "left")
-        .join(F.broadcast(hv_cust), c.c_custkey == hv_cust.hv_custkey, "left")
+        c.join(all_cust, c.c_custkey == all_cust.any_custkey, "left")
+        .join(hv_cust, c.c_custkey == hv_cust.hv_custkey, "left")
         .select(
             F.col("any_custkey").isNotNull().alias("has_orders"),
             F.col("hv_custkey").isNotNull().alias("has_high_value"),

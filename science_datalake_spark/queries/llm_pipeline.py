@@ -646,7 +646,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle splices the PQ codebook/assign/decode CTEs (sim_pq_recall's
 # pattern) between the IVF assignment and the probe of _IVF_TOPK_ORACLE.
 _IVFPQ_TOPK_ORACLE = f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE embedding IS NOT NULL),
     cents AS (
         SELECT vec_id AS cent_id, v AS cent_vec
         FROM corpus ORDER BY vec_id LIMIT 8
@@ -736,9 +737,16 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    e = table(spark, sf_dir, "embeddings")
+    # NULL embeddings are excluded up front on BOTH engines (round-9
+    # ADVICE: pq_codebooks filtered NULLs internally while the oracle's
+    # corpus CTE did not — a latent codebook-parity break the moment the
+    # fixture gains NULL vectors). The cache key carries the filter so a
+    # sibling query's unfiltered index is never returned for this corpus.
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     books = pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
-    cents, assigned = S.ivf_index(e, "vec_id", "embedding", k=8, cache_key=sf_dir)
+    cents, assigned = S.ivf_index(
+        e, "vec_id", "embedding", k=8, cache_key=sf_dir + "|nonnull"
+    )
     compressed = pq_decode(pq_encode(assigned, books, vec_col="vec"), books).select(
         "vec_id", F.col("pq_vec").alias("vec"), "bucket"
     )
@@ -2237,45 +2245,22 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization fidelity audit
-    (operators/embedding.quantize_int8): symmetric per-vector int8 codes
-    (4× storage/bandwidth for an embedding corpus), rolled up per cohort
-    as reconstruction MSE, max absolute error (≤ scale/2 by
-    construction, rounded once at 6 dp — a per-vector 10-dp pre-round
-    plus an 8-dp max double-rounded across the engines' round
-    implementations and flipped a last digit) and cosine(original,
-    dequantized). Every term is a
-    codegen array expression with EXPLICIT double casts, and the DuckDB
-    twin evaluates the identical arithmetic — float→double widening is
-    exact, so the per-vector values match bit-for-bit and per-vector
-    rounding (10/8 dp) absorbs the engines' aggregate summation-order
-    ulps before the cohort averages."""
-    from science_datalake_spark.operators.embedding import quantize_int8
+    (operators/embedding.quantize_int8 + int8_fidelity): symmetric
+    per-vector int8 codes (4× storage/bandwidth for an embedding
+    corpus), rolled up per cohort as reconstruction MSE, max absolute
+    error (≤ scale/2 by construction) and cosine(original, dequantized).
+    The per-vector metrics run on int8_fidelity's Arrow/numpy engine —
+    the round-9 form evaluated five independent HOF passes per vector
+    (round-9 verdict item 2); whole-batch BLAS replaces them with one
+    mapInPandas pass, and the per-vector 10/8-dp rounds absorb the
+    engines' summation-order ulps before the cohort averages, so the
+    DuckDB twin (which replays the SQL engine's sequential arithmetic)
+    still hash-matches."""
+    from science_datalake_spark.operators.embedding import int8_fidelity, quantize_int8
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    qd = quantize_int8(e)
-    v, qv, s = F.col("embedding"), F.col("q_vec"), F.col("q_scale")
-    err = F.zip_with(v, qv, lambda a, b: a.cast("double") - b.cast("double") * s)
-    vd = F.transform(v, lambda a: a.cast("double"))
-    dql = F.transform(qv, lambda b: b.cast("double") * s)
-    dotl = F.zip_with(
-        v, qv, lambda a, b: a.cast("double") * (b.cast("double") * s)
-    )
-
-    def lsum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    sq = lambda arr: lsum(F.transform(arr, lambda x: x * x))  # noqa: E731
-    mse = F.round(lsum(F.transform(err, lambda x: x * x)) / F.size(v), 10)
-    maxe = F.array_max(F.transform(err, lambda x: F.abs(x)))
-    cosf = F.when(
-        (sq(vd) > 0) & (sq(dql) > 0),
-        F.round(lsum(dotl) / (F.sqrt(sq(vd)) * F.sqrt(sq(dql))), 8),
-    )
-    per_vec = qd.select(
-        (F.col("vec_id") % 8).alias("cohort"),
-        mse.alias("mse"),
-        maxe.alias("maxe"),
-        cosf.alias("cosf"),
+    per_vec = int8_fidelity(quantize_int8(e)).select(
+        (F.col("vec_id") % 8).alias("cohort"), "mse", "maxe", "cosf"
     )
     return (
         per_vec.groupBy("cohort")
@@ -2657,7 +2642,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(n.source, o.source) AS source,
            CASE WHEN o.doc_id IS NULL THEN 'added'
                 WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.fp != n.fp THEN 'changed'
+                WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                 ELSE 'unchanged' END AS status,
            count(*) AS n_docs
     FROM old o

@@ -91,8 +91,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join → agg → top-k (J1/J4 + A4 + O1).
 
-    Scale: customer is the small side (1:10 vs orders, 1:40 vs lineitem) —
-    broadcast it so only orders⨝lineitem shuffles on l_orderkey. Top-10 is
+    Scale: customer is the small side (1:10 vs orders, 1:40 vs lineitem,
+    further 1:5 by the segment filter) but it still SCALES WITH THE DATA,
+    so it carries no forced broadcast hint — AQE broadcasts it while it
+    fits the threshold and shuffles it when it outgrows one (the forced
+    hint was the round-9 verdict's latent-OOM class). Top-10 is
     TakeOrderedAndProject: each partition keeps 10 rows, no global sort.
     Tie-break on l_orderkey keeps the limit deterministic.
     """
@@ -101,7 +104,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -133,10 +136,13 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with dim broadcast (J2/J4 multi-hop J10).
 
-    Scale: region/nation/supplier/customer are dimensions → broadcast; the
-    only shuffle is orders⨝lineitem on the order key. This is the same join
-    topology as the reference's unified_papers fan-in where retwatch/pwc
-    sides broadcast (materialize_unified_papers.py:287-407).
+    Scale: region/nation are TRUE dimensions (5/25 rows at any SF) →
+    forced broadcast; supplier and customer scale with the data, so their
+    joins are left to AQE (broadcast while under threshold, shuffle join
+    beyond — the forced hint was the round-9 verdict's latent-OOM class).
+    The big shuffle is orders⨝lineitem on the order key. This is the same
+    join topology as the reference's unified_papers fan-in where
+    retwatch/pwc sides broadcast (materialize_unified_papers.py:287-407).
     """
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = table(spark, sf_dir, "nation")
@@ -149,10 +155,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -203,7 +209,14 @@ def top_customers_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_orders`` becomes a plain count instead of COUNT(DISTINCT) (the
     per-order grain makes orders unique by construction — no expand
     machinery; measured ~20% faster at sf0.1, and the join-side row
-    reduction is what matters at 100 TB). All dim joins broadcast.
+    reduction is what matters at 100 TB). Only the TRUE dimensions
+    (nation, region — fixed 25/5 rows at any SF) carry forced broadcast
+    hints; customer and the ``recent`` key set SCALE WITH THE DATA
+    (round-9 verdict: a forced ``F.broadcast(customer)`` is a latent
+    driver/executor OOM at 100× — tens of millions of rows pinned into
+    a broadcast), so those joins are left to AQE, which broadcasts them
+    while they fit the threshold and falls back to shuffle join when
+    they outgrow it.
     The existence flag comes from a left join against a pre-distinct'd key
     set (exactly how the reference computes has_pwc/has_retraction).
     """
@@ -231,10 +244,10 @@ def top_customers_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("o_custkey", "recent_custkey")
     )
     return (
-        revenue.join(F.broadcast(c), revenue.o_custkey == c.c_custkey)
+        revenue.join(c, revenue.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(recent), F.col("c_custkey") == F.col("recent_custkey"), "left")
+        .join(recent, F.col("c_custkey") == F.col("recent_custkey"), "left")
         .select(
             "c_custkey",
             "c_name",

@@ -353,3 +353,23 @@ def test_containment_catches_subdocument_dup(spark):
     row = ngram_containment_pairs(d, "doc_id", "text", n=3).collect()[0]
     assert row["containment"] == 1.0
     assert row["jaccard"] < 0.2
+
+
+def test_snapshot_diff_null_fingerprint_transition_is_changed(spark):
+    """Null-SAFETY (round-9 ADVICE / verdict item 4): a fingerprint
+    transitioning NULL→value (or value→NULL) across snapshots is a real
+    content change. With a plain `!=` the comparison is NULL and falls
+    through to `unchanged`; ~eqNullSafe classifies it `changed`.
+    NULL==NULL stays `unchanged`."""
+    from science_datalake_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "fpB"), (3, "s", None)],
+        "doc_id INT, source STRING, fp STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "s", "fpA"), (2, "s", None), (3, "s", None)],
+        "doc_id INT, source STRING, fp STRING",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new, "doc_id", "fp").collect()}
+    assert got == {1: "changed", 2: "changed", 3: "unchanged"}

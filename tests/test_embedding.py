@@ -288,7 +288,11 @@ def test_pq_encode_decode_matches_numpy_mirror(spark):
     rng = np.random.RandomState(7)
     rows = [(i, rng.randn(8).astype(float).tolist()) for i in range(40)]
     rows.append((100, None))
-    rows.append((101, [1.0, 2.0]))  # ragged
+    rows.append((101, [1.0, 2.0]))  # ragged (short)
+    # OVER-length (round-9 ADVICE): the SQL engine's per-subspace
+    # `size >= (j+1)*w` guard silently encoded the first d dims; the
+    # wrong-length-to-NULL contract demands NULL from BOTH engines
+    rows.append((102, rng.randn(12).astype(float).tolist()))
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     books = pq_codebooks(df, "vec_id", "embedding", m=4, k=5)
     assert len(books) == 4 and all(len(b) == 5 for b in books)
@@ -509,3 +513,91 @@ def test_quantized_ann_recall(spark):
     assert exact.keys() == approx.keys() and len(exact) > 0
     agree = sum(exact[q] == approx[q] for q in exact)
     assert agree / len(exact) >= 0.9, (agree, len(exact))
+
+
+def test_int8_fidelity_engines_equal_and_match_numpy_mirror(spark):
+    """int8_fidelity's numpy (default) and sql engines must agree
+    row-for-row — including the degenerates the contract names (NULL
+    vector/codes/scale, empty arrays, length mismatch → all-NULL
+    metrics; zero-norm → NULL cosine) — and the happy-path values must
+    match a plain-numpy mirror of the spec."""
+    import math
+
+    import numpy as np
+
+    from science_datalake_spark.operators.embedding import (
+        int8_fidelity,
+        quantize_int8,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, (rng.randn(16) * (1 + i)).astype(np.float32).tolist()) for i in range(25)]
+    rows.append((100, [0.0] * 16))  # zero vector: scale 0, cosine NULL
+    rows.append((101, None))        # NULL embedding
+    base = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    qd = quantize_int8(base)
+    # degenerates quantize_int8 can't produce: length mismatch, NULL scale
+    extra = spark.createDataFrame(
+        [
+            (200, [1.0, 2.0], 0.02, [50, 100, 127]),   # len(v) != len(q)
+            (201, [1.0, 2.0], None, [64, 127]),        # NULL scale
+            (202, [], 0.0, []),                        # empty arrays
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, q_scale DOUBLE, q_vec ARRAY<TINYINT>",
+    )
+    full = qd.unionByName(extra)
+
+    cols = ("vec_id", "mse", "maxe", "cosf")
+    got_np = {r["vec_id"]: r for r in int8_fidelity(full).select(*cols).collect()}
+    got_sql = {
+        r["vec_id"]: r
+        for r in int8_fidelity(full, engine="sql").select(*cols).collect()
+    }
+    assert got_np.keys() == got_sql.keys()
+    for vid in got_np:
+        a, b = got_np[vid], got_sql[vid]
+        for c in ("mse", "maxe", "cosf"):
+            x, y = a[c], b[c]
+            assert (x is None) == (y is None), (vid, c, x, y)
+            if x is not None:
+                assert math.isclose(x, y, rel_tol=0, abs_tol=2e-8), (vid, c, x, y)
+
+    # contract rows
+    for vid in (101, 200, 201, 202):
+        assert got_np[vid]["mse"] is None and got_np[vid]["cosf"] is None, vid
+    assert got_np[100]["mse"] == 0.0 and got_np[100]["maxe"] == 0.0
+    assert got_np[100]["cosf"] is None  # zero norm
+
+    # happy-path mirror
+    by_id = {r["vec_id"]: r for r in qd.collect()}
+    for vid in range(25):
+        v = np.asarray(by_id[vid]["embedding"], dtype=np.float64)
+        dq = np.asarray(by_id[vid]["q_vec"], dtype=np.float64) * by_id[vid]["q_scale"]
+        e = v - dq
+        assert math.isclose(
+            got_np[vid]["mse"], round(float((e * e).sum() / len(v)), 10), abs_tol=2e-10, rel_tol=0
+        ), vid
+        assert math.isclose(got_np[vid]["maxe"], float(np.abs(e).max()), abs_tol=0, rel_tol=1e-12), vid
+        cos = float(np.dot(v, dq) / (np.linalg.norm(v) * np.linalg.norm(dq)))
+        assert math.isclose(got_np[vid]["cosf"], round(cos, 8), abs_tol=2e-8, rel_tol=0), vid
+
+
+def test_int8_fidelity_sql_engine_is_map_only_single_fold(spark):
+    """The sql engine must stay shuffle-free AND evaluate the fused fold
+    ONCE: the accumulator struct is materialized as one column, so the
+    plan contains exactly one `aggregate(` over the zipped array — the
+    round-9 form paid five independent HOF passes per vector."""
+    from science_datalake_spark import plans
+    from science_datalake_spark.operators.embedding import (
+        int8_fidelity,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, -0.4, 0.25])], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    out = int8_fidelity(quantize_int8(df), engine="sql")
+    plan = plans.physical_plan(out)
+    assert "Exchange" not in plan
+    out_np = int8_fidelity(quantize_int8(df))
+    assert "Exchange" not in plans.physical_plan(out_np)

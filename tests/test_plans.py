@@ -246,3 +246,25 @@ def test_shard_shuffle_rollup_single_agg_shuffle(spark, sf_oracle):
     p = plans.physical_plan(df)
     assert plans.count_exchanges(df) <= 3, p
     assert "Join" not in p and "Window" not in p, p
+
+
+def test_no_forced_broadcast_of_data_scaling_relations(spark, sf_oracle):
+    """Round-10 policy (round-9 verdict item 1): forced broadcast hints
+    are reserved for FIXED-cardinality relations (nation 25 / region 5
+    rows at any SF). customer, supplier, and distinct-custkey sets scale
+    with the data — a forced hint on them is a latent broadcast OOM at
+    100×, so those joins are AQE's call. The expected counts pin exactly
+    the nation/region hints and nothing else."""
+    expected = {
+        "top_customers_flagged": 2,  # nation + region
+        "q3_top_unshipped_orders": 0,
+        "q5_local_supplier_volume": 2,  # nation + region
+        "join_expression_key": 0,
+        "multi_hop_rollup": 2,  # nation + region
+        "join_left_coverage_flags": 0,
+        "agg_upset_flags": 0,
+    }
+    for name, hints in expected.items():
+        df = QUERIES[name](spark, sf_oracle)
+        got = plans.count_broadcast_hints(df)
+        assert got == hints, (name, got, hints)
