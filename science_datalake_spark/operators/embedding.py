@@ -134,11 +134,18 @@ def int8_fidelity(
     maxe_col: str = "maxe",
     cos_col: str = "cosf",
     engine: str = "numpy",
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Per-vector int8 reconstruction-fidelity metrics — MSE (rounded
     10 dp), max absolute error (exact), cosine(original, dequantized)
     (rounded 8 dp, NULL when either norm is zero) — the audit half of
     :func:`quantize_int8`.
+
+    ``project``: optional list of INPUT columns to retain in the output
+    (the three metric columns are always appended). For the numpy engine
+    this shrinks the Arrow return batches — an audit that only rolls up
+    (id, metrics) has no reason to serialize the float and int8 arrays
+    back out of the Python worker (they are ~16× the metric payload).
 
     ``engine`` follows the dual-engine discipline (pq_encode):
 
@@ -163,7 +170,9 @@ def int8_fidelity(
     contract, as for pq_encode). Map-only at any corpus size.
     """
     if engine == "numpy":
-        return _int8_fidelity_numpy(df, vec_col, q_col, scale_col, mse_col, maxe_col, cos_col)
+        return _int8_fidelity_numpy(
+            df, vec_col, q_col, scale_col, mse_col, maxe_col, cos_col, project
+        )
     if engine != "sql":
         raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     v, qv, s = F.col(vec_col), F.col(q_col), F.col(scale_col)
@@ -188,7 +197,7 @@ def int8_fidelity(
     )
     staged = df.withColumn("__i8acc", F.when(valid, F.aggregate(zipped, init, step)))
     a = F.col("__i8acc")
-    return (
+    out = (
         staged.withColumn(mse_col, F.round(a["se"] / F.size(v), 10))
         .withColumn(maxe_col, a["ma"])
         .withColumn(
@@ -200,6 +209,9 @@ def int8_fidelity(
         )
         .drop("__i8acc")
     )
+    if project is not None:
+        out = out.select(*project, mse_col, maxe_col, cos_col)
+    return out
 
 
 def _int8_fidelity_numpy(
@@ -210,6 +222,7 @@ def _int8_fidelity_numpy(
     mse_col: str,
     maxe_col: str,
     cos_col: str,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """The Arrow/numpy engine behind int8_fidelity (see its docstring).
     Rows are grouped by vector length inside each batch so the math runs
@@ -221,8 +234,10 @@ def _int8_fidelity_numpy(
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    keep = list(df.columns) if project is None else list(project)
+    field_by_name = {f.name: f for f in df.schema.fields}
     schema = StructType(
-        list(df.schema.fields)
+        [field_by_name[c] for c in keep]
         + [
             StructField(mse_col, DoubleType()),
             StructField(maxe_col, DoubleType()),
@@ -265,7 +280,7 @@ def _int8_fidelity_numpy(
                     mse[i] = float(m[k])
                     maxe[i] = float(x[k])
                     cos[i] = float(c[k]) if ok[k] else None
-            pdf = pdf.copy()
+            pdf = pdf[keep].copy()
             pdf[mse_col] = mse
             pdf[maxe_col] = maxe
             pdf[cos_col] = cos

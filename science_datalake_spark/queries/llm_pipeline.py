@@ -2259,7 +2259,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from science_datalake_spark.operators.embedding import int8_fidelity, quantize_int8
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    per_vec = int8_fidelity(quantize_int8(e)).select(
+    per_vec = int8_fidelity(quantize_int8(e), project=["vec_id"]).select(
         (F.col("vec_id") % 8).alias("cohort"), "mse", "maxe", "cosf"
     )
     return (
