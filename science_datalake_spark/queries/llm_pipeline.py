@@ -1007,6 +1007,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "w IN ('the','a','of','and','to','in','is')"
 
+#: DuckDB twin of textops.quality_score over a relation exposing `text`
+#: (single-sourced: dedup_keep_best and corpus_release splice it)
+_QUALITY_SQL = f"""CAST(round(least(
+                   0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                              AS DOUBLE) / greatest(length(text), 1))
+                 + 0.3 * (CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL}))
+                              AS DOUBLE) / greatest(len({_WORDS}), 1)) * 5.0
+                 + 0.3 * least(len({_WORDS}) / 30.0, 1.0), 1.0), 4) AS DOUBLE)"""
+
 
 @query(
     "text_quality_langid",
@@ -2461,13 +2470,7 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
                    AS key,
-               CAST(round(least(
-                   0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                              AS DOUBLE) / greatest(length(text), 1))
-                 + 0.3 * (CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL}))
-                              AS DOUBLE) / greatest(len({_WORDS}), 1)) * 5.0
-                 + 0.3 * least(len({_WORDS}) / 30.0, 1.0), 1.0), 4) AS DOUBLE)
-                   AS quality
+               {_QUALITY_SQL} AS quality
         FROM documents
     )
     SELECT doc_id,
@@ -2745,4 +2748,157 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy(F.desc("containment"), F.asc("jaccard"), "id_a", "id_b")
         .limit(20)
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard", "containment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus release: the end-to-end composition (round-9 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+def _release_chain_sql(tag: str, keep_pred: str, rewrite: bool) -> str:
+    """One corpus-release chain as DuckDB CTEs (suffix ``tag``): policy
+    dedup (keep best quality per fingerprint) → quality gate →
+    temperature mix (alpha=0.5, 9000-token budget) → shard assignment.
+    Splices the exact fragments of the dedup_keep_best,
+    corpus_temperature_mix and corpus_shard_shuffle oracles so every
+    stage's arithmetic is already driver-proven."""
+    text_expr = (
+        "CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END"
+        if rewrite
+        else "text"
+    )
+    return f"""
+    docs{tag} AS (
+        SELECT doc_id, source, {text_expr} AS text
+        FROM documents WHERE {keep_pred}
+    ),
+    scored{tag} AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+                   AS fp,
+               {_QUALITY_SQL} AS quality,
+               len({_WORDS}) AS n_tokens
+        FROM docs{tag}
+    ),
+    kept{tag} AS (
+        SELECT doc_id, source, fp, n_tokens FROM (
+            SELECT *, row_number() OVER
+                (PARTITION BY fp ORDER BY quality DESC, doc_id) AS rn
+            FROM scored{tag}
+        ) WHERE rn = 1 AND quality >= 0.45
+    ),
+    counts{tag} AS (
+        SELECT source, sum(n_tokens) AS c FROM kept{tag} GROUP BY source
+    ),
+    z{tag} AS (SELECT sum(pow(c, 0.5)) AS z FROM counts{tag}),
+    thr{tag} AS (
+        SELECT source,
+               CAST(floor(CAST(round(pow(c, 0.5) / z.z, 3) AS DECIMAL(18,3))
+                          * 9000) AS BIGINT) AS thr
+        FROM counts{tag}, z{tag} z
+    ),
+    cum{tag} AS (
+        SELECT doc_id, source, fp, n_tokens,
+               md5(CAST(doc_id AS VARCHAR) || ':42') AS order_key,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM kept{tag}
+    ),
+    rel{tag} AS (
+        SELECT c.doc_id, c.fp, c.n_tokens, substr(c.order_key, 1, 1) AS shard
+        FROM cum{tag} c JOIN thr{tag} t USING (source)
+        WHERE c.cum_before < t.thr
+    )"""
+
+
+_RELEASE_ORACLE = f"""
+    WITH {_release_chain_sql('P', 'doc_id % 7 != 0', rewrite=False)},
+    {_release_chain_sql('C', 'doc_id % 5 != 0', rewrite=True)},
+    diff AS (
+        SELECT coalesce(c.shard, p.shard) AS shard,
+               coalesce(c.n_tokens, p.n_tokens) AS n_tokens,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN p.fp IS DISTINCT FROM c.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM relP p FULL OUTER JOIN relC c ON p.doc_id = c.doc_id
+    )
+    SELECT shard, status, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM diff GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _release_chain(d: DataFrame) -> DataFrame:
+    """The Spark corpus-release chain behind corpus_release: ONE lineage
+    composing keep_best_per_key → quality gate → temperature_mix →
+    shard_shuffle, returning (doc_id, fp, n_tokens, shard)."""
+    from science_datalake_spark.operators.corpus import shard_shuffle, temperature_mix
+
+    scored = d.withColumn("quality", T.quality_score(F.col("text"))).withColumn(
+        "fp", T.fingerprint(F.col("text"))
+    )
+    kept = (
+        D.keep_best_per_key(
+            scored, "doc_id", F.col("fp"), [F.col("quality").desc(), F.col("doc_id")]
+        )
+        .filter(F.col("is_kept") & (F.col("quality") >= 0.45))
+        .select("doc_id", "source", "text", "fp")
+    )
+    mixed = temperature_mix(
+        kept, "source", alpha=0.5, budget_tokens=9000, id_col="doc_id"
+    )
+    return shard_shuffle(mixed, "doc_id", seed=42, shard_hex_chars=1).select(
+        "doc_id", "fp", "n_tokens", "shard"
+    )
+
+
+@query("corpus_release", aux=True, oracle=_RELEASE_ORACLE)
+def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus RELEASE (round-9 verdict item 5): the
+    round-9 pieces composed into one lineage — policy dedup
+    (dedup.keep_best_per_key: best quality copy per fingerprint, the
+    C4/RefinedWeb keep rule), quality gate (textops.quality_score ≥
+    0.45), temperature-sampled composition (corpus.temperature_mix,
+    alpha=0.5), deterministic shard shuffle (corpus.shard_shuffle) —
+    then corpus.snapshot_diff against the PREVIOUS release of the same
+    chain, rolled up per (shard, status): the reference's
+    materialize-then-verify release gate
+    (materialize_unified_papers.py:413-436) applied to a training-corpus
+    release. Versions are simulated deterministically from the fixture
+    (prev: drop doc_id%7==0; curr: drop %5==0 and rewrite %3==0 with a
+    'v2 ' prefix), so both engines derive identical releases and the
+    diff exercises added/removed/changed/unchanged together with
+    mix-boundary membership churn (thresholds differ per version because
+    the weights are data-derived).
+
+    Scale: two instances of [one fingerprint window + one per-source
+    cumulative window + a broadcast threshold join + map-only shard
+    assignment] feeding ONE full-outer id join and one rollup — every
+    stage shape individually plan-pinned by its standalone query; no
+    stage adds a shuffle beyond those."""
+    from science_datalake_spark.operators.corpus import snapshot_diff
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prev = _release_chain(d.filter(F.col("doc_id") % 7 != 0))
+    curr = _release_chain(
+        d.filter(F.col("doc_id") % 5 != 0).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.lit("v2 "), F.col("text"))
+            ).otherwise(F.col("text")),
+        )
+    )
+    diff = snapshot_diff(prev, curr, "doc_id", "fp")
+    return (
+        diff.groupBy("shard", "status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard", "status")
     )
