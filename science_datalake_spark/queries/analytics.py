@@ -1527,6 +1527,89 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_range_overlap_spans",
+    aux=True,  # added round 10 (verdict item 6): long-span fallback coverage
+    oracle="""
+    WITH iv AS (
+        SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,
+               CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS DOUBLE) AS s,
+               CAST(datediff('day', DATE '1992-01-01', l_shipdate) + l_quantity
+                    + CASE WHEN l_orderkey % 1009 = 0 THEN 5000 ELSE 0 END
+                    AS DOUBLE) AS e
+        FROM lineitem
+    )
+    SELECT a.l_suppkey AS l_suppkey,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN a.e - a.s >= 1000 OR b.e - b.s >= 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_long_pairs,
+           CAST(round(avg(least(a.e, b.e) - greatest(a.s, b.s)), 2) AS DOUBLE)
+               AS avg_overlap_days
+    FROM iv a
+    JOIN iv b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+     AND a.s <= b.e AND b.s <= a.e AND a.uid < b.uid
+    GROUP BY a.l_suppkey ORDER BY l_suppkey
+    """,
+)
+def join_range_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join_range_overlap's sibling that exercises BOTH
+    interval_overlap_join branches in one oracle-checked result (round-9
+    verdict item 6: the long×all theta branch, rangejoin.py:126-147, was
+    test-pinned only). A deterministic rare subset (l_orderkey % 1009 ==
+    0, ~1/1000 of intervals at any SF) gets an open-ended +5000-day
+    transit window — spans of 5000+ days vs <=50 for the rest — so with
+    bucket_width=16 and the default long_span_buckets=64 those rows
+    route through the theta fallback (banded fan-out would be 300+ rows
+    each) while everything else stays banded; the two paths partition
+    the pair space exactly, and ``n_long_pairs`` makes the fallback rows
+    visible in the rolled-up result instead of silently merged. The
+    oracle is the single theta self-join DuckDB runs in-process — blind
+    to the branch split, which is the point: branch routing must not
+    change results."""
+    from science_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    li = table(spark, sf_dir, "lineitem")
+    base = F.datediff(
+        F.to_date("l_shipdate"), F.lit("1992-01-01").cast("date")
+    ).cast("double")
+    iv = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        "l_partkey",
+        "l_suppkey",
+        base.alias("start"),
+        (
+            base
+            + F.col("l_quantity")
+            + F.when(F.col("l_orderkey") % 1009 == 0, F.lit(5000.0)).otherwise(0.0)
+        ).alias("end"),
+    )
+    pairs = interval_overlap_join(
+        iv,
+        iv,
+        bucket_width=16.0,
+        on=["l_partkey", "l_suppkey"],
+        long_span_buckets=64,
+    ).filter(F.col("uid") < F.col("uid_r"))
+    is_long = (F.col("end") - F.col("start") >= 1000) | (
+        F.col("end_r") - F.col("start_r") >= 1000
+    )
+    return (
+        pairs.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.when(is_long, 1).otherwise(0)).alias("n_long_pairs"),
+            F.round(
+                F.avg(
+                    F.least("end", "end_r") - F.greatest("start", "start_r")
+                ),
+                2,
+            ).alias("avg_overlap_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
     "events_gap_stats",
     aux=True,  # rested round 9 wave 3 (driver-green r7+r8; parity continues)
     oracle="""

@@ -268,3 +268,18 @@ def test_no_forced_broadcast_of_data_scaling_relations(spark, sf_oracle):
         df = QUERIES[name](spark, sf_oracle)
         got = plans.count_broadcast_hints(df)
         assert got == hints, (name, got, hints)
+
+
+def test_range_overlap_spans_has_both_branches(spark, sf_oracle):
+    """join_range_overlap_spans must plan the exact three-way pair-space
+    partition: one banded equi join + two keyed theta fallback joins,
+    unioned — and never a CartesianProduct (the `on` keys give Catalyst
+    a hash component even on the fallback side)."""
+    import re
+
+    df = QUERIES["join_range_overlap_spans"](spark, sf_oracle)
+    p = plans.physical_plan(df)
+    joins = re.findall(r"^\(\d+\) \S*Join", p, flags=re.M)
+    assert len(joins) == 3, (joins, p)
+    assert "CartesianProduct" not in p, p
+    assert "Union" in p, p
