@@ -2902,3 +2902,62 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "status")
     )
+
+
+@query(
+    "dedup_incremental_bloom",
+    aux=True,  # added round 10: Bloom incremental-dedup tier
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents
+    ),
+    p AS (
+        SELECT DISTINCT
+               md5(regexp_replace(lower(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents WHERE doc_id % 7 != 0
+    )
+    SELECT b.source,
+           count(*) AS n_batch,
+           sum(CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END) AS n_new,
+           sum(CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+    FROM b LEFT JOIN p USING (fp)
+    GROUP BY b.source ORDER BY b.source
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-release incremental dedup behind the Bloom membership tier
+    (operators/bloom.incremental_new_docs): a re-crawl batch (the full
+    documents table) deduplicated against the prior release (doc_id%7!=0)
+    by content fingerprint. The Bloom bitmap (built ONCE per release by a
+    bit_or aggregation whose shuffle is bounded by num_bits/64 rows at
+    any corpus size) clears definitely-new rows map-side with zero false
+    negatives; only might-contain candidates reach the exact anti-join,
+    so the result is EXACTLY the anti-join — which is what the oracle
+    computes, blind to the Bloom layer (the layer must not change
+    results, only shuffle volume). Rolled up per source as
+    batch/new/duplicate counts; the K-copy crawl shape makes some
+    re-crawled docs true duplicates of retained text."""
+    from science_datalake_spark.operators.bloom import incremental_new_docs
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prior = d.filter(F.col("doc_id") % 7 != 0).select(
+        T.fingerprint(F.col("text")).alias("fp")
+    )
+    batch = d.withColumn("fp", T.fingerprint(F.col("text")))
+    new = incremental_new_docs(batch, prior, "fp")
+    newc = new.groupBy("source").agg(F.count("*").alias("n_new"))
+    batchc = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
+    return (
+        batchc.join(newc, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            (F.col("n_batch") - F.coalesce("n_new", F.lit(0))).alias("n_dup"),
+        )
+        .orderBy("source")
+    )
