@@ -120,8 +120,19 @@ def query(
 # (sparql keeps agg_stats/path_ancestors + the new path_range), join_asof
 # (joins keep range_overlap/anti_semi), text_repetition_stats (text keeps
 # 8 rows), vignette_retraction_profile (vignettes keep 4 rows).
+# Round-10 rotation (same-round additions get rows immediately): the four
+# queries ADDED this round rotate IN — corpus_release (the end-to-end
+# release composition, verdict item 5), join_range_overlap_spans (both
+# range-join branches, verdict item 6), eval_alignment_strata (stratified
+# evaluator, verdict item 7), dedup_incremental_bloom (the Bloom
+# membership tier). Four entries with >=2 rounds of driver evidence rest
+# in aux, each superseded or represented: join_range_overlap (the spans
+# sibling covers the same banded plan PLUS the theta branch),
+# corpus_temperature_mix (corpus_release replays its threshold arithmetic
+# twice per run), dedup_winnow_overlap (dedup keeps 7 driver rows),
+# linkage_knn_best_match (its exact pipeline feeds eval_alignment_strata).
 DRIVER_ORDER: list[str] = [
-    "join_range_overlap",
+    "join_range_overlap_spans",
     "corpus_snapshot_diff",
     "sparql_path_range",
     "dedup_keep_best",
@@ -135,7 +146,7 @@ DRIVER_ORDER: list[str] = [
     "vignette_code_rate_by_year",
     "corpus_epoch_upsample",
     "agg_stats_profile",
-    "corpus_temperature_mix",
+    "corpus_release",
     "sim_ivf_durable",
     "asset_phash_pairs",
     "text_compression_ratio",
@@ -144,12 +155,12 @@ DRIVER_ORDER: list[str] = [
     "llm_curation_funnel",
     "vignette_citation_reliability",
     "dedup_source_overlap",
-    "dedup_winnow_overlap",
+    "dedup_incremental_bloom",
     "events_sessionize",
     "corpus_shard_shuffle",
     "unify_coverage",
     "linkage_fuzzy_jw",
-    "linkage_knn_best_match",
+    "eval_alignment_strata",
     "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1458,7 +1458,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_overlap",
-    # rotated INTO driver round 7 wave 3 (added this round; no driver row yet)
+    aux=True,  # rested round 10 (driver-green r7-r9; join_range_overlap_spans supersets it: both branches + the same banded plan)
     oracle="""
     WITH iv AS (
         SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,
@@ -1528,7 +1528,7 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_overlap_spans",
-    aux=True,  # added round 10 (verdict item 6): long-span fallback coverage
+    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
     oracle="""
     WITH iv AS (
         SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,

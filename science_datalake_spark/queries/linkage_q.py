@@ -41,6 +41,7 @@ def linkage_fuzzy_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "linkage_knn_best_match",
+    aux=True,  # rested round 10 (>=2 rounds driver-green; eval_alignment_strata runs the identical kNN best-match pipeline as its input)
     oracle="""
     WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
                FROM embeddings WHERE vec_id < 10),
@@ -79,7 +80,7 @@ def linkage_knn_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_alignment_strata",
-    aux=True,  # added round 10 (verdict item 7): stratified evaluator parity
+    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
     oracle="""
     WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
                FROM embeddings WHERE vec_id < 40),

@@ -1654,6 +1654,7 @@ _WINNOW_W = 4
 
 @query(
     "dedup_winnow_overlap",
+    aux=True,  # rested round 10 (>=2 rounds driver-green; dedup family keeps 7 driver rows incl. the new bloom tier)
     oracle=f"""
     WITH docs AS (
         SELECT doc_id, text AS t FROM documents
@@ -1965,6 +1966,7 @@ def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_temperature_mix",
+    aux=True,  # rested round 10 (driver-green r7-r9; corpus_release replays its threshold arithmetic twice per run)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -2857,7 +2859,8 @@ def _release_chain(d: DataFrame) -> DataFrame:
     )
 
 
-@query("corpus_release", aux=True, oracle=_RELEASE_ORACLE)
+# rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
+@query("corpus_release", oracle=_RELEASE_ORACLE)
 def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus RELEASE (round-9 verdict item 5): the
     round-9 pieces composed into one lineage — policy dedup
@@ -2906,7 +2909,7 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_bloom",
-    aux=True,  # added round 10: Bloom incremental-dedup tier
+    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
     oracle="""
     WITH b AS (
         SELECT doc_id, source,
