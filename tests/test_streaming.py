@@ -355,3 +355,49 @@ def test_shard_shuffle_streams_unchanged(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == 50
+
+
+def test_bloom_probe_streams_unchanged(spark, tmp_path):
+    """bloom_might_contain is a stateless map-only projection (the bitmap
+    rides a broadcast), so the SAME operator tags a STREAM of incoming
+    documents with identical verdicts as the batch twin — the front half
+    of a streaming incremental-dedup ingest (definitely-new rows can be
+    routed straight to the sink; only might-contain candidates need the
+    exact verify against the durable release)."""
+    import json as _json
+
+    from science_datalake_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    prior = spark.createDataFrame(
+        [(f"fp-{i}",) for i in range(0, 40, 2)], "fp STRING"
+    )
+    model = bloom_build(prior, "fp", num_bits=1 << 12, num_hashes=4)
+
+    src = tmp_path / "batch_src"
+    src.mkdir()
+    with open(src / "in.json", "w") as f:
+        for i in range(40):
+            f.write(_json.dumps({"doc_id": i, "fp": f"fp-{i}"}) + "\n")
+    schema = "doc_id LONG, fp STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    tagged = bloom_might_contain(stream, "fp", model)
+    assert tagged.isStreaming  # stateless: still a plain streaming projection
+    run_available_now(
+        tagged, str(tmp_path / "ckpt_bloom"), "bloom_stream", output_mode="append"
+    )
+    got = {
+        (r["doc_id"], r["might_contain"])
+        for r in spark.sql("SELECT doc_id, might_contain FROM bloom_stream").collect()
+    }
+    batch = {
+        (r["doc_id"], r["might_contain"])
+        for r in bloom_might_contain(
+            spark.read.schema(schema).json(str(src)), "fp", model
+        ).collect()
+    }
+    assert got == batch and len(got) == 40
+    # every prior member (even doc_ids) must test positive — no false negatives
+    assert all(mc for (d, mc) in got if d % 2 == 0)
