@@ -103,14 +103,19 @@ def bloom_build(
             ).alias("__b"),
         )
         .groupBy("__w")
-        .agg(F.bit_or("__b").alias("__bits"))
+        # per-word row counts ride the same aggregation so n_items needs
+        # no second corpus scan (every input row explodes to exactly
+        # num_hashes position rows): n = sum(counts) / k. At 100 TB the
+        # prior-corpus scan IS the build cost — one pass, not two.
+        .agg(F.bit_or("__b").alias("__bits"), F.count("*").alias("__n"))
         .collect()
     )
     arr = np.zeros(num_bits // 64, dtype=np.int64)
+    total = 0
     for r in words:
         arr[int(r["__w"])] = np.int64(r["__bits"])
-    n = src.count()
-    return BloomModel(num_bits, num_hashes, [int(x) for x in arr], n)
+        total += int(r["__n"])
+    return BloomModel(num_bits, num_hashes, [int(x) for x in arr], total // num_hashes)
 
 
 def _bloom_words_df(spark, model: BloomModel) -> DataFrame:
