@@ -2493,7 +2493,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-window scale shape as dedup_exact; the DuckDB twin replays the
     identical fingerprint, quality formula and total order."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    scored = d.withColumn("quality", T.quality_score(F.col("text")))
+    scored = T.with_quality_score(d)
     out = D.keep_best_per_key(
         scored,
         "doc_id",
@@ -2841,9 +2841,7 @@ def _release_chain(d: DataFrame) -> DataFrame:
     shard_shuffle, returning (doc_id, fp, n_tokens, shard)."""
     from science_datalake_spark.operators.corpus import shard_shuffle, temperature_mix
 
-    scored = d.withColumn("quality", T.quality_score(F.col("text"))).withColumn(
-        "fp", T.fingerprint(F.col("text"))
-    )
+    scored = T.with_quality_score(d).withColumn("fp", T.fingerprint(F.col("text")))
     kept = (
         D.keep_best_per_key(
             scored, "doc_id", F.col("fp"), [F.col("quality").desc(), F.col("doc_id")]
