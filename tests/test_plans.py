@@ -283,3 +283,16 @@ def test_range_overlap_spans_has_both_branches(spark, sf_oracle):
     assert len(joins) == 3, (joins, p)
     assert "CartesianProduct" not in p, p
     assert "Union" in p, p
+
+
+def test_no_cartesian_product_anywhere_in_registry(spark, sf_oracle):
+    """Blanket scale pin over EVERY registered query (driver + aux):
+    no plan may contain a CartesianProduct — the one join strategy that
+    is quadratic at any cluster size. Bounded theta joins in the repo
+    plan as BroadcastNestedLoopJoin with a guard-bounded build side,
+    which is allowed; an unguarded cross of two big relations is not.
+    Plan analysis only (nothing executes), so this runs on every future
+    registry addition for free."""
+    for name, fn in sorted(QUERIES.items()):
+        p = plans.physical_plan(fn(spark, sf_oracle))
+        assert "CartesianProduct" not in p, (name, p)
