@@ -249,3 +249,72 @@ def score_buckets(
         expr = expr.when(clean <= F.lit(t), lab)
     expr = expr.otherwise(labels[-1])
     return scores.withColumn("bucket", expr)
+
+
+def bigram_logprob_scores(
+    df: DataFrame, id_col: str, text_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Per-document average negative log CONDITIONAL probability under a
+    self-trained add-alpha-smoothed bigram LM — the next tier above
+    :func:`unigram_logprob_scores` toward CCNet's KenLM n-gram filter:
+    a unigram model scores rare TOKENS, the bigram model scores unlikely
+    TRANSITIONS (word salad built from common words scores high here and
+    normal under unigram). ``P(w2|w1) = (c(w1,w2) + α) / (c1(w1) + α·V)``
+    with V the corpus vocabulary size and c1 the context count (= sum of
+    bigram counts for the context, so the model is self-consistent over
+    observed transitions); α>0 keeps unseen pairs finite.
+
+    Plan (the unigram discipline, one relation deeper): bigrams are built
+    IN-ROW (zip_with over two slices of the token array — no posexplode /
+    window ordering machinery), collapse immediately to per-(doc, w1, w2)
+    counts, and the model relations (bigram counts, context counts)
+    derive from that one relation; V is a 1-row broadcast aggregate. The
+    scoring joins key on the pre-aggregated (w1, w2) / (w1) relations, so
+    stopword-context skew is bounded — no row-level fan-out joins.
+
+    Returns every input id with ``n_bigrams`` (0 when the document has
+    fewer than 2 tokens) and ``avg_neg_logprob`` (NULL for those docs),
+    rounded to 4 (cross-engine ln() agrees under 4-decimal rounding of
+    an average)."""
+    arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), arr.alias("__toks"))
+    pairs = base.filter(F.size("__toks") >= 2).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(__toks, 1, size(__toks) - 1),"
+                "         slice(__toks, 2, size(__toks) - 1),"
+                "         (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("__bg"),
+    )
+    dbf = (
+        pairs.select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+        .groupBy(id_col, "__w1", "__w2")
+        .agg(F.count("*").alias("__n"))
+    )
+    bgc = dbf.groupBy("__w1", "__w2").agg(F.sum("__n").alias("__cbg"))
+    ctx = bgc.groupBy("__w1").agg(F.sum("__cbg").alias("__c1"))
+    voc = base.select(F.explode("__toks").alias("__t")).agg(
+        F.countDistinct("__t").alias("__v")
+    )
+    lp = -F.log(
+        (F.col("__cbg") + F.lit(alpha)) / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+    )
+    per_doc = (
+        dbf.join(bgc, ["__w1", "__w2"])
+        .join(ctx, "__w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_bigrams"),
+            F.round(F.sum(F.col("__n") * lp) / F.sum("__n"), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+    )

@@ -131,6 +131,9 @@ def query(
 # corpus_temperature_mix (corpus_release replays its threshold arithmetic
 # twice per run), dedup_winnow_overlap (dedup keeps 7 driver rows),
 # linkage_knn_best_match (its exact pipeline feeds eval_alignment_strata).
+# Round-10 wave 2: text_bigram_logprob (the bigram-LM transition tier of
+# the CCNet perplexity filter, added this round) rotates IN;
+# text_chunk_rag (driver-green >=2 rounds) rests in aux.
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -178,7 +181,7 @@ DRIVER_ORDER: list[str] = [
     "sim_quantize_int8",
     "graph_pagerank",
     "sparql_path_ancestors",
-    "text_chunk_rag",
+    "text_bigram_logprob",
     "web_url_canonical",
     "text_unigram_logprob",
     "text_span_dedup",

@@ -1333,6 +1333,7 @@ def text_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_chunk_rag",
+    aux=True,  # rested round 10 wave 2 (>=2 rounds driver-green; text family keeps 8+ driver rows incl. the new bigram LM)
     oracle="""
     SELECT doc_id,
            CAST(floor((gs.i - 1) / 100) AS INTEGER) AS chunk_idx,
@@ -2959,6 +2960,69 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_batch",
             F.coalesce("n_new", F.lit(0)).alias("n_new"),
             (F.col("n_batch") - F.coalesce("n_new", F.lit(0))).alias("n_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_bigram_logprob",
+    # rotated INTO driver round 10 wave 2 (added this round; no driver row yet)
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+        WHERE len(w) >= 2
+    ),
+    dbf AS (SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
+    bgc AS (SELECT w1, w2, sum(n) AS cbg FROM dbf GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(cbg) AS c1 FROM bgc GROUP BY 1),
+    voc AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM toks)),
+    per AS (
+        SELECT d.doc_id, sum(d.n) AS n_bigrams,
+               round(sum(d.n * -ln((b.cbg + 0.5) / (c.c1 + 0.5 * voc.v)))
+                     / sum(d.n), 4) AS s
+        FROM dbf d JOIN bgc b USING (w1, w2) JOIN ctx c USING (w1) CROSS JOIN voc
+        GROUP BY d.doc_id
+    )
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(p.n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(round(avg(p.s), 4) AS DOUBLE) AS avg_score,
+           CAST(round(min(p.s), 4) AS DOUBLE) AS min_score,
+           CAST(round(max(p.s), 4) AS DOUBLE) AS max_score
+    FROM per p JOIN toks t USING (doc_id)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (operators/ranking.bigram_logprob_scores)
+    — the transition-probability tier above text_unigram_logprob toward
+    CCNet's KenLM filter: add-0.5-smoothed P(w2|w1) trained on the corpus
+    itself, scored as the per-document average negative log conditional
+    probability (word salad assembled from COMMON words scores high here
+    while the unigram model calls it normal). Rolled up per source with
+    doc/bigram counts and score min/avg/max; the DuckDB twin replays the
+    identical counts, smoothing arithmetic and 4-dp rounding."""
+    from science_datalake_spark.operators.ranking import bigram_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    scores = bigram_logprob_scores(d, "doc_id", "text").filter(
+        F.col("avg_neg_logprob").isNotNull()
+    )
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.round(F.avg("avg_neg_logprob"), 4).alias("avg_score"),
+            F.round(F.min("avg_neg_logprob"), 4).alias("min_score"),
+            F.round(F.max("avg_neg_logprob"), 4).alias("max_score"),
         )
         .orderBy("source")
     )

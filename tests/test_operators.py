@@ -1563,3 +1563,45 @@ def test_keep_best_per_key_deterministic_across_partitionings(spark):
     assert {(r["doc_id"], r["best_id"]) for r in a} == {
         (r["doc_id"], r["best_id"]) for r in b
     }
+
+
+def test_bigram_logprob_scores_hand_computed(spark):
+    """Bigram LM arithmetic on a tiny hand-computable corpus, plus the
+    degenerate contracts: <2-token docs score NULL with n_bigrams 0,
+    and word salad from COMMON words outscores (= is rarer than) the
+    dominant transition pattern — the discriminating power the unigram
+    model lacks."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.operators.ranking import bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # the dominant transition pattern
+            (2, "a b a b"),
+            (3, "b a b a"),
+            (4, "b b a a"),       # same words, unusual transitions
+            (5, "a"),             # too short: no bigrams
+            (6, ""),              # empty: split yields [''], 1 token
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(docs, "doc_id", "text").collect()}
+    assert got[5]["n_bigrams"] == 0 and got[5]["avg_neg_logprob"] is None
+    assert got[6]["n_bigrams"] == 0 and got[6]["avg_neg_logprob"] is None
+    assert got[1]["n_bigrams"] == 5 and got[4]["n_bigrams"] == 3
+
+    # hand model: bigram counts ab=6 (3+2+1), ba=6 (2+1+2+1), bb=1, aa=1;
+    # contexts a = ab+aa = 7, b = ba+bb = 7;
+    # vocab = {a, b, ''} -> V=3 (docs 5/6 contribute tokens to the vocab)
+    V, al = 3, 0.5
+    def p(cbg, c1):
+        return (cbg + al) / (c1 + al * V)
+    s1 = -(3 * math.log(p(6, 7)) + 2 * math.log(p(6, 7))) / 5
+    assert abs(got[1]["avg_neg_logprob"] - round(s1, 4)) < 1e-9
+    s4 = -(math.log(p(1, 7)) + math.log(p(6, 7)) + math.log(p(1, 7))) / 3
+    assert abs(got[4]["avg_neg_logprob"] - round(s4, 4)) < 1e-9
+    # the unusual-transition doc is rarer under the bigram model
+    assert got[4]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
