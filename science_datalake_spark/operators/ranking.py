@@ -266,11 +266,17 @@ def bigram_logprob_scores(
 
     Plan (the unigram discipline, one relation deeper): bigrams are built
     IN-ROW (zip_with over two slices of the token array — no posexplode /
-    window ordering machinery), collapse immediately to per-(doc, w1, w2)
-    counts, and the model relations (bigram counts, context counts)
-    derive from that one relation; V is a 1-row broadcast aggregate. The
-    scoring joins key on the pre-aggregated (w1, w2) / (w1) relations, so
-    stopword-context skew is bounded — no row-level fan-out joins.
+    window ordering machinery), keyed as xxhash64-folded LONGS
+    (``__bgh`` for the pair, ``__w1h`` for the context — the
+    decontaminate lesson: string group/join keys spend the stage in JVM
+    string hashing/compare churn; measured 8.3 → 6.0 s over the sf1
+    corpus, counts identical absent a 64-bit collision and the
+    string-keyed DuckDB twin stays hash-equal in the parity suite), and
+    collapse immediately to per-(doc, bigram) counts from which the
+    model relations (bigram counts, context counts) derive; V is a 1-row
+    broadcast aggregate. The scoring joins key on the pre-aggregated
+    primitive-long relations, so stopword-context skew is bounded — no
+    row-level fan-out joins.
 
     Returns every input id with ``n_bigrams`` (0 when the document has
     fewer than 2 tokens) and ``avg_neg_logprob`` (NULL for those docs),
@@ -284,26 +290,28 @@ def bigram_logprob_scores(
             F.expr(
                 "zip_with(slice(__toks, 1, size(__toks) - 1),"
                 "         slice(__toks, 2, size(__toks) - 1),"
-                "         (a, b) -> struct(a AS w1, b AS w2))"
+                "         (a, b) -> struct(xxhash64(a, b) AS bgh, xxhash64(a) AS w1h))"
             )
         ).alias("__bg"),
     )
+    # __w1h is functionally dependent on __bgh (absent collision); it
+    # rides the group key so no second pass recovers the context
     dbf = (
-        pairs.select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
-        .groupBy(id_col, "__w1", "__w2")
+        pairs.select(id_col, F.col("__bg.bgh").alias("__bgh"), F.col("__bg.w1h").alias("__w1h"))
+        .groupBy(id_col, "__bgh", "__w1h")
         .agg(F.count("*").alias("__n"))
     )
-    bgc = dbf.groupBy("__w1", "__w2").agg(F.sum("__n").alias("__cbg"))
-    ctx = bgc.groupBy("__w1").agg(F.sum("__cbg").alias("__c1"))
+    bgc = dbf.groupBy("__bgh", "__w1h").agg(F.sum("__n").alias("__cbg"))
+    ctx = bgc.groupBy("__w1h").agg(F.sum("__cbg").alias("__c1"))
     voc = base.select(F.explode("__toks").alias("__t")).agg(
-        F.countDistinct("__t").alias("__v")
+        F.countDistinct(F.xxhash64("__t")).alias("__v")
     )
     lp = -F.log(
         (F.col("__cbg") + F.lit(alpha)) / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
     )
     per_doc = (
-        dbf.join(bgc, ["__w1", "__w2"])
-        .join(ctx, "__w1")
+        dbf.join(bgc, ["__bgh", "__w1h"])
+        .join(ctx, "__w1h")
         .crossJoin(F.broadcast(voc))
         .groupBy(id_col)
         .agg(
