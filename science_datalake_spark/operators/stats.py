@@ -367,3 +367,47 @@ def approx_stats_profile(
         F.round(F.col("__qs")[2], 2).alias("p75"),
         F.round(F.col("__qs")[3], 2).alias("p95"),
     )
+
+
+def wilson_keep_rate(
+    df: DataFrame,
+    group_col: str,
+    keep_col: str,
+    z: float = 1.96,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group keep-rate with its Wilson-score LOWER BOUND — the
+    small-sample-safe statistic for gating decisions over grouped
+    pass/fail verdicts (block a web domain / drop a source when even the
+    CI's lower bound clears the cut). A raw rate calls 1/1 a perfect
+    group and 0 rejects in 3 docs "clean"; the Wilson interval
+    (Wilson 1927, the recommended binomial CI at small n) shrinks toward
+    1/2 exactly as the evidence thins:
+
+        lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    ONE map-side-combinable aggregation (count + conditional count per
+    group) and a closed-form projection — no per-group value buffering,
+    any group cardinality. NULL verdicts count as NOT kept (a gate that
+    produced no verdict must not inflate the rate). Rates and bounds
+    rounded to ``round_digits`` so a relational twin evaluating the
+    identical formula lands on the same doubles."""
+    kept = F.sum(F.when(F.col(keep_col), 1).otherwise(0))
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        kept.cast("long").alias("n_kept"),
+    )
+    n, k = F.col("n").cast("double"), F.col("n_kept").cast("double")
+    p = k / n
+    z2 = float(z) * float(z)
+    lb = (
+        p + F.lit(z2) / (2 * n)
+        - F.lit(float(z)) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        group_col,
+        "n",
+        "n_kept",
+        F.round(p, round_digits).alias("keep_rate"),
+        F.round(lb, round_digits).alias("keep_rate_lb"),
+    )

@@ -134,6 +134,10 @@ def query(
 # Round-10 wave 2: text_bigram_logprob (the bigram-LM transition tier of
 # the CCNet perplexity filter, added this round) rotates IN;
 # text_chunk_rag (driver-green >=2 rounds) rests in aux.
+# Round-10 wave 3: text_source_quality_wilson (per-source gate keep-rate
+# with the Wilson lower bound — the small-sample-safe blocklist
+# statistic, added this round) rotates IN; text_quality_langid
+# (driver-green >=2 rounds) rests in aux.
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -143,7 +147,7 @@ DRIVER_ORDER: list[str] = [
     "q3_top_unshipped_orders",
     "top_customers_flagged",
     "text_bm25_search",
-    "text_quality_langid",
+    "text_source_quality_wilson",
     "ontology_skos_khop",
     "join_anti_semi",
     "vignette_code_rate_by_year",

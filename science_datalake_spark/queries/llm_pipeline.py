@@ -1019,6 +1019,7 @@ _QUALITY_SQL = f"""CAST(round(least(
 
 @query(
     "text_quality_langid",
+    aux=True,  # rested round 10 wave 3 (driver-green r9 + earlier; langid stays pinned by U-d tests and local parity; the quality family keeps funnel/wilson/span/ppl driver rows)
     oracle=f"""
     WITH base AS (
         SELECT doc_id, lang,
@@ -3026,3 +3027,80 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_source_quality_wilson",
+    # rotated INTO driver round 10 wave 3 (added this round; no driver row yet)
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_WORDS} AS words,
+               CAST(len(list_filter({_WORDS}, w -> {_STOP_SQL})) AS DOUBLE)
+                   / greatest(len({_WORDS}), 1) AS stop
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, stop, len(words) AS n_tokens,
+               list_transform(generate_series(1, len(words) - 1),
+                              i -> words[i] || ' ' || words[i + 1]) AS bigrams
+        FROM base
+    ),
+    q AS (
+        SELECT source,
+               (CASE WHEN n_tokens < 15 THEN 'too_short'
+                     WHEN n_tokens > 2000 THEN 'too_long'
+                     WHEN round(CASE WHEN len(bigrams) <= 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                               / len(bigrams) END, 4) > 0.2 THEN 'repetitive'
+                     WHEN stop < 0.05 THEN 'low_stopword'
+                     WHEN stop < 0.10 THEN 'non_english'
+                END) IS NULL AS keep
+        FROM g
+    ),
+    agg AS (
+        SELECT source, count(*) AS n,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+        FROM q GROUP BY source
+    ),
+    w AS (
+        SELECT source, n, n_kept,
+               CAST(n AS DOUBLE) AS nd, CAST(n_kept AS DOUBLE) / n AS p,
+               CAST(1.96 AS DOUBLE) AS z
+        FROM agg
+    )
+    SELECT source, n, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(round(p, 4) AS DOUBLE) AS keep_rate,
+           CAST(round(
+               (p + (z * z) / (2 * nd)
+                  - z * sqrt(p * (1 - p) / nd + (z * z) / (4 * nd * nd)))
+               / (1 + (z * z) / nd), 4) AS DOUBLE) AS keep_rate_lb,
+           round(
+               (p + (z * z) / (2 * nd)
+                  - z * sqrt(p * (1 - p) / nd + (z * z) / (4 * nd * nd)))
+               / (1 + (z * z) / nd), 4) < 0.5 AS gated
+    FROM w ORDER BY source
+    """,
+)
+def text_source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-gate calibration with the Wilson-score lower
+    bound (operators/stats.wilson_keep_rate): keep-rate of the heuristic
+    gate per source plus the small-sample-safe CI lower bound, and the
+    block decision (``gated`` when even optimistically the source keeps
+    under half its documents) — the statistic real web curation uses to
+    blocklist a DOMAIN on few observations without blocklisting every
+    1-document domain that happened to fail once. One gate pass (the
+    materialized-split quality_gate_flags) + one map-side-combinable
+    aggregation + closed-form projection; the DuckDB twin replays the
+    gate and the Wilson algebra with the identical double arithmetic
+    (z enters as CAST(1.96 AS DOUBLE), never a decimal literal, so z²
+    lands on the same IEEE product both sides)."""
+    from science_datalake_spark.operators.stats import wilson_keep_rate
+    from science_datalake_spark.operators.textops import quality_gate_flags
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    flagged = quality_gate_flags(d, "text")
+    verdicts = flagged.select(
+        "source", F.col("quality_reject").isNull().alias("__keep")
+    )
+    out = wilson_keep_rate(verdicts, "source", "__keep")
+    return out.withColumn("gated", F.col("keep_rate_lb") < 0.5).orderBy("source")

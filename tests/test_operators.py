@@ -1605,3 +1605,34 @@ def test_bigram_logprob_scores_hand_computed(spark):
     assert abs(got[4]["avg_neg_logprob"] - round(s4, 4)) < 1e-9
     # the unusual-transition doc is rarer under the bigram model
     assert got[4]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+
+
+def test_wilson_keep_rate_hand_computed(spark):
+    """Wilson lower bound against hand-evaluated algebra, the
+    small-sample shrink (1/1 is NOT a perfect group), and the
+    NULL-verdict-counts-as-reject contract."""
+    import math
+
+    from science_datalake_spark.operators.stats import wilson_keep_rate
+
+    df = spark.createDataFrame(
+        [("a", True), ("a", True), ("a", False), ("a", True),
+         ("b", True),
+         ("c", None), ("c", True)],
+        "g STRING, keep BOOLEAN",
+    )
+    got = {r["g"]: r for r in wilson_keep_rate(df, "g", "keep").collect()}
+
+    def wilson(k, n, z=1.96):
+        p = k / n
+        return (p + z * z / (2 * n) - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / (1 + z * z / n)
+
+    assert got["a"]["n"] == 4 and got["a"]["n_kept"] == 3
+    assert got["a"]["keep_rate"] == 0.75
+    assert abs(got["a"]["keep_rate_lb"] - round(wilson(3, 4), 4)) < 1e-9
+    # 1/1 shrinks far below the raw 1.0 rate
+    assert got["b"]["keep_rate"] == 1.0
+    assert abs(got["b"]["keep_rate_lb"] - round(wilson(1, 1), 4)) < 1e-9
+    assert got["b"]["keep_rate_lb"] < 0.3
+    # NULL verdict is a reject, not a silent keep
+    assert got["c"]["n"] == 2 and got["c"]["n_kept"] == 1
