@@ -70,14 +70,64 @@ class ParityResult:
         return s
 
 
+def _numeric_kind(series: pd.Series) -> str | None:
+    """'int' / 'float' / 'decimal' for numeric columns, None otherwise.
+
+    Mirrors the driver's hash semantics: the driver stringifies pandas
+    cells WITHOUT coercing integral floats to ints, so a Spark int64
+    column ("3") against a DuckDB HUGEINT->float64 column ("3.0") hash-
+    mismatches even though `_canon_cell` makes them equal locally (the
+    round-10 `dedup_incremental_bloom` RED row). All-null columns are
+    exempt (pandas floats them on both sides)."""
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return None if series.isna().all() else "float"
+    if kind == "O":
+        for v in series:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            tn = type(v).__name__
+            if tn == "Decimal":
+                return "decimal"
+            if isinstance(v, bool):
+                return None
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                return "float"
+            return None
+    return None
+
+
 def check_parity(name, spark_df, con, sql) -> ParityResult:
     """Compare one Spark result against its DuckDB oracle."""
-    sp = _canon(spark_df.toPandas())
-    oc = _canon(con.sql(sql).df())
+    sp_raw = spark_df.toPandas()
+    oc_raw = con.sql(sql).df()
+    sp = _canon(sp_raw)
+    oc = _canon(oc_raw)
     res = ParityResult(name=name, ok=True, spark_rows=len(sp), oracle_rows=len(oc))
     if list(sp.columns) != list(oc.columns):
         res.ok = False
         res.mismatches.append(f"columns differ: spark={list(sp.columns)} oracle={list(oc.columns)}")
+        return res
+    for c in sp.columns:
+        sk, ok_ = _numeric_kind(sp_raw[c]), _numeric_kind(oc_raw[c])
+        # A NULL-bearing int column floats on the Spark side too, so
+        # int-vs-float with nulls present matches the driver; a clean
+        # int64 vs float64/decimal does not.
+        if sk is not None and ok_ is not None and sk != ok_:
+            if {sk, ok_} == {"int", "float"} and (
+                sp_raw[c].isna().any() or oc_raw[c].isna().any()
+            ):
+                continue
+            res.ok = False
+            res.mismatches.append(
+                f"numeric dtype kind differs on '{c}': spark={sk} oracle={ok_}"
+                " (driver hash stringifies 3 vs 3.0 differently)"
+            )
+    if not res.ok:
         return res
     if len(sp) != len(oc):
         res.ok = False

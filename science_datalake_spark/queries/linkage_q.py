@@ -118,9 +118,12 @@ def linkage_knn_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blockA AS (
         SELECT 'stratum:' || stratum AS kind,
                count(*) AS n,
-               sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END) AS n_correct,
-               sum(CASE WHEN label = 'partial' THEN 1 ELSE 0 END) AS n_partial,
-               sum(CASE WHEN label = 'incorrect' THEN 1 ELSE 0 END) AS n_incorrect,
+               CAST(sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN label = 'partial' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_partial,
+               CAST(sum(CASE WHEN label = 'incorrect' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_incorrect,
                CAST(round(CAST(sum(CASE WHEN label = 'correct' THEN 1 ELSE 0 END)
                                AS DOUBLE) / count(*), 4) AS DOUBLE) AS precision,
                CAST(NULL AS DOUBLE) AS recall,

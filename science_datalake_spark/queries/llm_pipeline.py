@@ -2925,8 +2925,8 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.source,
            count(*) AS n_batch,
-           sum(CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END) AS n_new,
-           sum(CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+           CAST(sum(CASE WHEN p.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN p.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
     FROM b LEFT JOIN p USING (fp)
     GROUP BY b.source ORDER BY b.source
     """,

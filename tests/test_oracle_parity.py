@@ -30,3 +30,26 @@ def test_parity(name, spark, sf_oracle, con):
         return
     res = check_parity(name, QUERIES[name](spark, sf_oracle), con, ORACLE[name])
     assert res.ok, str(res)
+
+
+def test_gate_catches_hugeint_vs_bigint(spark, sf_oracle, con):
+    """Regression for the round-10 RED driver row: an oracle whose final
+    sum(CASE...) is left uncast comes back HUGEINT -> pandas float64
+    ("3.0"), while Spark emits int64 ("3"); the driver's value hash
+    rejects that even though canonicalized values match. The local gate
+    must mirror the driver and FAIL on the numeric-kind mismatch."""
+    sdf = spark.sql("SELECT 'a' AS k, CAST(3 AS BIGINT) AS n")
+    good = check_parity(
+        "typed_ok", sdf, con, "SELECT 'a' AS k, CAST(3 AS BIGINT) AS n"
+    )
+    assert good.ok, str(good)
+    # uncast sum over INTEGER -> HUGEINT in DuckDB
+    bad = check_parity(
+        "typed_red",
+        sdf,
+        con,
+        "SELECT 'a' AS k, sum(CASE WHEN x > 0 THEN 1 ELSE 0 END) AS n"
+        " FROM (VALUES (1), (1), (1)) t(x)",
+    )
+    assert not bad.ok
+    assert any("dtype kind" in m for m in bad.mismatches), str(bad)
