@@ -65,6 +65,25 @@ class BloomModel:
         return float((1.0 - np.exp(-k * n / m)) ** k)
 
 
+def bloom_size_for(n_items: int, target_fpp: float = 0.01) -> tuple[int, int]:
+    """Optimal (num_bits, num_hashes) for ``n_items`` keys at
+    ``target_fpp``: the standard m = -n·ln p / ln²2 and k = m/n·ln 2,
+    with m rounded UP to a multiple of 64 (the word size the build/probe
+    use). Sizing from the actual prior-corpus count matters at scale: the
+    old fixed 2^20-bit default saturates at ~10^8 keys (fpp → 1.0) and
+    the tier silently degrades to the plain anti-join it exists to
+    avoid."""
+    if n_items < 1:
+        n_items = 1
+    if not (0.0 < target_fpp < 1.0):
+        raise ValueError("target_fpp must be in (0, 1)")
+    ln2 = float(np.log(2.0))
+    m = int(np.ceil(-n_items * np.log(target_fpp) / (ln2 * ln2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, int(round(m / n_items * ln2)))
+    return m, k
+
+
 def _positions(col: Column, num_bits: int, num_hashes: int) -> list[Column]:
     """The k bit positions of a value: pmod(xxhash64(value, seed_i), m).
     Seeds are the hash index — deterministic across engines and runs."""
@@ -164,8 +183,9 @@ def incremental_new_docs(
     batch: DataFrame,
     prior: DataFrame,
     fp_col: str,
-    num_bits: int = 1 << 20,
-    num_hashes: int = 5,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
+    target_fpp: float = 0.01,
 ) -> DataFrame:
     """EXACT incremental dedup of ``batch`` against ``prior`` with the
     Bloom tier in front: rows the filter clears as definitely-new skip
@@ -176,10 +196,30 @@ def incremental_new_docs(
     how many rows the shuffle carries: |candidates| ≈ |true dups| +
     fpp·|batch| instead of |batch| + |prior|.
 
+    When ``num_bits`` is not given the filter is sized from the actual
+    prior count via :func:`bloom_size_for` at ``target_fpp`` (the count
+    is one columnar scan of the fingerprint column — trivial next to the
+    build scan it sizes, and the alternative is a fixed default that
+    saturates at real corpus sizes).
+
     Returns the batch rows that are genuinely new, original columns
     only. Rows with a NULL fingerprint are new by definition (mirrors
     anti-join semantics: NULL never equals)."""
-    tagged = bloom_might_contain(batch, fp_col, bloom_build(prior, fp_col, num_bits, num_hashes))
+    if num_bits is None or num_hashes is None:
+        m, k = bloom_size_for(prior.count(), target_fpp)
+        num_bits = num_bits if num_bits is not None else m
+        num_hashes = num_hashes if num_hashes is not None else k
+    tagged = bloom_might_contain(
+        batch, fp_col, bloom_build(prior, fp_col, num_bits, num_hashes)
+    )
+    # Both branches (clear rows kept as-is, candidates verified) consume
+    # the same tagged lineage; without a persist the batch scan AND the
+    # k-hash probe evaluate twice — once per union input. MEMORY_AND_DISK
+    # so a giant batch spills instead of OOMing; Spark evicts it LRU
+    # after the consuming action.
+    from pyspark import StorageLevel
+
+    tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
     clear = tagged.filter(~F.col("might_contain")).drop("might_contain")
     candidates = tagged.filter(F.col("might_contain")).drop("might_contain")
     prior_keys = prior.select(F.col(fp_col).alias("__prior_fp")).distinct()

@@ -116,3 +116,41 @@ def test_bloom_write_read_roundtrip(spark, tmp_path):
     # all true members positive on the loaded model too
     got = {r["fp"]: r["might_contain"] for r in bloom_might_contain(probe, "fp", loaded).collect()}
     assert all(v for k, v in got.items() if k.startswith("m-"))
+
+
+def test_bloom_size_for_math():
+    from science_datalake_spark.operators.bloom import bloom_size_for
+
+    # classic numbers: 1% fpp needs ~9.585 bits/key and k=7
+    m, k = bloom_size_for(1_000_000, 0.01)
+    assert m % 64 == 0
+    assert 9_500_000 < m < 9_700_000
+    assert k == 7
+    # the sized filter actually hits its target (theoretical fpp <= target
+    # with a little rounding headroom) across scales, incl. 10x fixtures
+    import numpy as np
+
+    for n in (428, 4_280, 42_800, 10_000_000_000):
+        m, k = bloom_size_for(n, 0.01)
+        fpp = float((1.0 - np.exp(-k * n / m)) ** k)
+        assert fpp <= 0.0105, (n, m, k, fpp)
+    # degenerate inputs stay sane
+    m, k = bloom_size_for(0, 0.5)
+    assert m >= 64 and k >= 1
+
+
+def test_incremental_autosizes_from_prior(spark):
+    from science_datalake_spark.operators.bloom import (
+        bloom_size_for,
+        incremental_new_docs,
+    )
+
+    prior = spark.range(0, 500).selectExpr("CAST(id AS STRING) AS fp")
+    batch = spark.range(0, 600).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS fp"
+    )
+    got = {r["doc_id"] for r in incremental_new_docs(batch, prior, "fp").collect()}
+    assert got == set(range(500, 600))
+    # the auto-sized geometry is the bloom_size_for one
+    m, k = bloom_size_for(500, 0.01)
+    assert m % 64 == 0 and k >= 1
