@@ -264,61 +264,97 @@ def bigram_logprob_scores(
     bigram counts for the context, so the model is self-consistent over
     observed transitions); α>0 keeps unseen pairs finite.
 
-    Plan (the unigram discipline, one relation deeper): bigrams are built
-    IN-ROW (zip_with over two slices of the token array — no posexplode /
-    window ordering machinery), keyed as xxhash64-folded LONGS
-    (``__bgh`` for the pair, ``__w1h`` for the context — the
-    decontaminate lesson: string group/join keys spend the stage in JVM
-    string hashing/compare churn; measured 8.3 → 6.0 s over the sf1
-    corpus, counts identical absent a 64-bit collision and the
-    string-keyed DuckDB twin stays hash-equal in the parity suite), and
-    collapse immediately to per-(doc, bigram) counts from which the
-    model relations (bigram counts, context counts) derive; V is a 1-row
-    broadcast aggregate. The scoring joins key on the pre-aggregated
-    primitive-long relations, so stopword-context skew is bounded — no
-    row-level fan-out joins.
+    Plan (reworked in round 11 from the first working shape — measured
+    8.35 -> 4.4 s over the sf1 corpus, 3.17x -> ~2.0x vs the DuckDB twin):
+
+    - Bigrams are built IN-ROW with NATIVE ``arrays_zip`` over two
+      slices of the token array, and the xxhash64 token keys are
+      computed AFTER the explode in a whole-stage-codegen Project. The
+      first shape hashed inside a ``zip_with`` lambda — higher-order
+      function lambdas evaluate INTERPRETED per element (the round-8
+      element_at lesson), and moving the hash out of the lambda alone
+      took the map phase 2.2 -> 1.2 s.
+    - Keys are the (``__w1h``, ``__w2h``) long pair — hashing each
+      token's bytes once instead of the old (pair-hash, context-hash)
+      scheme that hashed them twice. Long keys, not strings: the
+      decontaminate lesson (JVM string hashing/compare churn). Counts
+      identical absent a 64-bit collision; the string-keyed DuckDB twin
+      stays hash-equal in the parity suite.
+    - TWO corpus passes, both map-only into bounded shuffles: the model
+      pass collapses straight to global bigram counts (map-side combine
+      bounds the exchange at vocabulary size — no per-doc
+      intermediate), context counts ride a window sum over ``__w1h`` on
+      that vocabulary-sized relation, and V — the TRANSITION vocabulary
+      (distinct tokens participating in bigrams, the conditioning
+      vocabulary of a bigram LM) — is a broadcast aggregate of the same
+      relation, so no second token-stream distinct. The scoring pass
+      re-derives pairs and joins the model (AQE broadcasts it when it
+      fits; bigram vocabulary grows sublinearly in the corpus) on the
+      two longs, then aggregates per doc with map-side combine.
+      Re-deriving beats persist(): the map phase is pure codegen
+      (~1.2 s at sf1) while caching the pair stream costs more than it
+      saves and would hold corpus-scale storage at 100 TB.
 
     Returns every input id with ``n_bigrams`` (0 when the document has
     fewer than 2 tokens) and ``avg_neg_logprob`` (NULL for those docs),
     rounded to 4 (cross-engine ln() agrees under 4-decimal rounding of
     an average)."""
+    from pyspark.sql import Window
+
+    # Both passes are tokenization-bound map work; if the source has
+    # fewer splits than cores (a single-row-group parquet file — the
+    # fixture shape, and common after compaction), ONE task would do
+    # all of it. A round-robin repartition of the raw rows is a tiny
+    # shuffle that unlocks full map parallelism; when the input already
+    # has enough splits (any real corpus) this is skipped entirely.
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 2):
+        df = df.repartition(cores)
     arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     base = df.select(F.col(id_col), arr.alias("__toks"))
-    pairs = base.filter(F.size("__toks") >= 2).select(
-        id_col,
-        F.explode(
-            F.expr(
-                "zip_with(slice(__toks, 1, size(__toks) - 1),"
-                "         slice(__toks, 2, size(__toks) - 1),"
-                "         (a, b) -> struct(xxhash64(a, b) AS bgh, xxhash64(a) AS w1h))"
-            )
-        ).alias("__bg"),
+    pairs = (
+        base.filter(F.size("__toks") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__toks", 1, F.size("__toks") - 1),
+                    F.expr("slice(__toks, 2, size(__toks) - 1)"),
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            id_col,
+            F.xxhash64("__bg.0").alias("__w1h"),
+            F.xxhash64("__bg.1").alias("__w2h"),
+        )
     )
-    # __w1h is functionally dependent on __bgh (absent collision); it
-    # rides the group key so no second pass recovers the context
-    dbf = (
-        pairs.select(id_col, F.col("__bg.bgh").alias("__bgh"), F.col("__bg.w1h").alias("__w1h"))
-        .groupBy(id_col, "__bgh", "__w1h")
-        .agg(F.count("*").alias("__n"))
-    )
-    bgc = dbf.groupBy("__bgh", "__w1h").agg(F.sum("__n").alias("__cbg"))
-    ctx = bgc.groupBy("__w1h").agg(F.sum("__cbg").alias("__c1"))
-    voc = base.select(F.explode("__toks").alias("__t")).agg(
-        F.countDistinct(F.xxhash64("__t")).alias("__v")
-    )
-    lp = -F.log(
-        (F.col("__cbg") + F.lit(alpha)) / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+    bgc = pairs.groupBy("__w1h", "__w2h").agg(F.count("*").alias("__cbg"))
+    voc = bgc.select(
+        F.explode(F.array("__w1h", "__w2h")).alias("__t")
+    ).agg(F.countDistinct("__t").alias("__v"))
+    model = (
+        bgc.withColumn(
+            "__c1", F.sum("__cbg").over(Window.partitionBy("__w1h"))
+        )
+        .crossJoin(F.broadcast(voc))
+        .select(
+            "__w1h",
+            "__w2h",
+            (
+                -F.log(
+                    (F.col("__cbg") + F.lit(alpha))
+                    / (F.col("__c1") + F.lit(alpha) * F.col("__v"))
+                )
+            ).alias("__lp"),
+        )
     )
     per_doc = (
-        dbf.join(bgc, ["__bgh", "__w1h"])
-        .join(ctx, "__w1h")
-        .crossJoin(F.broadcast(voc))
+        pairs.join(model, ["__w1h", "__w2h"])
         .groupBy(id_col)
         .agg(
-            F.sum("__n").cast("long").alias("n_bigrams"),
-            F.round(F.sum(F.col("__n") * lp) / F.sum("__n"), 4).alias(
-                "avg_neg_logprob"
-            ),
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.sum("__lp") / F.count("*"), 4).alias("avg_neg_logprob"),
         )
     )
     return (

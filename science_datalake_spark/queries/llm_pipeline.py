@@ -2982,7 +2982,8 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbf AS (SELECT doc_id, w1, w2, count(*) AS n FROM pairs GROUP BY 1, 2, 3),
     bgc AS (SELECT w1, w2, sum(n) AS cbg FROM dbf GROUP BY 1, 2),
     ctx AS (SELECT w1, sum(cbg) AS c1 FROM bgc GROUP BY 1),
-    voc AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(w) AS t FROM toks)),
+    voc AS (SELECT count(DISTINCT t) AS v FROM (
+        SELECT w1 AS t FROM bgc UNION ALL SELECT w2 FROM bgc)),
     per AS (
         SELECT d.doc_id, sum(d.n) AS n_bigrams,
                round(sum(d.n * -ln((b.cbg + 0.5) / (c.c1 + 0.5 * voc.v)))

@@ -1595,8 +1595,9 @@ def test_bigram_logprob_scores_hand_computed(spark):
 
     # hand model: bigram counts ab=6 (3+2+1), ba=6 (2+1+2+1), bb=1, aa=1;
     # contexts a = ab+aa = 7, b = ba+bb = 7;
-    # vocab = {a, b, ''} -> V=3 (docs 5/6 contribute tokens to the vocab)
-    V, al = 3, 0.5
+    # vocab = TRANSITION vocabulary {a, b} -> V=2 (docs 5/6 form no
+    # bigrams, so their tokens never enter the conditioning vocabulary)
+    V, al = 2, 0.5
     def p(cbg, c1):
         return (cbg + al) / (c1 + al * V)
     s1 = -(3 * math.log(p(6, 7)) + 2 * math.log(p(6, 7))) / 5
@@ -1636,3 +1637,22 @@ def test_wilson_keep_rate_hand_computed(spark):
     assert got["b"]["keep_rate_lb"] < 0.3
     # NULL verdict is a reject, not a silent keep
     assert got["c"]["n"] == 2 and got["c"]["n_kept"] == 1
+
+
+def test_bigram_hash_keys_collision_free_on_fixture(spark, sf_oracle):
+    """The bigram LM keys tokens by xxhash64 longs; a 64-bit collision
+    would silently merge distinct tokens (changing every score vs the
+    string-keyed oracle) with no detection. Guard: on the fixture
+    corpus, distinct hash count == distinct token count, so a collision
+    fails loudly here instead of corrupting scores."""
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t")
+    )
+    r = toks.agg(
+        F.countDistinct("t").alias("n_str"),
+        F.countDistinct(F.xxhash64("t")).alias("n_hash"),
+    ).first()
+    assert r["n_str"] == r["n_hash"], "xxhash64 token collision on fixture"
