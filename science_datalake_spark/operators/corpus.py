@@ -37,6 +37,7 @@ def token_budget_mix(
     id_col: str,
     text_col: str = "text",
     seed: int = 42,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Select documents per source until each source's share of
     ``budget_tokens`` is exhausted.
@@ -54,7 +55,12 @@ def token_budget_mix(
     would admit a document an exact-decimal engine excludes at the
     boundary. Ordering is by md5 of the seeded id — portable across
     engines (the DuckDB oracle replays it exactly); swap for xxhash64
-    when oracle parity is not needed and hash throughput matters."""
+    when oracle parity is not needed and hash throughput matters.
+
+    ``n_tokens_col`` names a PRECOMPUTED per-doc token-count column to
+    use instead of re-tokenizing ``text_col`` — the single-scan release
+    path scores/tokenizes each document once up front and runs the mix
+    over the skinny scored relation, never re-touching text."""
     from decimal import Decimal
 
     thresholds = {
@@ -69,7 +75,10 @@ def token_budget_mix(
         .orderBy(order_key, id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = docs.withColumn("__nt", token_count(F.col(text_col)))
+    toks = docs.withColumn(
+        "__nt",
+        F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col)),
+    )
     cum = toks.withColumn(
         "__cum_before", F.coalesce(F.sum("__nt").over(w), F.lit(0))
     ).withColumn("__share", F.coalesce(share_tokens[F.col(source_col)], F.lit(0)))
@@ -148,6 +157,7 @@ def temperature_mix_weights(
     alpha: float,
     text_col: str = "text",
     weight_digits: int = 3,
+    n_tokens_col: str | None = None,
 ) -> dict[str, float]:
     """Temperature-scaled source weights: w_s ∝ (token count of s)^alpha,
     normalized — the mT5/Pile up/down-sampling recipe (alpha=1
@@ -166,9 +176,10 @@ def temperature_mix_weights(
     Z is summed in sorted-source order (deterministic)."""
     from science_datalake_spark.util import round_half_away
 
+    nt = F.col(n_tokens_col) if n_tokens_col else token_count(F.col(text_col))
     rows = (
         docs.groupBy(source_col)
-        .agg(F.sum(token_count(F.col(text_col))).alias("__c"))
+        .agg(F.sum(nt).alias("__c"))
         .collect()
     )
     pows = {
@@ -190,13 +201,19 @@ def temperature_mix(
     id_col: str,
     text_col: str = "text",
     seed: int = 42,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """``token_budget_mix`` with weights derived from the data itself via
     ``temperature_mix_weights`` — the end-to-end temperature-sampled
-    corpus composition step."""
-    weights = temperature_mix_weights(docs, source_col, alpha, text_col)
+    corpus composition step. ``n_tokens_col`` (precomputed token counts)
+    keeps BOTH the weights aggregation and the mix window off the text
+    column — see token_budget_mix."""
+    weights = temperature_mix_weights(
+        docs, source_col, alpha, text_col, n_tokens_col=n_tokens_col
+    )
     return token_budget_mix(
-        docs, source_col, weights, budget_tokens, id_col, text_col, seed
+        docs, source_col, weights, budget_tokens, id_col, text_col, seed,
+        n_tokens_col=n_tokens_col,
     )
 
 

@@ -2837,22 +2837,35 @@ _RELEASE_ORACLE = f"""
     """
 
 
-def _release_chain(d: DataFrame) -> DataFrame:
-    """The Spark corpus-release chain behind corpus_release: ONE lineage
-    composing keep_best_per_key → quality gate → temperature_mix →
-    shard_shuffle, returning (doc_id, fp, n_tokens, shard)."""
+def _release_tail(scored: DataFrame, flag_col: str, fp: str, q: str, nt: str) -> DataFrame:
+    """One corpus-release chain TAIL over the pre-scored skinny relation
+    (corpus_release's single-scan form): membership filter →
+    keep_best_per_key → quality gate → temperature_mix → shard_shuffle,
+    returning (doc_id, fp, n_tokens, shard). Text never enters — the
+    mix runs on the precomputed token counts (n_tokens_col)."""
     from science_datalake_spark.operators.corpus import shard_shuffle, temperature_mix
 
-    scored = T.with_quality_score(d).withColumn("fp", T.fingerprint(F.col("text")))
+    sc = scored.filter(F.col(flag_col)).select(
+        "doc_id",
+        "source",
+        F.col(fp).alias("fp"),
+        F.col(q).alias("quality"),
+        F.col(nt).alias("n_tokens"),
+    )
     kept = (
         D.keep_best_per_key(
-            scored, "doc_id", F.col("fp"), [F.col("quality").desc(), F.col("doc_id")]
+            sc, "doc_id", F.col("fp"), [F.col("quality").desc(), F.col("doc_id")]
         )
         .filter(F.col("is_kept") & (F.col("quality") >= 0.45))
-        .select("doc_id", "source", "text", "fp")
+        .select("doc_id", "source", "fp", "n_tokens")
     )
     mixed = temperature_mix(
-        kept, "source", alpha=0.5, budget_tokens=9000, id_col="doc_id"
+        kept,
+        "source",
+        alpha=0.5,
+        budget_tokens=9000,
+        id_col="doc_id",
+        n_tokens_col="n_tokens",
     )
     return shard_shuffle(mixed, "doc_id", seed=42, shard_hex_chars=1).select(
         "doc_id", "fp", "n_tokens", "shard"
@@ -2879,23 +2892,67 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix-boundary membership churn (thresholds differ per version because
     the weights are data-derived).
 
-    Scale: two instances of [one fingerprint window + one per-source
-    cumulative window + a broadcast threshold join + map-only shard
-    assignment] feeding ONE full-outer id join and one rollup — every
-    stage shape individually plan-pinned by its standalone query; no
-    stage adds a shuffle beyond those."""
+    Scale (single-scan form, round 11): the corpus is scanned and
+    scored ONCE — membership flags (in_prev/in_curr) ride the row, the
+    tokenizer/quality/fingerprint pass computes the base-text columns
+    for every row and the rewritten-text columns ONLY on the %3 rewrite
+    subset (a CASE, not a second scan) — into a persisted skinny
+    relation (no text). The first working shape ran the full chain
+    twice from raw text; with temperature_mix's weights-collect that
+    meant FOUR tokenizer/quality evaluations of the corpus. Each chain
+    tail is then [one fingerprint window + one per-source cumulative
+    window + a broadcast threshold join + map-only shard assignment]
+    over cached counts, feeding ONE full-outer id join and one rollup —
+    every stage shape individually plan-pinned by its standalone
+    query."""
+    from pyspark import StorageLevel
+
     from science_datalake_spark.operators.corpus import snapshot_diff
+    from science_datalake_spark.operators.textops import (
+        quality_score_from_tokens,
+        tokens,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    prev = _release_chain(d.filter(F.col("doc_id") % 7 != 0))
-    curr = _release_chain(
-        d.filter(F.col("doc_id") % 5 != 0).withColumn(
-            "text",
-            F.when(
-                F.col("doc_id") % 3 == 0, F.concat(F.lit("v2 "), F.col("text"))
-            ).otherwise(F.col("text")),
-        )
+    in_prev = F.col("doc_id") % 7 != 0
+    in_curr = F.col("doc_id") % 5 != 0
+    rewrite = in_curr & (F.col("doc_id") % 3 == 0)
+    v2 = F.concat(F.lit("v2 "), F.col("text"))
+    staged = (
+        d.filter(in_prev | in_curr)
+        .withColumn("__in_prev", in_prev)
+        .withColumn("__in_curr", in_curr)
+        .withColumn("__rw", rewrite)
+        .withColumn("__tb", tokens(F.col("text")))
+        .withColumn("__tc", F.when(F.col("__rw"), tokens(v2)))
     )
+    scored = staged.select(
+        "doc_id",
+        "source",
+        "__in_prev",
+        "__in_curr",
+        "__rw",
+        "text",
+        "__tc",
+        T.fingerprint(F.col("text")).alias("fp_p"),
+        quality_score_from_tokens(F.col("text"), F.col("__tb")).alias("q_p"),
+        F.size("__tb").alias("nt_p"),
+    ).select(
+        "doc_id",
+        "source",
+        "__in_prev",
+        "__in_curr",
+        "fp_p",
+        "q_p",
+        "nt_p",
+        F.when(F.col("__rw"), T.fingerprint(v2)).otherwise(F.col("fp_p")).alias("fp_c"),
+        F.when(F.col("__rw"), quality_score_from_tokens(v2, F.col("__tc")))
+        .otherwise(F.col("q_p"))
+        .alias("q_c"),
+        F.when(F.col("__rw"), F.size("__tc")).otherwise(F.col("nt_p")).alias("nt_c"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = _release_tail(scored, "__in_prev", "fp_p", "q_p", "nt_p")
+    curr = _release_tail(scored, "__in_curr", "fp_c", "q_c", "nt_c")
     diff = snapshot_diff(prev, curr, "doc_id", "fp")
     return (
         diff.groupBy("shard", "status")
