@@ -654,21 +654,28 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's cross-source citation-count consistency check over 121M
     rows (sanity_checks cell 8).
 
-    Quantiles come from operators.stats.exact_group_quantiles_parallel
-    (value-range bucketed two-phase ranking), NOT Spark's
-    ``percentile``/``median`` aggregate (per-group value buffering — the
-    round-1 bench's slowest entry, OOM-prone at 100 TB group sizes) and
-    NOT the window-path exact_group_quantiles: l_returnflag has THREE
-    groups, so the window path hash-partitions the whole corpus into
-    three sort tasks — the low-cardinality serialization its docstring
-    warns about. Measured same-session at two SFs (round 8, idle,
-    best-of-3, results row-identical): window+group_counts 5.33 s →
-    parallel 4.07 s at sf1, 18.8 s → 7.7 s at sf3 — the gap widens with
-    scale exactly as the 3-task bottleneck predicts; fused mode is 2×
-    WORSE than either (wider sort rows). The algebraic aggregates run in
-    a separate single-shuffle pass and broadcast-join onto the quantiles.
+    Quantiles come from operators.stats.exact_group_quantiles_histogram
+    (round 11 — the engine history is the repo's own A/B ledger): NOT
+    Spark's ``percentile``/``median`` aggregate (per-group value
+    buffering — the round-1 bench's slowest entry, OOM-prone at 100 TB
+    group sizes); NOT the window-path exact_group_quantiles
+    (l_returnflag has THREE groups → three tasks sort the whole corpus;
+    round-8 A/B: 5.33 s sf1 / 18.8 s sf3); NOT the bucket-ranked
+    exact_group_quantiles_parallel that replaced it (4.07 s sf1 /
+    7.7 s sf3 — but it samples boundaries in an extra action and
+    row_number-ranks the FULL corpus). l_extendedprice is a BOUNDED
+    domain — 583,090 distinct values at both 6M and 18M fixture rows
+    (TPC-H cent prices) — so the histogram engine's one
+    map-side-combinable (group, value) count shuffle is constant-size
+    in the corpus: round-11 same-session A/B, values identical:
+    parallel 3.9-11.6 s -> hist 1.5-2.7 s at sf1, 7.0-7.3 -> 2.1 s at
+    sf3. The parallel engine remains the right tool for continuous
+    domains (distinct ~ rows). The algebraic aggregates run in a
+    separate single-shuffle pass and broadcast-join onto the quantiles.
     For sketch-accuracy profiling use stats.approx_stats_profile."""
-    from science_datalake_spark.operators.stats import exact_group_quantiles_parallel
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles_histogram,
+    )
 
     li = table(spark, sf_dir, "lineitem")
     plain = li.groupBy("l_returnflag").agg(
@@ -680,7 +687,7 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
-    quant = exact_group_quantiles_parallel(
+    quant = exact_group_quantiles_histogram(
         li,
         ["l_returnflag"],
         "l_extendedprice",

@@ -1656,3 +1656,35 @@ def test_bigram_hash_keys_collision_free_on_fixture(spark, sf_oracle):
         F.countDistinct(F.xxhash64("t")).alias("n_hash"),
     ).first()
     assert r["n_str"] == r["n_hash"], "xxhash64 token collision on fixture"
+
+
+def test_exact_group_quantiles_histogram_matches_parallel(spark, sf_oracle):
+    """The bounded-domain histogram engine returns bit-identical
+    quantiles to the row-ranked parallel engine (and therefore to
+    DuckDB quantile_cont, which the parallel engine is driver-proven
+    against), including NULL group keys and NULL values."""
+    import pyspark.sql.functions as F
+
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles_histogram,
+        exact_group_quantiles_parallel,
+    )
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        F.when(F.col("l_linenumber") == 1, None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("g"),
+        F.when(F.col("l_orderkey") % 97 == 0, None)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("v"),
+    )
+    kw = dict(quantiles=(0.25, 0.5, 0.75, 0.95), out_names=("a", "b", "c", "d"))
+    hist = {
+        r["g"]: (r["a"], r["b"], r["c"], r["d"])
+        for r in exact_group_quantiles_histogram(li, ["g"], "v", **kw).collect()
+    }
+    par = {
+        r["g"]: (r["a"], r["b"], r["c"], r["d"])
+        for r in exact_group_quantiles_parallel(li, ["g"], "v", **kw).collect()
+    }
+    assert hist == par and len(hist) >= 2 and None in hist
