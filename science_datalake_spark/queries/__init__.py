@@ -138,6 +138,21 @@ def query(
 # with the Wilson lower bound — the small-sample-safe blocklist
 # statistic, added this round) rotates IN; text_quality_langid
 # (driver-green >=2 rounds) rests in aux.
+# Round-11 rotation (round-10 verdict item 7): the six round-10
+# first-row entries STAY for a second round of evidence
+# (corpus_release, join_range_overlap_spans, eval_alignment_strata,
+# text_bigram_logprob, text_source_quality_wilson, plus
+# dedup_incremental_bloom which needs its first GREEN row after the
+# HUGEINT-cast fix). The audit's five exactly-one-round aux entries
+# rotate IN for freshness — corpus_decontaminate, corpus_token_mix,
+# dedup_cluster_sizes, sim_ivf_topk, sparql_bgp_children — and five
+# >=2-round driver entries rest in aux with every family still
+# represented: corpus_epoch_upsample + corpus_shard_shuffle (corpus
+# keeps release/snapshot_diff/pack_greedy/split_leakage_safe, and
+# corpus_release replays the shard plan every run),
+# dedup_simhash_pairs (dedup keeps 7 rows), sim_pq_recall (sim keeps
+# ivf_durable/ann_bucketed/knn_label_vote/ivfpq_topk/quantize_int8),
+# sparql_path_ancestors (sparql keeps agg_stats/path_range).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -151,7 +166,7 @@ DRIVER_ORDER: list[str] = [
     "ontology_skos_khop",
     "join_anti_semi",
     "vignette_code_rate_by_year",
-    "corpus_epoch_upsample",
+    "corpus_decontaminate",
     "agg_stats_profile",
     "corpus_release",
     "sim_ivf_durable",
@@ -164,27 +179,27 @@ DRIVER_ORDER: list[str] = [
     "dedup_source_overlap",
     "dedup_incremental_bloom",
     "events_sessionize",
-    "corpus_shard_shuffle",
+    "corpus_token_mix",
     "unify_coverage",
     "linkage_fuzzy_jw",
     "eval_alignment_strata",
     "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "sim_pq_recall",
+    "sim_ivf_topk",
     "dedup_semantic",
     "corpus_pack_greedy",
     "web_domain_cap",
     "sparql_agg_stats",
     "sim_knn_label_vote",
     "sim_ann_bucketed",
-    "dedup_simhash_pairs",
+    "dedup_cluster_sizes",
     "corpus_split_leakage_safe",
     "sim_ivfpq_topk",
     "events_cohort_retention",
     "sim_quantize_int8",
     "graph_pagerank",
-    "sparql_path_ancestors",
+    "sparql_bgp_children",
     "text_bigram_logprob",
     "web_url_canonical",
     "text_unigram_logprob",

@@ -168,7 +168,7 @@ def _cluster_oracle() -> str:
     """
 
 
-@query("dedup_cluster_sizes", oracle=_cluster_oracle(), aux=True)
+@query("dedup_cluster_sizes", oracle=_cluster_oracle())
 def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup END-GAME: LSH candidate pairs → connected components →
     duplicate clusters keyed by their canonical (min) doc_id. This is the
@@ -267,7 +267,8 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+@query("dedup_simhash_pairs",
+    aux=True, oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash pair-finding stage: 16-bit band buckets generate
     candidates (pigeonhole: Hamming ≤ 2 of 64 bits ⇒ ≥ 2 of 4 bands
@@ -625,7 +626,7 @@ _IVF_TOPK_ORACLE = f"""
     """
 
 
-@query("sim_ivf_topk", aux=True, oracle=_IVF_TOPK_ORACLE)
+@query("sim_ivf_topk", oracle=_IVF_TOPK_ORACLE)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8-exemplar coarse quantizer → per-vector bucket assignment
     (map-only, centroids broadcast) → queries probe their 2 nearest
@@ -1068,7 +1069,6 @@ _TRIGRAMS = (
 
 @query(
     "corpus_token_mix",
-    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -1118,7 +1118,6 @@ def corpus_token_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_decontaminate",
-    aux=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     eval_ng AS (
@@ -2289,6 +2288,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_pq_recall",
+    aux=True,
     oracle="""
     WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2399,6 +2399,7 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_epoch_upsample",
+    aux=True,
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, source, len({_WORDS}) AS nt,
@@ -2509,6 +2510,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_shard_shuffle",
+    aux=True,
     # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
     oracle=f"""
     WITH sh AS (

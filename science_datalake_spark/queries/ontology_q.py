@@ -68,7 +68,6 @@ c:genetics a skos:Concept ;
 
 @query(
     "sparql_bgp_children",
-    aux=True,
     oracle=f"""
     WITH triples(s, p, o) AS (VALUES
         ('{_C}physics',   'http://www.w3.org/2004/02/skos/core#broader', '{_C}science'),
@@ -313,6 +312,7 @@ def ontology_skos_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_path_ancestors",
+    aux=True,
     oracle=f"""
     WITH RECURSIVE edges(child, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),

@@ -25,7 +25,10 @@ import sys
 
 def proven_rounds(repo: str = ".") -> dict[str, list[str]]:
     out: dict[str, list[str]] = {}
-    for f in sorted(glob.glob(f"{repo}/CORRECTNESS_r0*.json")):
+    # r* not r0*: the round-10 artifact is CORRECTNESS_r10.json and the
+    # old two-digit-only glob silently dropped it (round-11 audit bug —
+    # every r10-proven query showed as "never proven")
+    for f in sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json")):
         rnd = f.rsplit("_r", 1)[1].split(".")[0]
         d = json.load(open(f))
         for name, row in d.items():
@@ -59,7 +62,18 @@ def main() -> int:
     sys.path.insert(0, repo)
     from science_datalake_spark.queries import DRIVER_ORDER
 
-    print(f"registered queries: {len(names)}")
+    from science_datalake_spark.queries import load_all, load_aux
+
+    q, o = load_all()
+    aq, ao = load_aux()
+    n_reg = len(q) + len(aq)
+    n_oracle = len(o) + len(ao)
+    # the single source of truth the docs must cite (README "registered /
+    # oracle-checked" counts)
+    print(f"registered queries: {n_reg} ({len(q)} driver + {len(aq)} aux)")
+    print(f"oracle-paired: {n_oracle}")
+    if n_reg != len(names):
+        print(f"WARNING: @query decorator scan found {len(names)} != {n_reg}")
     print(f"never driver-proven ({len(never)}): {never}")
     stable_in_driver = sorted(
         n for n in DRIVER_ORDER if len(proven.get(n, [])) >= 2
