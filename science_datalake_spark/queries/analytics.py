@@ -1535,7 +1535,7 @@ def join_range_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_range_overlap_spans",
-    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
+    # rotated INTO driver round 10 wave 1 (driver evidence derived by tools/rotation_audit.py)
     oracle="""
     WITH iv AS (
         SELECT l_orderkey * 10 + l_linenumber AS uid, l_partkey, l_suppkey,

@@ -80,7 +80,7 @@ def linkage_knn_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_alignment_strata",
-    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
+    # rotated INTO driver round 10 wave 1 (driver evidence derived by tools/rotation_audit.py)
     oracle="""
     WITH l AS (SELECT vec_id AS left_id, embedding::DOUBLE[] AS lv
                FROM embeddings WHERE vec_id < 40),

@@ -2469,7 +2469,7 @@ def corpus_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best",
-    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle=f"""
     WITH scored AS (
         SELECT doc_id,
@@ -2511,7 +2511,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "corpus_shard_shuffle",
     aux=True,
-    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, source, len({_WORDS}) AS n_tokens,
@@ -2584,7 +2584,7 @@ def _source_overlap_oracle() -> str:
 
 @query(
     "dedup_source_overlap",
-    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle=_source_overlap_oracle(),
 )
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2633,7 +2633,7 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_snapshot_diff",
-    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle="""
     WITH old AS (
         SELECT doc_id, source,
@@ -2698,7 +2698,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_containment",
-    # rotated INTO driver round 9 wave 4 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 4 (driver evidence derived by tools/rotation_audit.py)
     oracle=f"""
     WITH sub AS (
         SELECT doc_id, text FROM documents
@@ -2874,7 +2874,7 @@ def _release_tail(scored: DataFrame, flag_col: str, fp: str, q: str, nt: str) ->
     )
 
 
-# rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
+# rotated INTO driver round 10 wave 1 (driver evidence derived by tools/rotation_audit.py)
 @query("corpus_release", oracle=_RELEASE_ORACLE)
 def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end corpus RELEASE (round-9 verdict item 5): the
@@ -2968,7 +2968,7 @@ def corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_bloom",
-    # rotated INTO driver round 10 wave 1 (added this round; no driver row yet)
+    # rotated INTO driver round 10 wave 1 (driver evidence derived by tools/rotation_audit.py)
     oracle="""
     WITH b AS (
         SELECT doc_id, source,
@@ -3027,7 +3027,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_logprob",
-    # rotated INTO driver round 10 wave 2 (added this round; no driver row yet)
+    # rotated INTO driver round 10 wave 2 (driver evidence derived by tools/rotation_audit.py)
     oracle="""
     WITH toks AS (
         SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -3091,7 +3091,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_source_quality_wilson",
-    # rotated INTO driver round 10 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 10 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle=f"""
     WITH base AS (
         SELECT doc_id, source, text, {_WORDS} AS words,
@@ -3164,3 +3164,228 @@ def text_source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = wilson_keep_rate(verdicts, "source", "__keep")
     return out.withColumn("gated", F.col("keep_rate_lb") < 0.5).orderBy("source")
+
+
+@query(
+    "text_trigram_logprob",
+    aux=True,
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        FROM documents
+    ),
+    tris AS (
+        SELECT doc_id, w[g.i] AS w1, w[g.i + 1] AS w2, w[g.i + 2] AS w3
+        FROM toks, UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+        WHERE len(w) >= 3
+    ),
+    tgc AS (SELECT w1, w2, w3, count(*) AS cbg FROM tris GROUP BY 1, 2, 3),
+    ctx AS (SELECT w1, w2, sum(cbg) AS c12 FROM tgc GROUP BY 1, 2),
+    voc AS (SELECT count(DISTINCT t) AS v FROM (
+        SELECT w1 AS t FROM tgc UNION ALL SELECT w2 FROM tgc
+        UNION ALL SELECT w3 FROM tgc)),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tg,
+               round(sum(-ln((g.cbg + 0.5) / (c.c12 + 0.5 * voc.v)))
+                     / count(*), 4) AS s
+        FROM tris t JOIN tgc g USING (w1, w2, w3) JOIN ctx c USING (w1, w2)
+        CROSS JOIN voc
+        GROUP BY t.doc_id
+    )
+    SELECT k.source,
+           count(*) AS n_docs,
+           CAST(sum(p.n_tg) AS BIGINT) AS total_trigrams,
+           CAST(round(avg(p.s), 4) AS DOUBLE) AS avg_score,
+           CAST(round(min(p.s), 4) AS DOUBLE) AS min_score,
+           CAST(round(max(p.s), 4) AS DOUBLE) AS max_score
+    FROM per p JOIN toks k USING (doc_id)
+    GROUP BY k.source ORDER BY k.source
+    """,
+)
+def text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-LM quality scoring (operators/ranking.trigram_logprob_scores)
+    — the third tier of the unigram -> bigram -> trigram ladder toward
+    CCNet's KenLM filter: add-0.5-smoothed P(w3|w1,w2) trained on the
+    corpus itself, scored as the per-document average negative log
+    conditional probability (word salad assembled from plausible
+    ADJACENT PAIRS still scores high here). Rolled up per source with
+    doc/trigram counts and score min/avg/max; the DuckDB twin replays
+    the identical counts, smoothing arithmetic and 4-dp rounding over
+    string keys (vs xxhash64 longs — equal absent a 64-bit collision,
+    guarded by the fixture collision test)."""
+    from science_datalake_spark.operators.ranking import trigram_logprob_scores
+
+    d = table(spark, sf_dir, "documents")
+    scores = trigram_logprob_scores(d, "doc_id", "text").filter(
+        F.col("avg_neg_logprob").isNotNull()
+    )
+    return (
+        scores.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_trigrams").cast("long").alias("total_trigrams"),
+            F.round(F.avg("avg_neg_logprob"), 4).alias("avg_score"),
+            F.round(F.min("avg_neg_logprob"), 4).alias("min_score"),
+            F.round(F.max("avg_neg_logprob"), 4).alias("max_score"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sim_matryoshka_fidelity",
+    aux=True,
+    oracle="""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    dims(d) AS (VALUES (8), (16), (32)),
+    en AS (
+        SELECT d.d,
+               round(list_sum(list_transform(list_slice(b.v, 1, d.d),
+                                             x -> x * x))
+                     / list_sum(list_transform(b.v, x -> x * x)), 8) AS e
+        FROM base b CROSS JOIN dims d
+        WHERE list_sum(list_transform(b.v, x -> x * x)) > 0
+    ),
+    energy AS (
+        SELECT d, count(*) AS n_vecs,
+               CAST(round(avg(e), 6) AS DOUBLE) AS avg_energy
+        FROM en GROUP BY d
+    ),
+    q AS (SELECT vec_id, v FROM base WHERE vec_id < 40),
+    c AS (SELECT vec_id, v FROM base WHERE vec_id >= 40),
+    fullbest AS (
+        SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.vec_id AS cid,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v) /
+                           sqrt(list_dot_product(q.v, q.v)
+                                * list_dot_product(c.v, c.v)), 6) DESC,
+                           c.vec_id) AS rn
+            FROM q CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    truncbest AS (
+        SELECT d, qid, cid FROM (
+            SELECT dm.d, q.vec_id AS qid, c.vec_id AS cid,
+                   row_number() OVER (
+                       PARTITION BY dm.d, q.vec_id
+                       ORDER BY round(
+                           list_dot_product(list_slice(q.v, 1, dm.d),
+                                            list_slice(c.v, 1, dm.d)) /
+                           sqrt(list_dot_product(list_slice(q.v, 1, dm.d),
+                                                 list_slice(q.v, 1, dm.d))
+                                * list_dot_product(list_slice(c.v, 1, dm.d),
+                                                   list_slice(c.v, 1, dm.d))),
+                           6) DESC,
+                           c.vec_id) AS rn
+            FROM dims dm, q CROSS JOIN c
+        ) WHERE rn = 1
+    ),
+    agree AS (
+        SELECT t.d, count(*) AS n_queries,
+               CAST(round(avg(CASE WHEN t.cid = f.cid THEN 1.0 ELSE 0.0 END),
+                          6) AS DOUBLE) AS top1_agree
+        FROM truncbest t JOIN fullbest f USING (qid)
+        GROUP BY t.d
+    )
+    SELECT e.d, e.n_vecs, e.avg_energy, a.n_queries, a.top1_agree
+    FROM energy e JOIN agree a USING (d)
+    ORDER BY e.d
+    """,
+)
+def sim_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit for the embedding tier: how much
+    retrieval quality survives keeping only the first d of 64 dimensions
+    — the storage/recall dial MRL-trained encoders expose (truncate +
+    re-rank is the standard cheap-ANN recipe; this audit is how you pick
+    d). Per d in (8, 16, 32): mean prefix ENERGY retention
+    (||v[:d]||^2 / ||v||^2, per-vector 8-dp pre-round — map-only), and
+    TOP-1 AGREEMENT between truncated-space and full-space exact cosine
+    retrieval over the vec_id<40 query cohort (the knn_embedding_join
+    engine on sliced vectors; cosine needs no re-normalization under
+    truncation). Scale: energy is map-only; each retrieval pass is the
+    broadcast-queries/stream-corpus kNN shape — no corpus self-join, and
+    d slices the arrays BEFORE the BLAS scoring so the truncated passes
+    are cheaper than the full one. The DuckDB twin replays slices, the
+    6-dp-then-tie-break ranking, and the agreement join."""
+    from science_datalake_spark.operators.linkage import knn_embedding_join
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    dims = [8, 16, 32]
+    sqv = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    staged = e.select("vec_id", "embedding", sqv.alias("__sqv")).filter(
+        F.col("__sqv") > 0
+    )
+    en = staged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.round(
+                            F.aggregate(
+                                F.slice(
+                                    F.transform(
+                                        F.col("embedding"),
+                                        lambda x: x.cast("double"),
+                                    ),
+                                    1,
+                                    d,
+                                ),
+                                F.lit(0.0),
+                                lambda a, x: a + x * x,
+                            )
+                            / F.col("__sqv"),
+                            8,
+                        ).alias("e"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("__x")
+    ).select("__x.d", "__x.e")
+    energy = en.groupBy("d").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("e"), 6).alias("avg_energy"),
+    )
+    q = e.filter(F.col("vec_id") < 40)
+    c = e.filter(F.col("vec_id") >= 40)
+    full = knn_embedding_join(
+        q, c, "vec_id", "vec_id", "embedding", "embedding", threshold=-2.0
+    ).select(F.col("left_id").alias("qid"), F.col("right_id").alias("full_cid"))
+    parts = []
+    for d in dims:
+        qd = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        parts.append(
+            knn_embedding_join(
+                qd, cd, "vec_id", "vec_id", "embedding", "embedding", threshold=-2.0
+            ).select(
+                F.lit(d).alias("d"),
+                F.col("left_id").alias("qid"),
+                F.col("right_id").alias("trunc_cid"),
+            )
+        )
+    trunc = parts[0]
+    for p in parts[1:]:
+        trunc = trunc.unionByName(p)
+    agree = (
+        trunc.join(full, "qid")
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(
+                F.avg((F.col("trunc_cid") == F.col("full_cid")).cast("double")), 6
+            ).alias("top1_agree"),
+        )
+    )
+    return energy.join(agree, "d").orderBy("d")

@@ -425,7 +425,7 @@ def sparql_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sparql_path_range",
-    # rotated INTO driver round 9 wave 3 (added this round; no driver row yet)
+    # rotated INTO driver round 9 wave 3 (driver evidence derived by tools/rotation_audit.py)
     oracle=f"""
     WITH edges(child, parent) AS (VALUES
         ('{_C}physics',   '{_C}science'),

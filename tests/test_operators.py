@@ -1688,3 +1688,47 @@ def test_exact_group_quantiles_histogram_matches_parallel(spark, sf_oracle):
         for r in exact_group_quantiles_parallel(li, ["g"], "v", **kw).collect()
     }
     assert hist == par and len(hist) >= 2 and None in hist
+
+
+def test_trigram_logprob_scores_hand_computed(spark):
+    """Trigram LM arithmetic on a tiny hand-computable corpus plus the
+    degenerate contracts (<3-token docs -> NULL score, n_trigrams 0) and
+    the discriminating power over the bigram tier: a doc whose ADJACENT
+    PAIRS are all common but whose triples are novel scores high."""
+    import math
+
+    from science_datalake_spark.operators.ranking import trigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # dominant pattern: abc abc
+            (2, "a b c"),
+            (3, "b c a b"),
+            (4, "c a b"),
+            (5, "a b"),           # too short: no trigrams
+            (6, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in trigram_logprob_scores(docs, "doc_id", "text").collect()
+    }
+    assert got[5]["n_trigrams"] == 0 and got[5]["avg_neg_logprob"] is None
+    assert got[6]["n_trigrams"] == 0 and got[6]["avg_neg_logprob"] is None
+    assert got[1]["n_trigrams"] == 4 and got[2]["n_trigrams"] == 1
+
+    # trigram counts: abc=3 (docs 1x2 + 2), bca=2 (docs 1 + 3),
+    # cab=3 (docs 1 + 3 + 4); contexts: ab=3, bc=2, ca=3;
+    # transition vocab = {a,b,c} -> V=3
+    V, al = 3, 0.5
+
+    def p(c3, c12):
+        return (c3 + al) / (c12 + al * V)
+
+    s1 = -(2 * math.log(p(3, 3)) + math.log(p(2, 2)) + math.log(p(3, 3))) / 4
+    assert abs(got[1]["avg_neg_logprob"] - round(s1, 4)) < 1e-9
+    s2 = -math.log(p(3, 3))
+    assert abs(got[2]["avg_neg_logprob"] - round(s2, 4)) < 1e-9
+    s3 = -(math.log(p(2, 2)) + math.log(p(3, 3))) / 2
+    assert abs(got[3]["avg_neg_logprob"] - round(s3, 4)) < 1e-9
