@@ -49,7 +49,11 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from science_datalake_spark.queries import load_all, load_aux
-    from science_datalake_spark.session import get_spark, suggest_shuffle_partitions
+    from science_datalake_spark.session import (
+        get_spark,
+        suggest_max_partition_bytes,
+        suggest_shuffle_partitions,
+    )
 
     # Bench over the driver registry PLUS the aux (local-parity) registry:
     # correctness-row rotation moves queries between the two, and a rotated
@@ -79,7 +83,21 @@ def main() -> None:
     # partitions fit executor memory at the target SF" discipline, not a
     # benchmark-only knob.
     parts = suggest_shuffle_partitions(sf_dir)
-    spark = get_spark("sds-bench", **{"spark.sql.shuffle.partitions": str(parts)})
+    # File-split twin of the shuffle rule: size maxPartitionBytes so the
+    # largest fixture file fans out to ~2 splits/core instead of riding
+    # the 128 MB default onto ONE task (single-file-per-table layout).
+    # Bounded by the file's row-group layout — see gen_scale_fixture.
+    mpb = suggest_max_partition_bytes(
+        sf_dir, cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    spark = get_spark(
+        "sds-bench",
+        **{
+            "spark.sql.shuffle.partitions": str(parts),
+            "spark.sql.files.maxPartitionBytes": str(mpb),
+            "spark.sql.files.openCostInBytes": str(min(mpb, 4 * 1024 * 1024)),
+        },
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
 
     # warm the JVM + parquet footers with one tiny action

@@ -151,3 +151,124 @@ def incremental_neardup_sink(
         fs_mkdirs(spark, marker)
 
     return sink
+
+
+def incremental_bloom_sink(
+    bloom_path: str,
+    accepted_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    expected_items: int = 1_000_000,
+    target_fpp: float = 0.01,
+):
+    """foreachBatch sink for EXACT cross-release incremental dedup behind
+    the durable Bloom membership tier (operators/bloom): every
+    micro-batch is fingerprinted, batch-internally deduped (first id per
+    fingerprint), probed against the persisted bitmap — definitely-new
+    rows skip the verify join entirely — and only might-contain
+    candidates anti-join the accepted table's fingerprints, so results
+    are EXACT at any false-positive rate. Survivors land in a Hive
+    partition of the accepted table and their bits are OR-merged into
+    the bloom artifact (the word arrays are both <= num_bits/64 longs —
+    a driver-side numpy OR, never a corpus rescan). Contrast with
+    ``incremental_neardup_sink``: that one is NEAR-dup with a durable
+    LSH band index; this one is exact-content dedup whose durable state
+    is a fixed-size bitmap regardless of corpus size.
+
+    Geometry: the first batch sizes the filter via
+    ``bloom_size_for(expected_items, target_fpp)``; every later batch
+    reuses the artifact's geometry (probe and build must agree).
+
+    At-least-once safety (the incremental_neardup_sink discipline):
+    accepted rows land in ``ingest_batch=<batch_id>`` with OVERWRITE;
+    the verify join reads the accepted table EXCLUDING the current
+    batch's own partition, so a replay after a mid-batch crash
+    re-derives the same accepted set instead of anti-joining against
+    its own half-written output; the bloom artifact is rewritten after
+    the accepted write (a stale bitmap only costs extra verify-join
+    candidates, never correctness); a marker under
+    ``<accepted_path>/_batches/<batch_id>`` makes fully-committed
+    replays exit early."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from science_datalake_spark.operators.bloom import (
+        BloomModel,
+        bloom_build,
+        bloom_might_contain,
+        bloom_read,
+        bloom_size_for,
+        bloom_write,
+    )
+    from science_datalake_spark.util import fs_exists, fs_mkdirs
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        marker = f"{accepted_path}/_batches/{batch_id}"
+        if fs_exists(spark, marker):
+            return  # replay of a fully committed batch
+        w = Window.partitionBy("__fp").orderBy(id_col)
+        batch = (
+            with_fingerprint(batch_df, text_col)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        model = bloom_read(spark, bloom_path) if fs_exists(spark, bloom_path) else None
+        have_prior = fs_exists(spark, accepted_path) and fs_exists(
+            spark, f"{accepted_path}/_batches"
+        )
+        if model is not None and have_prior:
+            from pyspark import StorageLevel
+
+            tagged = bloom_might_contain(batch, "__fp", model).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            clear = tagged.filter(~F.col("might_contain")).drop("might_contain")
+            cand = tagged.filter(F.col("might_contain")).drop("might_contain")
+            prior_fps = (
+                spark.read.parquet(accepted_path)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select(F.col("fp").alias("__prior_fp"))
+            )
+            verified = cand.join(
+                prior_fps, cand["__fp"] == F.col("__prior_fp"), "left_anti"
+            )
+            new = clear.unionByName(verified)
+        else:
+            tagged = None
+            new = batch
+        new = new.withColumnRenamed("__fp", "fp")
+        new.write.mode("overwrite").parquet(
+            f"{accepted_path}/ingest_batch={batch_id}"
+        )
+        if tagged is not None:
+            tagged.unpersist()
+        nb, nh = (
+            (model.num_bits, model.num_hashes)
+            if model is not None
+            else bloom_size_for(expected_items, target_fpp)
+        )
+        add = bloom_build(
+            spark.read.parquet(f"{accepted_path}/ingest_batch={batch_id}").select(
+                "fp"
+            ),
+            "fp",
+            nb,
+            nh,
+        )
+        if model is not None:
+            words = (
+                np.array(model.words, dtype=np.int64)
+                | np.array(add.words, dtype=np.int64)
+            ).tolist()
+            merged = BloomModel(nb, nh, [int(x) for x in words], model.n_items + add.n_items)
+        else:
+            merged = add
+        bloom_write(merged, spark, bloom_path)
+        fs_mkdirs(spark, marker)
+
+    return sink

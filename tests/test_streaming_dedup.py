@@ -255,3 +255,104 @@ def test_incremental_neardup_sink_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(prs).collect()
     }
     assert (1, 1) not in pairs and (3, 3) not in pairs
+
+
+def test_incremental_bloom_sink_stream_matches_batch(spark, tmp_path):
+    """foreachBatch exact incremental dedup behind the durable Bloom
+    artifact: a 3-micro-batch drain keeps exactly the first arrival of
+    each distinct content fingerprint (within AND across batches), and
+    the persisted bitmap's geometry survives across batches."""
+    import time
+
+    from science_datalake_spark.operators.bloom import bloom_read
+    from science_datalake_spark.streaming.dedup import incremental_bloom_sink
+
+    src = tmp_path / "bl_src"
+    src.mkdir()
+    batches = [
+        [(0, "aaa one"), (1, "bbb two"), (2, "aaa one")],          # 2 dup of 0
+        [(10, "aaa one"), (11, "ccc three")],                       # 10 dup of 0
+        [(20, "ccc three"), (21, "ddd four"), (22, "ddd four")],    # dups of 11, 21
+    ]
+    for fi, rows in enumerate(batches):
+        with open(src / f"b{fi}.json", "w") as f:
+            for did, t in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": did,
+                            "source": "s",
+                            "text": t,
+                            "ingest_ts": f"2024-01-01T00:0{fi}:00.000Z",
+                        }
+                    )
+                    + "\n"
+                )
+        time.sleep(0.05)
+
+    sink = incremental_bloom_sink(
+        str(tmp_path / "bl_bloom"),
+        str(tmp_path / "bl_accepted"),
+        expected_items=10_000,
+    )
+    q = (
+        _doc_stream(spark, str(src))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    acc = spark.read.parquet(str(tmp_path / "bl_accepted"))
+    got = {r["doc_id"] for r in acc.collect()}
+    assert got == {0, 1, 11, 21}
+    # fp column persisted for future verify joins; one row per distinct fp
+    assert acc.select("fp").distinct().count() == 4
+    model = bloom_read(spark, str(tmp_path / "bl_bloom"))
+    assert model.n_items == 4 and model.num_bits % 64 == 0
+    # every accepted fingerprint probes positive (zero false negatives)
+    from science_datalake_spark.operators.bloom import bloom_might_contain
+
+    probed = bloom_might_contain(acc.select("fp"), "fp", model)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_incremental_bloom_sink_replay_idempotent(spark, tmp_path):
+    """At-least-once: replaying a committed micro-batch is a no-op, and
+    replaying an UNcommitted one (accepted written, marker missing — the
+    mid-batch crash) re-derives the same accepted set instead of
+    anti-joining against its own output."""
+    from science_datalake_spark.streaming.dedup import incremental_bloom_sink
+    from science_datalake_spark.util import fs_exists
+
+    sink = incremental_bloom_sink(
+        str(tmp_path / "bl2_bloom"),
+        str(tmp_path / "bl2_accepted"),
+        expected_items=1_000,
+    )
+    b0 = spark.createDataFrame(
+        [(0, "s", "xxx"), (1, "s", "yyy")], "doc_id LONG, source STRING, text STRING"
+    )
+    b1 = spark.createDataFrame(
+        [(10, "s", "xxx"), (11, "s", "zzz")], "doc_id LONG, source STRING, text STRING"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    acc_path = str(tmp_path / "bl2_accepted")
+    before = sorted(
+        (r["doc_id"], r["ingest_batch"]) for r in spark.read.parquet(acc_path).collect()
+    )
+    assert [d for d, _ in before] == [0, 1, 11]
+    # committed replay: no-op
+    sink(b1, 1)
+    # crash replay: remove batch 1's marker, rerun — same result
+    hadoop = spark._jvm.org.apache.hadoop
+    p = hadoop.fs.Path(f"{acc_path}/_batches/1")
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    assert not fs_exists(spark, f"{acc_path}/_batches/1")
+    sink(b1, 1)
+    after = sorted(
+        (r["doc_id"], r["ingest_batch"]) for r in spark.read.parquet(acc_path).collect()
+    )
+    assert after == before

@@ -117,7 +117,16 @@ def main() -> None:
         "embeddings",
     ):
         union = " UNION ALL ".join(_sql(table, k) for k in range(factor))
-        con.execute(f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        # Small row groups for the heavy-per-row tables: a single-row-group
+        # file caps BOTH engines at one scan task (Spark assigns a row
+        # group to the byte-range split holding its midpoint; DuckDB
+        # parallelizes per row group). 4096-row groups give documents ~12
+        # groups at sf1 / ~37 at sf3 and embeddings ~5/~15 — enough splits
+        # to keep 32 cores busy once maxPartitionBytes is sized to match
+        # (session.suggest_max_partition_bytes). Fact tables exceed the
+        # 122,880-row DuckDB default anyway and stay default.
+        rgs = ", ROW_GROUP_SIZE 4096" if table in ("documents", "embeddings") else ""
+        con.execute(f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET{rgs})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {n} rows")
     con.close()
