@@ -50,8 +50,8 @@ def main() -> None:
 
     from science_datalake_spark.queries import load_all, load_aux
     from science_datalake_spark.session import (
+        SCAN_OPEN_COST_BYTES,
         get_spark,
-        suggest_max_partition_bytes,
         suggest_shuffle_partitions,
     )
 
@@ -83,19 +83,17 @@ def main() -> None:
     # partitions fit executor memory at the target SF" discipline, not a
     # benchmark-only knob.
     parts = suggest_shuffle_partitions(sf_dir)
-    # File-split twin of the shuffle rule: size maxPartitionBytes so the
-    # largest fixture file fans out to ~2 splits/core instead of riding
-    # the 128 MB default onto ONE task (single-file-per-table layout).
-    # Bounded by the file's row-group layout — see gen_scale_fixture.
-    mpb = suggest_max_partition_bytes(
-        sf_dir, cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    )
+    # Scan fan-out twin of the shuffle rule: Spark already sizes file
+    # splits toward one per core (bytesPerCore), but the default 4 MB
+    # openCostInBytes floors split size, pinning a 6 MB single-file
+    # table to ~2 tasks. 128 KB lets the small hot files (documents,
+    # embeddings) fan out to their row-group count while big files keep
+    # bytesPerCore-sized splits — see session.SCAN_OPEN_COST_BYTES.
     spark = get_spark(
         "sds-bench",
         **{
             "spark.sql.shuffle.partitions": str(parts),
-            "spark.sql.files.maxPartitionBytes": str(mpb),
-            "spark.sql.files.openCostInBytes": str(min(mpb, 4 * 1024 * 1024)),
+            "spark.sql.files.openCostInBytes": str(SCAN_OPEN_COST_BYTES),
         },
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))

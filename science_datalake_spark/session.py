@@ -80,34 +80,19 @@ def suggest_shuffle_partitions(
     return max(floor, min(cap, total // target_bytes))
 
 
-def suggest_max_partition_bytes(
-    sf_dir: str,
-    cores: int = 32,
-    splits_per_core: int = 2,
-    floor: int = 256 * 1024,
-    cap: int = 128 * 1024 * 1024,
-) -> int:
-    """File-split sizing twin of ``suggest_shuffle_partitions``: pick
-    ``spark.sql.files.maxPartitionBytes`` so the LARGEST single input
-    file yields ~``cores * splits_per_core`` byte-range splits, clamped
-    to [256 KB, 128 MB]. The default 128 MB is right for a real lake
-    (files >> 128 MB); on a single-file-per-table fixture it assigns the
-    whole 6 MB documents file to ONE task and a tokenization-bound query
-    runs on one core of 32. Split granularity is still bounded by the
-    file's row-group layout — Spark assigns each row group to the split
-    holding its midpoint — so this pairs with the fixture generator's
-    small-row-group layout for documents/embeddings."""
-    largest = 0
-    for root, _dirs, files in os.walk(sf_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                try:
-                    largest = max(largest, os.path.getsize(os.path.join(root, f)))
-                except OSError:
-                    pass
-    if largest <= 0:
-        return cap
-    return max(floor, min(cap, largest // (cores * splits_per_core) or floor))
+#: File-scan fan-out floor for small single-file tables. Spark sizes file
+#: splits as min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
+#: where bytesPerCore = scan_bytes / defaultParallelism — i.e. every scan
+#: ALREADY self-scales toward one split per core, EXCEPT that the default
+#: openCostInBytes (4 MB) floors split size, so a 6 MB documents file
+#: becomes ~2 splits and a tokenization-bound query runs on 2 of 32
+#: cores. Lowering the open cost to 128 KB lets small hot files fan out
+#: to ~parallelism splits (bounded by their row-group layout — see
+#: tools/gen_scale_fixture.py) while large files keep bytesPerCore-sized
+#: splits; the 128 KB still charges something per extra file so a
+#: many-tiny-files lake does not explode the task count. Used by
+#: bench.py; the 4 MB default is right for real lakes of 128 MB+ files.
+SCAN_OPEN_COST_BYTES = 128 * 1024
 
 
 def stop_spark() -> None:

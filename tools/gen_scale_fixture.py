@@ -125,7 +125,7 @@ def main() -> None:
         # to keep 32 cores busy once maxPartitionBytes is sized to match
         # (session.suggest_max_partition_bytes). Fact tables exceed the
         # 122,880-row DuckDB default anyway and stay default.
-        rgs = ", ROW_GROUP_SIZE 4096" if table in ("documents", "embeddings") else ""
+        rgs = {"documents": ", ROW_GROUP_SIZE 2048", "embeddings": ", ROW_GROUP_SIZE 1024"}.get(table, "")
         con.execute(f"COPY ({union}) TO '{out}/{table}.parquet' (FORMAT PARQUET{rgs})")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{table}.parquet')").fetchone()[0]
         print(f"{table}: {n} rows")
