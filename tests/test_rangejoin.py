@@ -186,3 +186,33 @@ def test_banded_only_bypass_equals_split_path(spark):
         ).collect()
     }
     assert pa == pb and pa
+
+
+def test_keyed_strategy_matches_banded(spark):
+    """strategy='keyed' (plain hash join + overlap filter) returns the
+    identical pair set as the banded strategy on a keyed input, and
+    rejects unkeyed use (an unkeyed theta join is a cartesian product)."""
+    import pytest as _pytest
+
+    from science_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    iv = spark.createDataFrame(
+        [(i, i % 3, float(i % 17), float(i % 17 + i % 5)) for i in range(200)],
+        "uid LONG, k INT, start DOUBLE, end DOUBLE",
+    )
+    kw = dict(bucket_width=4.0, on=["k"])
+    banded = {
+        (r["uid"], r["uid_r"])
+        for r in interval_overlap_join(iv, iv, **kw)
+        .filter("uid < uid_r")
+        .collect()
+    }
+    keyed = {
+        (r["uid"], r["uid_r"])
+        for r in interval_overlap_join(iv, iv, strategy="keyed", **kw)
+        .filter("uid < uid_r")
+        .collect()
+    }
+    assert keyed == banded and len(keyed) > 0
+    with _pytest.raises(ValueError, match="requires equi keys"):
+        interval_overlap_join(iv, iv, bucket_width=4.0, strategy="keyed")
