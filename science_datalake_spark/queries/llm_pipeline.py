@@ -3003,13 +3003,20 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     results, only shuffle volume). Rolled up per source as
     batch/new/duplicate counts; the K-copy crawl shape makes some
     re-crawled docs true duplicates of retained text."""
+    from pyspark import StorageLevel
+
     from science_datalake_spark.operators.bloom import incremental_new_docs
 
     d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    prior = d.filter(F.col("doc_id") % 7 != 0).select(
-        T.fingerprint(F.col("text")).alias("fp")
-    )
-    batch = d.withColumn("fp", T.fingerprint(F.col("text")))
+    # Fingerprint ONCE into a persisted skinny relation (the round-11
+    # corpus_release lesson): prior (bloom build + verify-join keys) and
+    # batch (probe side) otherwise re-run the md5+regex text pass three
+    # times between them.
+    scored = d.select(
+        "doc_id", "source", T.fingerprint(F.col("text")).alias("fp")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    prior = scored.filter(F.col("doc_id") % 7 != 0).select("fp")
+    batch = scored
     new = incremental_new_docs(batch, prior, "fp")
     newc = new.groupBy("source").agg(F.count("*").alias("n_new"))
     batchc = batch.groupBy("source").agg(F.count("*").alias("n_batch"))
