@@ -335,13 +335,36 @@ def simhash(
                     for k in range((bits + 31) // 32)
                 ]
             )
-        hashed = tokens.select(id_col, digest.alias("__h"))
-        contribs = [
-            F.sum(
-                F.when(F.substring(F.col("__h"), b + 1, 1).isin(*"01234567"), 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(bits)
-        ]
+        # Bit b is the parity of hex digit b: digits 0-7 (nibble high bit
+        # clear) contribute +1, 8-f contribute -1. Testing the digit via
+        # substring().isin() costs one interpreted UTF8String slice per
+        # bit per token (64 allocations/token at 64 bits); instead conv
+        # each 8-hex-digit chunk to a long ONCE per token (ceil(bits/8)
+        # codegen'd convs) and read the nibble high bits with shift/and —
+        # identical values, no per-bit string work.
+        n_chunks = (bits + 7) // 8
+        widths = [min(8, bits - 8 * c) for c in range(n_chunks)]
+        # Two-step select keeps the digest computed ONCE per token:
+        # CollapseProject leaves the projections separate because "__h" is
+        # referenced n_chunks times and md5 is not a cheap expression.
+        hashed = tokens.select(id_col, digest.alias("__h")).select(
+            id_col,
+            *[
+                F.conv(F.substring(F.col("__h"), c * 8 + 1, widths[c]), 16, 10)
+                .cast("bigint")
+                .alias(f"__c{c}")
+                for c in range(n_chunks)
+            ],
+        )
+        contribs = []
+        for b in range(bits):
+            c, j = divmod(b, 8)
+            shift = 4 * (widths[c] - 1 - j) + 3
+            contribs.append(
+                F.sum(
+                    F.when(F.expr(f"(__c{c} >> {shift}) & 1 = 1"), -1).otherwise(1)
+                ).alias(f"s{b}")
+            )
     elif hash_fn == "xxhash64":
         if bits > 64:
             raise ValueError("simhash derives bits from one xxhash64; max 64")
