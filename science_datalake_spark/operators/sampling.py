@@ -69,6 +69,55 @@ def stratified_sample(
     return kept.drop("__r", "__rn")
 
 
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    weight_col: str,
+    seed: int = 42,
+    es_col: str | None = None,
+) -> DataFrame:
+    """Exactly-n sample WITHOUT replacement with inclusion probability
+    proportional to ``weight_col`` (Efraimidis & Spirakis 2006, algorithm
+    A-ES): each row gets key k_i = u_i^(1/w_i) with u_i ~ U(0,1]; the n
+    largest keys are a weighted sample without replacement. We rank by the
+    monotone transform ln(u_i)/w_i so the key never underflows (u^(1/w)
+    rounds to 0.0 in float64 once w is small relative to -ln u).
+
+    u_i is NOT rand(): like the other samplers in this module it derives
+    from a digest of the row's key — ``md5(key || ':' || seed)`` first 8
+    hex chars as a uint32 — so the sample is a pure function of (data,
+    seed) under any partitioning, and the DuckDB twin can compute the
+    identical u (md5 is oracle-portable; xxhash64 is not).
+
+    Rows with weight <= 0 or NULL are excluded (zero mass).
+
+    Scale: map-only projection + TakeOrderedAndProject — each partition
+    keeps its local top-n, only n·partitions rows reach the driver merge.
+    Zero shuffles; this is the weighted analogue of ``exact_n_sample``.
+    The canonical corpus use: token-budget subsampling where long
+    documents must be drawn proportionally to their token count.
+
+    ``es_col``: optionally keep the ranking key (ln u / w) as a column.
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32.cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    es = F.log(u) / F.col(weight_col).cast("double")
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", es)
+    kept = scored.orderBy(F.desc("__es"), key_col).limit(n)
+    if es_col is not None:
+        return kept.withColumnRenamed("__es", es_col)
+    return kept.drop("__es")
+
+
 def similarity_tiers(sim: F.Column) -> F.Column:
     """The reference's similarity strata: ≥.95 exact / ≥.85 high /
     ≥.75 mid / ≥.65 borderline (evaluate_ontology_alignment.py:49-76)."""

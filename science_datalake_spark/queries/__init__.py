@@ -153,6 +153,19 @@ def query(
 # dedup_simhash_pairs (dedup keeps 7 rows), sim_pq_recall (sim keeps
 # ivf_durable/ann_bucketed/knn_label_vote/ivfpq_topk/quantize_int8),
 # sparql_path_ancestors (sparql keeps agg_stats/path_range).
+# Round-11 wave 2 (same-round additions get rows immediately): the two
+# queries ADDED this round rotate IN — sample_weighted_tokens
+# (Efraimidis-Spirakis weighted sampling without replacement) and
+# corpus_dsir_sample (DSIR importance resampling, Xie et al. 2023). Two
+# entries with TEN rounds of driver evidence each rest in aux:
+# dedup_simhash (dedup keeps 7 driver rows incl. minhash_lsh /
+# cluster_sizes / containment) and sim_knn_label_vote (sim keeps
+# ivf_durable / ivf_topk / ivfpq_topk / quantize_int8). The round's two
+# EARLIER additions also rotate IN for their first rows —
+# text_trigram_logprob (the LM-ladder slice above bigram) and
+# sim_matryoshka_fidelity (truncation-fidelity audit) — resting
+# text_unigram_logprob (5 rounds; the LM ladder keeps bigram + trigram
+# driver rows) and sim_ann_bucketed (10 rounds; sim family keeps 5 rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -185,14 +198,14 @@ DRIVER_ORDER: list[str] = [
     "eval_alignment_strata",
     "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "sample_weighted_tokens",
     "sim_ivf_topk",
     "dedup_semantic",
     "corpus_pack_greedy",
     "web_domain_cap",
     "sparql_agg_stats",
-    "sim_knn_label_vote",
-    "sim_ann_bucketed",
+    "corpus_dsir_sample",
+    "sim_matryoshka_fidelity",
     "dedup_cluster_sizes",
     "corpus_split_leakage_safe",
     "sim_ivfpq_topk",
@@ -202,7 +215,7 @@ DRIVER_ORDER: list[str] = [
     "sparql_bgp_children",
     "text_bigram_logprob",
     "web_url_canonical",
-    "text_unigram_logprob",
+    "text_trigram_logprob",
     "text_span_dedup",
 ]
 

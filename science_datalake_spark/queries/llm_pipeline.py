@@ -228,7 +228,11 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("dedup_simhash", oracle=_simhash_oracle())
+@query(
+    "dedup_simhash",
+    aux=True,  # rested round 11 wave 2 (10 rounds driver-green; local parity continues)
+    oracle=_simhash_oracle(),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures via hash-parity hyperplanes — near-dup docs
     collide or land Hamming-close. Same shuffle profile as minhash."""
@@ -481,6 +485,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_knn_label_vote",
+    aux=True,  # rested round 11 wave 2 (10 rounds driver-green; local parity continues)
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 20),
@@ -889,6 +894,7 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_ann_bucketed",
+    aux=True,  # rested round 11 wave 2 (10 rounds driver-green; local parity continues)
     oracle=f"""
     WITH e AS (
         SELECT vec_id, embedding::DOUBLE[] AS v, {_bucket_sql('embedding')} AS bucket
@@ -1212,6 +1218,7 @@ def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_unigram_logprob",
+    aux=True,  # rested round 11 wave 2 (5 rounds driver-green; local parity continues)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest({_WORDS_LOWER}) AS tok FROM documents
@@ -3175,7 +3182,7 @@ def text_source_quality_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_trigram_logprob",
-    aux=True,
+    # rotated INTO driver round 11 wave 2 (same-round additions get rows)
     oracle="""
     WITH toks AS (
         SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -3242,7 +3249,7 @@ def text_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_matryoshka_fidelity",
-    aux=True,
+    # rotated INTO driver round 11 wave 2 (same-round additions get rows)
     oracle="""
     WITH base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3396,3 +3403,137 @@ def sim_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return energy.join(agree, "d").orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Weighted / importance sampling (round-11 wave 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_weighted_tokens",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, n_tokens,
+               ln((('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT + 1.0)
+                  / 4294967296.0) / n_tokens AS es
+        FROM w WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(es, 6) AS es_key
+    FROM scored
+    ORDER BY es DESC, doc_id
+    LIMIT 50
+    """,
+)
+def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling: draw 50 documents WITHOUT replacement with
+    inclusion probability proportional to token count (long documents carry
+    more of the training token budget, so a uniform doc sample under-weights
+    them). Efraimidis-Spirakis A-ES via operators/sampling.weighted_sample —
+    rank by ln(u)/w with u a pure md5 function of (doc_id, seed), so the
+    sample is reproducible under any partitioning and the DuckDB twin
+    computes the identical ranking key. Plan: map-only scoring +
+    TakeOrderedAndProject — zero shuffles."""
+    from science_datalake_spark.operators.sampling import weighted_sample
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        # token COUNT without materializing the token array:
+        # regexp_count(separators)+1 == size(split(...)) for any input
+        # (empty text: trim -> '' -> 0 separators -> 1, matching split's
+        # single empty token)
+        .withColumn(
+            "n_tokens", F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1
+        )
+    )
+    kept = weighted_sample(d, 50, "doc_id", "n_tokens", seed=42, es_col="__es")
+    return kept.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("__es", 6).alias("es_key"),
+    ).orderBy(F.desc("es_key"), "doc_id")
+
+
+@query(
+    "corpus_dsir_sample",
+    oracle="""
+    WITH rawdocs AS (SELECT doc_id, text FROM documents WHERE lang <> 'en'),
+    tgt AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+    rtoks AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM rawdocs)
+    ),
+    ttoks AS (
+        SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS b
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM tgt)
+    ),
+    tc AS (SELECT b, count(*) AS ct FROM ttoks GROUP BY b),
+    rc AS (SELECT b, count(*) AS cr FROM rtoks GROUP BY b),
+    tot AS (SELECT (SELECT sum(ct) FROM tc) AS t_total,
+                   (SELECT sum(cr) FROM rc) AS r_total),
+    ratio AS (
+        SELECT coalesce(tc.b, rc.b) AS b,
+               ln(CAST(coalesce(ct, 0) AS DOUBLE) + 0.5)
+                 - ln(CAST(t_total AS DOUBLE) + 512.0)
+                 - ln(CAST(coalesce(cr, 0) AS DOUBLE) + 0.5)
+                 + ln(CAST(r_total AS DOUBLE) + 512.0) AS lr
+        FROM tc FULL OUTER JOIN rc ON tc.b = rc.b CROSS JOIN tot
+    ),
+    w AS (
+        SELECT t.doc_id, count(*) AS n_tokens, sum(lr) AS log_weight
+        FROM rtoks t JOIN ratio USING (b) GROUP BY t.doc_id
+    ),
+    g AS (
+        SELECT doc_id, n_tokens, log_weight,
+               log_weight + (-ln(-ln(
+                   (('0x' || substr(md5(doc_id || ':g42'), 1, 8))::BIGINT + 0.5)
+                   / 4294967296.0))) AS score
+        FROM w
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(log_weight, 6) AS log_weight, ROUND(score, 6) AS score
+    FROM g
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023) over the documents table: target distribution = English docs,
+    raw pool = everything else; hashed-unigram (1024-bucket) importance
+    weights log p_target/p_raw per document; Gumbel top-k draws 20 docs
+    WITHOUT replacement from softmax(log_weight). This is the standard
+    published recipe for matching a pretraining mixture to a high-quality
+    target corpus. Scale shape (operators/dsir.py): both feature
+    distributions aggregate to <=1024 rows (map-side combined), the ratio
+    relation is broadcast onto the token stream, and the only data-sized
+    shuffle is the per-doc sum — nothing grows with corpus size except
+    that one aggregation. The DuckDB twin replays the identical md5
+    bucket hash, four-term smoothed log ratio, and md5-keyed Gumbel
+    noise."""
+    from science_datalake_spark.operators.dsir import dsir_sample
+
+    docs = table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("lang") != "en").select("doc_id", "text")
+    target = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    out = dsir_sample(
+        raw, target, "doc_id", "text", n=20, num_buckets=1024, alpha=0.5, seed=42
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("score", 6).alias("score"),
+    ).orderBy(F.desc("score"), "doc_id")

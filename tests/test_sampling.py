@@ -55,3 +55,51 @@ def test_stratified_gold_design(spark):
         | ((F.col("tier") == "borderline") & (F.col("similarity") >= 0.75))
     ).count()
     assert bad == 0
+
+
+def test_weighted_sample_reproducible_and_take_ordered(spark, sf_oracle):
+    from science_datalake_spark.operators.sampling import weighted_sample
+    from science_datalake_spark import plans
+
+    o = table(spark, sf_oracle, "orders").withColumn(
+        "w", (F.col("o_totalprice") / 100.0)
+    )
+    s1 = weighted_sample(o, 100, "o_orderkey", "w", seed=7)
+    s2 = weighted_sample(o.repartition(17), 100, "o_orderkey", "w", seed=7)
+    assert s1.count() == 100
+    assert s1.select("o_orderkey").exceptAll(s2.select("o_orderkey")).count() == 0
+    # map-only + TakeOrderedAndProject: zero shuffles
+    assert plans.is_take_ordered(s1), plans.physical_plan(s1)
+    assert plans.count_exchanges(s1) == 0, plans.physical_plan(s1)
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """One row carries ~91% of the total mass; across 40 seeds it must be
+    in a 10-of-100 sample essentially always (A-ES inclusion probability
+    for the heavy row is 1 - O(1e-4) here)."""
+    from science_datalake_spark.operators.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 0, 1000.0).otherwise(1.0).alias("w"),
+    )
+    hits = 0
+    for seed in range(40):
+        kept = {r["k"] for r in weighted_sample(df, 10, "k", "w", seed=seed).collect()}
+        assert len(kept) == 10
+        hits += 0 in kept
+    assert hits >= 38, hits
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from science_datalake_spark.operators.sampling import weighted_sample
+
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 10, -1.0)
+        .when(F.col("id") < 15, 0.0)
+        .otherwise(1.0)
+        .alias("w"),
+    )
+    kept = {r["k"] for r in weighted_sample(df, 20, "k", "w", seed=1).collect()}
+    assert kept == set(range(15, 20))
