@@ -34,6 +34,15 @@ def term_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
 
 
+def doc_lengths(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl) token counts WITHOUT materializing the split array:
+    regexp_count(separators)+1 == size(split(...)) for any input."""
+    return df.select(
+        F.col(id_col),
+        (F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\s+")) + 1).alias("dl"),
+    )
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,
@@ -41,6 +50,8 @@ def bm25_scores(
     query_terms: list[str],
     k1: float = BM25_K1,
     b: float = BM25_B,
+    postings: DataFrame | None = None,
+    doclen: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 score per document for a bag of query terms.
 
@@ -53,11 +64,16 @@ def bm25_scores(
     with zero jobs run inside this function. The old ``df.count()`` +
     ``agg().first()`` formulation cost two extra full corpus scans per
     call at scale (round-2/3 verdict finding).
+
+    ``postings``/``doclen``: inject pre-computed (optionally persisted)
+    relations when another ranker shares them (see search_hybrid_rrf —
+    the hybrid would otherwise tokenize the corpus once per leg);
+    ``postings`` may already be filtered to the query terms.
     """
-    postings = term_postings(df, id_col, text_col)
-    doclen = df.select(
-        F.col(id_col), F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("dl")
-    )
+    if postings is None:
+        postings = term_postings(df, id_col, text_col)
+    if doclen is None:
+        doclen = doc_lengths(df, id_col, text_col)
     consts = doclen.agg(
         F.count("*").alias("__n_docs"), F.avg("dl").alias("__avgdl")
     )
@@ -82,6 +98,101 @@ def bm25_scores(
         )
     )
     return scored.groupBy(id_col).agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+
+
+def ql_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    mu: float = 100.0,
+    postings: DataFrame | None = None,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood language-model ranking (Zhai &
+    Lafferty 2001) — the classic second retrieval signal next to BM25:
+
+        score(d) = Σ_q ln((tf_{q,d} + μ·p(q|C)) / (dl_d + μ)),
+        p(q|C) = collection tf of q / total corpus tokens.
+
+    Candidate set = docs matching ≥1 query term (the inverted-index
+    retrieval set); every query term then contributes per candidate —
+    tf=0 terms ride the μ·p(q|C) smoothing, which is what separates QL
+    from a plain AND/OR score.
+
+    Scale: one postings shuffle (shared shape with bm25_scores), a 1-row
+    totals broadcast, a |Q|-row term-prob broadcast expanded over the
+    candidates, and one per-doc sum. Nothing global.
+
+    ``postings``/``doclen``: injectable as in bm25_scores (the hybrid
+    query persists one filtered postings relation for both legs).
+    """
+    terms = [t.lower() for t in query_terms]
+    if postings is None:
+        postings = term_postings(df, id_col, text_col)
+    if doclen is None:
+        doclen = doc_lengths(df, id_col, text_col)
+    total = doclen.agg(F.sum("dl").alias("__total"))
+    q = postings.filter(F.col("term").isin(*terms))
+    pq = (
+        q.groupBy("term")
+        .agg(F.sum("tf").alias("__ctf"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term", (F.col("__ctf").cast("double") / F.col("__total")).alias("__pq")
+        )
+    )
+    grid = q.select(id_col).distinct().crossJoin(F.broadcast(pq))
+    scored = (
+        grid.join(q, [id_col, "term"], "left")
+        .join(doclen, id_col)
+        .withColumn(
+            "__s",
+            F.log(
+                (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(mu) * F.col("__pq"))
+                / (F.col("dl") + F.lit(mu))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.round(F.sum("__s"), 4).alias("ql"))
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]], id_col: str, k: int = 60
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of pre-cut rankings:
+    rrf(d) = Σ_r 1/(k + rank_r(d)), ranks from (score desc, id) within
+    each input; ids absent from a ranking contribute 0 from it.
+
+    CONTRACT: each input must already be cut to its top-N (e.g. via
+    TakeOrderedAndProject) — the rank window here is a single-partition
+    global sort, which is only cheap because N is small. Fusing un-cut
+    corpus-sized rankings is the caller's scale bug, not this operator's.
+
+    Returns (id_col, rrf, <score cols>...), one row per id seen anywhere.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for i, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.desc(score_col), id_col)
+        parts.append(
+            df.select(
+                id_col, score_col, F.row_number().over(w).alias(f"__rank{i}")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, id_col, "full_outer")
+    contrib = [
+        F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(f"__rank{i}")), F.lit(0.0))
+        for i in range(len(parts))
+    ]
+    rrf = contrib[0]
+    for c in contrib[1:]:
+        rrf = rrf + c
+    score_cols = [sc for _, sc in ranked]
+    return out.select(id_col, rrf.alias("rrf"), *score_cols)
 
 
 def tfidf_vectors(df: DataFrame, id_col: str, text_col: str, num_features: int = 1 << 14):

@@ -166,6 +166,10 @@ def query(
 # sim_matryoshka_fidelity (truncation-fidelity audit) — resting
 # text_unigram_logprob (5 rounds; the LM ladder keeps bigram + trigram
 # driver rows) and sim_ann_bucketed (10 rounds; sim family keeps 5 rows).
+# Also added this wave: search_hybrid_rrf (BM25 + query-likelihood LM
+# fused by reciprocal rank) rotates IN, resting text_bm25_search
+# (9 rounds driver-green — and the hybrid's first leg recomputes the
+# identical BM25 top list every run, so the plan keeps driver coverage).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -174,7 +178,7 @@ DRIVER_ORDER: list[str] = [
     "vignette_disruption_by_code",
     "q3_top_unshipped_orders",
     "top_customers_flagged",
-    "text_bm25_search",
+    "search_hybrid_rrf",
     "text_source_quality_wilson",
     "ontology_skos_khop",
     "join_anti_semi",

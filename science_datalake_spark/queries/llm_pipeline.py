@@ -930,6 +930,9 @@ def sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bm25_search",
+    aux=True,  # rested round 11 wave 2: search_hybrid_rrf recomputes this exact
+    # BM25 top list as its first fusion leg (9 rounds driver-green; local
+    # parity continues)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -3537,3 +3540,107 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("log_weight", 6).alias("log_weight"),
         F.round("score", 6).alias("score"),
     ).orderBy(F.desc("score"), "doc_id")
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    doclen AS (SELECT doc_id, len({_WORDS}) AS dl FROM documents),
+    consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT avg(dl) FROM doclen) AS avgdl,
+                      (SELECT sum(dl) FROM doclen) AS total),
+    q AS (SELECT * FROM postings WHERE term IN ('spark', 'table', 'merge')),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term),
+    idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq, consts),
+    bmscored AS (
+        SELECT q.doc_id,
+               idf.idf * (q.tf * 2.2) /
+                   (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        FROM q JOIN idf USING (term) JOIN doclen USING (doc_id), consts
+    ),
+    bm AS (
+        SELECT doc_id, CAST(round(sum(ts), 4) AS DOUBLE) AS bm25
+        FROM bmscored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    pq AS (
+        SELECT term, CAST(sum(tf) AS DOUBLE) / total AS pq
+        FROM q, consts GROUP BY term, total
+    ),
+    grid AS (
+        SELECT c.doc_id, p.term, p.pq
+        FROM (SELECT DISTINCT doc_id FROM q) c CROSS JOIN pq p
+    ),
+    qlsc AS (
+        SELECT g.doc_id,
+               ln((coalesce(q2.tf, 0) + 100.0 * g.pq) / (dl + 100.0)) AS s
+        FROM grid g
+        LEFT JOIN q q2 ON q2.doc_id = g.doc_id AND q2.term = g.term
+        JOIN doclen ON doclen.doc_id = g.doc_id
+    ),
+    ql AS (
+        SELECT doc_id, CAST(round(sum(s), 4) AS DOUBLE) AS ql
+        FROM qlsc GROUP BY doc_id
+        ORDER BY ql DESC, doc_id LIMIT 50
+    ),
+    bmr AS (SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+    qlr AS (SELECT doc_id, ql,
+                   row_number() OVER (ORDER BY ql DESC, doc_id) AS r FROM ql),
+    fused AS (
+        SELECT coalesce(b.doc_id, l.doc_id) AS doc_id, b.bm25, l.ql,
+               coalesce(1.0 / (60 + b.r), 0.0) + coalesce(1.0 / (60 + l.r), 0.0) AS rrf
+        FROM bmr b FULL OUTER JOIN qlr l ON b.doc_id = l.doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf, bm25, ql
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    BM25 and Dirichlet-smoothed query-likelihood LM (Zhai & Lafferty 2001)
+    each rank the corpus for a 3-term query, each ranking is cut to its
+    top-50 (TakeOrderedAndProject — the scale-safe cut), and the fused
+    score rrf(d) = Σ 1/(60 + rank) re-ranks the union. This is the
+    standard lexical hybrid every production search stack runs; both legs
+    share ONE postings relation. Ranks are taken over the 4-dp-rounded
+    scores so the cross-engine rank order is exact, and the fused
+    contributions 1/(60+r) are dyadic-exact doubles."""
+    from pyspark.storagelevel import StorageLevel
+
+    from science_datalake_spark.operators.ranking import (
+        bm25_scores,
+        doc_lengths,
+        ql_scores,
+        rrf_fuse,
+        term_postings,
+    )
+
+    terms = ["spark", "table", "merge"]
+    d = table(spark, sf_dir, "documents")
+    # Tokenize/measure the corpus ONCE for both legs (the oracle gets this
+    # for free: DuckDB materializes its twice-referenced postings/doclen
+    # CTEs). The filtered postings relation is skinny (only query-term
+    # matches survive — Catalyst pushes the isin below the tf groupBy);
+    # doclen is (id, int).
+    q_post = term_postings(d, "doc_id", "text").filter(
+        F.col("term").isin(*terms)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    doclen = doc_lengths(d, "doc_id", "text").persist(StorageLevel.MEMORY_AND_DISK)
+    bm = bm25_scores(
+        d, "doc_id", "text", terms, postings=q_post, doclen=doclen
+    ).orderBy(F.desc("bm25"), "doc_id").limit(50)
+    ql = ql_scores(
+        d, "doc_id", "text", terms, postings=q_post, doclen=doclen
+    ).orderBy(F.desc("ql"), "doc_id").limit(50)
+    fused = rrf_fuse([(bm, "bm25"), (ql, "ql")], "doc_id", k=60)
+    return (
+        fused.select("doc_id", F.round("rrf", 6).alias("rrf"), "bm25", "ql")
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

@@ -1732,3 +1732,55 @@ def test_trigram_logprob_scores_hand_computed(spark):
     assert abs(got[2]["avg_neg_logprob"] - round(s2, 4)) < 1e-9
     s3 = -(math.log(p(2, 2)) + math.log(p(3, 3))) / 2
     assert abs(got[3]["avg_neg_logprob"] - round(s3, 4)) < 1e-9
+
+
+def test_ql_scores_smoothing_covers_missing_terms(spark):
+    """Dirichlet QL: a candidate doc missing one query term still gets that
+    term's mu*p(q|C) smoothed contribution — pinned against a hand
+    computation on a 3-doc corpus."""
+    import math
+
+    from science_datalake_spark.operators.ranking import ql_scores
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "durian durian")],
+        ["doc_id", "text"],
+    )
+    mu = 10.0
+    got = {
+        r["doc_id"]: r["ql"]
+        for r in ql_scores(docs, "doc_id", "text", ["apple", "cherry"], mu=mu).collect()
+    }
+    # doc 3 matches neither term -> not a candidate
+    assert set(got) == {1, 2}
+    total = 7  # tokens in corpus
+    p_apple, p_cherry = 2 / total, 1 / total
+    want1 = round(
+        math.log((2 + mu * p_apple) / (3 + mu))
+        + math.log((0 + mu * p_cherry) / (3 + mu)),
+        4,
+    )
+    want2 = round(
+        math.log((0 + mu * p_apple) / (2 + mu))
+        + math.log((1 + mu * p_cherry) / (2 + mu)),
+        4,
+    )
+    assert abs(got[1] - want1) < 1e-9
+    assert abs(got[2] - want2) < 1e-9
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF over two rankings with partial overlap: contributions are
+    1/(k+rank) per list, 0 where absent."""
+    from science_datalake_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["id", "sa"])
+    b = spark.createDataFrame([(2, 8.0), (4, 7.0)], ["id", "sb"])
+    got = {
+        r["id"]: (r["rrf"], r["sa"], r["sb"])
+        for r in rrf_fuse([(a, "sa"), (b, "sb")], "id", k=10).collect()
+    }
+    assert abs(got[1][0] - 1 / 11) < 1e-12 and got[1][2] is None
+    assert abs(got[2][0] - (1 / 12 + 1 / 11)) < 1e-12
+    assert abs(got[3][0] - 1 / 13) < 1e-12
+    assert abs(got[4][0] - 1 / 12) < 1e-12 and got[4][1] is None
