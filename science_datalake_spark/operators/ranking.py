@@ -100,6 +100,68 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(F.round(F.sum("term_score"), 4).alias("bm25"))
 
 
+def bm25_batch_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qterm_col: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    postings: DataFrame | None = None,
+    doclen: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 for a whole BATCH of queries in ONE plan: ``queries`` is a
+    (qid, term) relation — every query's terms ride the same postings
+    join, so scoring N queries costs one postings pass + one broadcast
+    instead of N per-query plans. This is the retrieval shape training-
+    data mining needs (thousands of queries against one corpus).
+
+    idf is computed per term over the UNION of all query terms (global
+    df, identical per-term values to the single-query scorer). Returns
+    (qid, id_col, bm25) — rank/cut per qid is the caller's window.
+
+    Scale: one postings shuffle; the (qid, term) relation and the idf
+    relation broadcast (they are query-sized, not corpus-sized); one
+    (qid, doc) aggregate.
+    """
+    if postings is None:
+        postings = term_postings(df, id_col, text_col)
+    if doclen is None:
+        doclen = doc_lengths(df, id_col, text_col)
+    consts = doclen.agg(
+        F.count("*").alias("__n_docs"), F.avg("dl").alias("__avgdl")
+    )
+    qterms = queries.select(
+        F.col(qid_col), F.lower(F.col(qterm_col)).alias("term")
+    ).distinct()
+    terms = qterms.select("term").distinct()
+    q = postings.join(F.broadcast(terms), "term")
+    dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(consts)).select(
+        "term",
+        F.log(
+            (F.col("__n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "__avgdl",
+    )
+    scored = (
+        q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(doclen, id_col)
+        .withColumn(
+            "__ts",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
+    )
+    return scored.groupBy(qid_col, id_col).agg(
+        F.round(F.sum("__ts"), 4).alias("bm25")
+    )
+
+
 def ql_scores(
     df: DataFrame,
     id_col: str,

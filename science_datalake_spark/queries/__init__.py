@@ -169,7 +169,11 @@ def query(
 # Also added this wave: search_hybrid_rrf (BM25 + query-likelihood LM
 # fused by reciprocal rank) rotates IN, resting text_bm25_search
 # (9 rounds driver-green — and the hybrid's first leg recomputes the
-# identical BM25 top list every run, so the plan keeps driver coverage).
+# identical BM25 top list every run, so the plan keeps driver coverage);
+# and mine_hard_negatives (ICT hard-negative mining over the new batch
+# BM25 scorer) rotates IN, resting join_anti_semi (9 rounds; the join
+# family keeps q3 / top_customers / range_overlap_spans / unify /
+# fuzzy_jw driver rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -181,7 +185,7 @@ DRIVER_ORDER: list[str] = [
     "search_hybrid_rrf",
     "text_source_quality_wilson",
     "ontology_skos_khop",
-    "join_anti_semi",
+    "mine_hard_negatives",
     "vignette_code_rate_by_year",
     "corpus_decontaminate",
     "agg_stats_profile",

@@ -417,6 +417,7 @@ def join_expression_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_anti_semi",
+    aux=True,  # rested round 11 wave 2 (9 rounds driver-green; local parity continues)
     oracle="""
     WITH act AS (
         SELECT n.n_name, count(*) AS n_active

@@ -3644,3 +3644,93 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "mine_hard_negatives",
+    oracle="""
+    WITH qdocs AS (
+        SELECT doc_id AS qid,
+               list_slice(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                          1, 5) AS qwords
+        FROM documents WHERE doc_id % 25 = 0 AND doc_id < 5000
+    ),
+    qterms AS (
+        SELECT DISTINCT qid, w AS term
+        FROM (SELECT qid, unnest(qwords) AS w FROM qdocs)
+    ),
+    toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    doclen AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl
+        FROM documents
+    ),
+    consts AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT avg(dl) FROM doclen) AS avgdl),
+    q AS (
+        SELECT p.* FROM postings p
+        WHERE p.term IN (SELECT DISTINCT term FROM qterms)
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM q GROUP BY term),
+    idf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM dfreq, consts),
+    scored AS (
+        SELECT qt.qid, q.doc_id,
+               idf.idf * (q.tf * 2.2) /
+                   (q.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS ts
+        FROM q
+        JOIN qterms qt USING (term)
+        JOIN idf USING (term)
+        JOIN doclen USING (doc_id), consts
+    ),
+    agg AS (
+        SELECT qid, doc_id, CAST(round(sum(ts), 4) AS DOUBLE) AS bm25
+        FROM scored GROUP BY qid, doc_id
+    ),
+    negs AS (
+        SELECT qid, doc_id, bm25,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS neg_rank
+        FROM agg WHERE doc_id <> qid
+    )
+    SELECT qid, CAST(neg_rank AS INTEGER) AS neg_rank, doc_id, bm25
+    FROM negs WHERE neg_rank <= 3
+    ORDER BY qid, neg_rank
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training data via the
+    inverse-cloze construction (Lee et al. 2019): each sampled document's
+    leading tokens act as its query; the corpus documents that score
+    highest on BM25 for that query WITHOUT being the source document are
+    its hard negatives — lexically confusable, semantically wrong, the
+    pairs a bi-encoder learns the most from. Top-3 negatives per query.
+
+    Scale shape: ranking.bm25_batch_scores scores EVERY query in one
+    plan — one postings shuffle, query-sized broadcasts, one (qid, doc)
+    aggregate — instead of a per-query loop; the per-qid rank window
+    partitions by query. The query population is a FIXED workload
+    (doc_id % 25 within the base id range): query traffic does not grow
+    with corpus size, while every query's candidate set does — the shape
+    that makes batch scoring matter. (At true scale the next lever is
+    impact-ordered posting pruning per query — WAND — before the
+    aggregate; not needed at these SFs.)"""
+    from science_datalake_spark.operators.ranking import bm25_batch_scores
+
+    d = table(spark, sf_dir, "documents")
+    qdocs = d.filter((F.col("doc_id") % 25 == 0) & (F.col("doc_id") < 5000)).select(
+        F.col("doc_id").alias("qid"),
+        F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5).alias("__qw"),
+    )
+    qterms = qdocs.select("qid", F.explode("__qw").alias("term"))
+    scores = bm25_batch_scores(d, "doc_id", "text", qterms, "qid", "term")
+    w = Window.partitionBy("qid").orderBy(F.desc("bm25"), "doc_id")
+    negs = (
+        scores.filter(F.col("doc_id") != F.col("qid"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+    )
+    return negs.select("qid", "neg_rank", "doc_id", "bm25").orderBy("qid", "neg_rank")

@@ -1784,3 +1784,27 @@ def test_rrf_fuse_hand_computed(spark):
     assert abs(got[2][0] - (1 / 12 + 1 / 11)) < 1e-12
     assert abs(got[3][0] - 1 / 13) < 1e-12
     assert abs(got[4][0] - 1 / 12) < 1e-12 and got[4][1] is None
+
+
+def test_bm25_batch_matches_single_query_scorer(spark, sf_oracle):
+    """bm25_batch_scores on a 1-query batch must equal bm25_scores for the
+    same terms (same idf, same per-doc sums), and a 2-query batch must
+    score each query independently."""
+    from science_datalake_spark.operators.ranking import bm25_batch_scores, bm25_scores
+
+    d = table(spark, sf_oracle, "documents")
+    terms = ["spark", "table", "merge"]
+    single = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(d, "doc_id", "text", terms).collect()
+    }
+    q = spark.createDataFrame(
+        [(1, t) for t in terms] + [(2, "data")], ["qid", "term"]
+    )
+    batch = bm25_batch_scores(d, "doc_id", "text", q, "qid", "term").collect()
+    got1 = {r["doc_id"]: r["bm25"] for r in batch if r["qid"] == 1}
+    assert got1 == single
+    # query 2 scored independently (different candidate set)
+    got2 = {r["doc_id"] for r in batch if r["qid"] == 2}
+    assert got2  # 'data' occurs in the fixture corpus
+    assert got2 != set(got1)

@@ -296,3 +296,16 @@ def test_no_cartesian_product_anywhere_in_registry(spark, sf_oracle):
     for name, fn in sorted(QUERIES.items()):
         p = plans.physical_plan(fn(spark, sf_oracle))
         assert "CartesianProduct" not in p, (name, p)
+
+
+def test_tpch_revenue_joins_pin_scale_safe_strategies(spark, sf_oracle):
+    """The static planner prices the pruned 2-column orders scan below the
+    broadcast threshold and would single-thread a multi-million-entry hash
+    build (a latent OOM at 100x, and measured 2-3x slower at sf3 — see
+    BENCH_NOTES round-11 wave 2). The hints pin the scale-correct
+    strategies: SMJ for orders x per-order revenue, shuffled-hash for
+    lineitem x orders."""
+    p1 = plans.physical_plan(QUERIES["top_customers_flagged"](spark, sf_oracle))
+    assert "SortMergeJoin" in p1, p1
+    p2 = plans.physical_plan(QUERIES["q3_top_unshipped_orders"](spark, sf_oracle))
+    assert "ShuffledHashJoin" in p2, p2
