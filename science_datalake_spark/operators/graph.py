@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _release_checkpoint(df: DataFrame | None) -> None:
@@ -125,8 +126,17 @@ def connected_components(
     switches to ``connected_components_star`` (O(log n) rounds regardless
     of diameter) instead of failing — set ``fallback_star=False`` to get
     the old fail-loudly behavior."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Persist the symmetrized edge list: it is joined EVERY iteration, and
+    # without a persist each round re-executes the edge relation's entire
+    # upstream lineage — for dedup clustering that is the full
+    # minhash/LSH candidate-pair pipeline re-run per round (the labels
+    # frame was checkpoint-truncated all along, but the OTHER join input
+    # never was). Pregel-style invariant cache, MEMORY_AND_DISK so a
+    # 100 TB-derived pair list spills instead of OOMing.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
@@ -393,14 +403,22 @@ def pagerank(
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     if dedup_edges:
         e = e.distinct()
+    # The node set and the degree-annotated edge relation are read EVERY
+    # iteration; without a persist each round re-derives them from the
+    # raw edges (a scan + a distinct shuffle + a degree join per round —
+    # 10 iterations paid 10×). Persisting both is the Pregel-style
+    # invariant cache: materialize once, iterate over cached blocks
+    # (MEMORY_AND_DISK so a 100 TB edge relation spills instead of
+    # OOMing; the per-executor footprint is the partition, not the graph).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nn = nodes.agg(F.count("*").alias("__n"))
     deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
-    e2 = e.join(deg, "__s")
+    e2 = e.join(deg, "__s").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )

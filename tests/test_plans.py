@@ -309,3 +309,36 @@ def test_tpch_revenue_joins_pin_scale_safe_strategies(spark, sf_oracle):
     assert "SortMergeJoin" in p1, p1
     p2 = plans.physical_plan(QUERIES["q3_top_unshipped_orders"](spark, sf_oracle))
     assert "ShuffledHashJoin" in p2, p2
+
+
+def test_shared_relation_queries_reuse_cached_blocks(spark, sf_oracle):
+    """search_hybrid_rrf and corpus_dsir_sample each persist one skinny
+    relation consumed by two pipeline legs; the physical plan must show
+    the cache being READ (InMemoryTableScan) rather than the upstream
+    tokenization being inlined twice."""
+    for name in ("search_hybrid_rrf", "corpus_dsir_sample"):
+        p = plans.physical_plan(QUERIES[name](spark, sf_oracle))
+        assert "InMemoryTableScan" in p, (name, p)
+
+
+def test_iterative_graph_ops_persist_invariant_relations(spark):
+    """pagerank joins the degree-annotated edge relation and the node set
+    every iteration; connected_components joins the symmetrized edge list
+    every round. Without a persist each round re-executes the edge
+    relation's entire upstream lineage (for dedup clustering: the whole
+    minhash/LSH pipeline per round). Pin the invariant cache."""
+    from science_datalake_spark.operators.graph import connected_components, pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["src", "dst"]
+    )
+    pr = pagerank(edges, iters=3)
+    assert "InMemoryTableScan" in plans.physical_plan(pr)
+    # connected_components returns a checkpoint scan (no cache node in the
+    # FINAL plan), so assert through the cache manager: the symmetrized
+    # edge relation must be registered as cached after the call.
+    spark.catalog.clearCache()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    connected_components(edges).collect()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    spark.catalog.clearCache()
