@@ -118,6 +118,52 @@ def weighted_sample(
     return kept.drop("__es")
 
 
+def weighted_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: dict[str, int] | int,
+    key_col: str,
+    weight_col: str,
+    seed: int = 42,
+    es_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: within each
+    stratum, exactly-n rows drawn with probability proportional to
+    ``weight_col`` (A-ES ranking key ln(u)/w as in ``weighted_sample``,
+    ranked by a window PARTITIONED on the stratum). The balanced-corpus
+    design: per-language quotas where long documents must still be drawn
+    proportionally to their token mass.
+
+    Scale: one shuffle (the stratum window); no task sees more than a
+    stratum. Deterministic per (data, seed) under any partitioning.
+    """
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32.cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    es = F.log(u) / F.col(weight_col).cast("double")
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", es)
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("__es"), key_col)
+    ranked = scored.withColumn("__rn", F.row_number().over(w))
+    if isinstance(n_per_stratum, int):
+        kept = ranked.filter(F.col("__rn") <= n_per_stratum)
+    else:
+        quota = F.lit(0)
+        for stratum, n in n_per_stratum.items():
+            quota = F.when(F.col(stratum_col) == stratum, n).otherwise(quota)
+        kept = ranked.filter(F.col("__rn") <= quota)
+    kept = kept.drop("__rn")
+    if es_col is not None:
+        return kept.withColumnRenamed("__es", es_col)
+    return kept.drop("__es")
+
+
 def similarity_tiers(sim: F.Column) -> F.Column:
     """The reference's similarity strata: ≥.95 exact / ≥.85 high /
     ≥.75 mid / ≥.65 borderline (evaluate_ontology_alignment.py:49-76)."""

@@ -173,7 +173,10 @@ def query(
 # and mine_hard_negatives (ICT hard-negative mining over the new batch
 # BM25 scorer) rotates IN, resting join_anti_semi (9 rounds; the join
 # family keeps q3 / top_customers / range_overlap_spans / unify /
-# fuzzy_jw driver rows).
+# fuzzy_jw driver rows); and sample_weighted_per_lang (per-stratum
+# weighted sampling — the balanced-multilingual design) rotates IN,
+# resting ontology_skos_khop (9 rounds; the ontology/sparql family
+# keeps sparql_agg_stats / path_range / bgp_children driver rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -184,7 +187,7 @@ DRIVER_ORDER: list[str] = [
     "top_customers_flagged",
     "search_hybrid_rrf",
     "text_source_quality_wilson",
-    "ontology_skos_khop",
+    "sample_weighted_per_lang",
     "mine_hard_negatives",
     "vignette_code_rate_by_year",
     "corpus_decontaminate",

@@ -3734,3 +3734,58 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
     )
     return negs.select("qid", "neg_rank", "doc_id", "bm25").orderBy("qid", "neg_rank")
+
+
+@query(
+    "sample_weighted_per_lang",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               ln((('0x' || substr(md5(doc_id || ':42'), 1, 8))::BIGINT + 1.0)
+                  / 4294967296.0) / n_tokens AS es
+        FROM w WHERE n_tokens > 0
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_tokens, es,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY es DESC, doc_id) AS rn
+        FROM scored
+    )
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(es, 6) AS es_key
+    FROM ranked WHERE rn <= 5
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-corpus sampling: exactly 5 documents PER LANGUAGE, each
+    language's draw weighted by token count (sampling.
+    weighted_stratified_sample — per-stratum A-ES without replacement).
+    The design every multilingual data recipe needs: fixed per-language
+    quotas so high-resource languages can't crowd out the tail, while
+    long documents within a language are still drawn proportionally to
+    their token mass. One stratum-partitioned window — no task sees more
+    than a language."""
+    from science_datalake_spark.operators.sampling import weighted_stratified_sample
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .withColumn(
+            "n_tokens", F.regexp_count(F.trim(F.col("text")), F.lit(r"\s+")) + 1
+        )
+    )
+    kept = weighted_stratified_sample(
+        d, "lang", 5, "doc_id", "n_tokens", seed=42, es_col="__es"
+    )
+    return kept.select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("__es", 6).alias("es_key"),
+    ).orderBy("lang", "doc_id")

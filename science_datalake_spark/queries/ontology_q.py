@@ -241,6 +241,7 @@ def sparql_leaf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ontology_skos_khop",
+    aux=True,  # rested round 11 wave 2 (9 rounds driver-green; local parity continues)
     oracle=f"""
     WITH edges(parent_id, child_id) AS (VALUES
         ('{_C}science',  '{_C}physics'),

@@ -103,3 +103,25 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     kept = {r["k"] for r in weighted_sample(df, 20, "k", "w", seed=1).collect()}
     assert kept == set(range(15, 20))
+
+
+def test_weighted_stratified_quota_and_weighting(spark):
+    """Exactly n per stratum; within a stratum the heavy row is drawn
+    essentially always (same A-ES argument as the global sampler)."""
+    from science_datalake_spark.operators.sampling import weighted_stratified_sample
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 100, "a").otherwise("b").alias("s"),
+        F.when(F.col("id") % 100 == 0, 1000.0).otherwise(1.0).alias("w"),
+    )
+    hits_a = hits_b = 0
+    for seed in range(20):
+        got = weighted_stratified_sample(df, "s", 10, "k", "w", seed=seed).collect()
+        by_s = {}
+        for r in got:
+            by_s.setdefault(r["s"], set()).add(r["k"])
+        assert len(by_s["a"]) == 10 and len(by_s["b"]) == 10
+        hits_a += 0 in by_s["a"]
+        hits_b += 100 in by_s["b"]
+    assert hits_a >= 19 and hits_b >= 19, (hits_a, hits_b)
