@@ -166,3 +166,105 @@ def dsir_sample(
     )
     scored = w.withColumn("score", F.col("log_weight") + gumbel_noise(F.col(id_col), seed))
     return scored.orderBy(F.desc("score"), id_col).limit(n)
+
+
+# ---------------------------------------------------------------------------
+# Durable DSIR model artifact + map-only scoring (the streaming-safe tier)
+# ---------------------------------------------------------------------------
+#
+# The fitted model IS the bucket->log-ratio relation — at most num_buckets
+# rows regardless of corpus size — so it persists as a tiny parquet table
+# and scoring NEW documents (the next crawl batch, or a stream) needs no
+# corpus aggregation at all: one in-row fold per document over an
+# element_at lookup into the collected model array (a single wide array
+# literal, NOT num_buckets chained CASEs — the ARCHITECTURE #14 rule).
+# Buckets never seen while fitting score the closed-form smoothed default
+# ln(a/(T+aB)) - ln(a/(R+aB)).
+
+
+def dsir_model_write(
+    raw,
+    target,
+    id_col: str,
+    text_col: str,
+    path: str,
+    num_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> None:
+    """Fit the DSIR feature model and persist it: rows (__b, __lr) for
+    every bucket seen in either corpus, plus one __b = -1 row carrying the
+    unseen-bucket default. <= num_buckets + 1 rows at ANY corpus size."""
+    tc = feature_counts(target, id_col, text_col, num_buckets)
+    rc = feature_counts(raw, id_col, text_col, num_buckets)
+    t_total = tc.agg(F.sum("__ct").alias("__T"))
+    r_total = rc.agg(F.sum("__ct").alias("__R"))
+    joined = (
+        tc.withColumnRenamed("__ct", "__tc")
+        .join(rc.withColumnRenamed("__ct", "__rc"), "__b", "full_outer")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+    )
+    lr = (
+        F.log(F.coalesce(F.col("__tc"), F.lit(0)).cast("double") + F.lit(alpha))
+        - F.log(F.col("__T").cast("double") + F.lit(alpha * num_buckets))
+        - F.log(F.coalesce(F.col("__rc"), F.lit(0)).cast("double") + F.lit(alpha))
+        + F.log(F.col("__R").cast("double") + F.lit(alpha * num_buckets))
+    )
+    default = (
+        F.log(F.lit(float(alpha)))
+        - F.log(F.col("__T").cast("double") + F.lit(alpha * num_buckets))
+        - F.log(F.lit(float(alpha)))
+        + F.log(F.col("__R").cast("double") + F.lit(alpha * num_buckets))
+    )
+    rows = joined.select("__b", lr.alias("__lr"))
+    default_row = (
+        t_total.crossJoin(F.broadcast(r_total))
+        .select(F.lit(-1).cast("bigint").alias("__b"), default.alias("__lr"))
+    )
+    rows.unionByName(default_row).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_model_read(spark, path: str, num_buckets: int = 1024) -> list[float]:
+    """Load the model as a dense bucket->log-ratio list (index = bucket;
+    unseen buckets filled with the stored default). The collect is bounded
+    by num_buckets + 1 rows BY CONSTRUCTION — this is the same bounded-
+    artifact contract as bloom_read."""
+    rows = spark.read.parquet(path).collect()
+    default = next(r["__lr"] for r in rows if r["__b"] == -1)
+    out = [default] * num_buckets
+    for r in rows:
+        if r["__b"] >= 0:
+            out[int(r["__b"])] = r["__lr"]
+    return out
+
+
+def dsir_score_with_model(
+    df,
+    id_col: str,
+    text_col: str,
+    model: list[float],
+) -> DataFrame:
+    """Score documents against a fitted model MAP-ONLY: per-doc log weight
+    = in-row fold over element_at(<array literal>, bucket(token)+1). No
+    shuffle, no aggregation state — the plan runs unchanged on a stream
+    (stateless projection), which is how the next crawl batch gets scored
+    against a frozen target distribution. Returns (id, n_tokens,
+    log_weight) with log_weight UNROUNDED (callers round at the edge)."""
+    num_buckets = len(model)
+    arr = F.array(*[F.lit(float(v)) for v in model])
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            arr,
+            (
+                (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % num_buckets)
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.aggregate(per_tok, F.lit(0.0), lambda a, x: a + x).alias("log_weight"),
+    )
