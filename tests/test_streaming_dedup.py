@@ -356,3 +356,39 @@ def test_incremental_bloom_sink_replay_idempotent(spark, tmp_path):
         (r["doc_id"], r["ingest_batch"]) for r in spark.read.parquet(acc_path).collect()
     )
     assert after == before
+
+
+def test_weighted_sample_sink_stream_matches_batch(spark, tmp_path):
+    """The A-ES key is a pure function of the row, so the streaming
+    reservoir (artifact ∪ batch → re-cut per micro-batch) must equal the
+    BATCH weighted_sample over all rows EXACTLY — same key set — no
+    matter how the stream was chunked."""
+    from science_datalake_spark.operators.sampling import weighted_sample
+    from science_datalake_spark.streaming.sampling import weighted_sample_sink
+
+    src = _write_doc_files(tmp_path, n_files=4, per_file=15)
+    docs = spark.read.schema(DOC_SCHEMA).json(src).withColumn(
+        "w", F.length("text").cast("double")
+    )
+    want = {
+        r["doc_id"]
+        for r in weighted_sample(docs, 10, "doc_id", "w", seed=9).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("w", F.length("text").cast("double"))
+    )
+    path = str(tmp_path / "sample")
+    q = (
+        weighted_sample_sink(
+            stream, path, str(tmp_path / "ckpt"), 10, "doc_id", "w", seed=9
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert got == want
