@@ -135,6 +135,14 @@ def main() -> None:
         except Exception as e:  # report failures but keep the line parseable
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
+        # Release per-query persists (iterative-graph invariants, DSIR
+        # token relations, …) so a 100+-query session doesn't accumulate
+        # corpus-sized cache entries; each query pays its own cache build
+        # inside its own timing, so this also keeps timings independent.
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
 
     # Pipeline benchmark: the unify flagship over skewed synthetic sources
     # sized to the SF (30% null keys + a 10%-of-corpus hot DOI — the

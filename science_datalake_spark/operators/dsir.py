@@ -93,6 +93,13 @@ def dsir_log_weights(
     shape a columnar engine gets by materializing the twice-referenced
     CTE. Pass False to recompute when the token stream exceeds what the
     cluster wants to cache.
+
+    Cache lifetime: the result is LAZY, so the persist must stay live
+    until the caller's action — release is the caller's
+    (``spark.catalog.clearCache()`` once the result is materialized;
+    bench.py does this after every query). A long-lived session that
+    scores many corpora without clearing should pass
+    ``persist_tokens=False``.
     """
     rtoks_arr = raw.select(
         F.col(id_col),

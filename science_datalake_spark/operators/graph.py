@@ -176,6 +176,7 @@ def connected_components(
             break
     if not converged:
         _release_checkpoint(prev_ckpt)
+        sym.unpersist()
         if fallback_star:
             # unconverged propagation labels look exactly like converged
             # ones, so they must not be returned — re-derive exactly with
@@ -186,6 +187,10 @@ def connected_components(
             "iterations (component diameter exceeds max_iters); raise "
             "max_iters or use connected_components_star"
         )
+    # the convergence probe already materialized the final labels into
+    # checkpoint blocks (independent of the cache), so the invariant edge
+    # cache can be released NOW instead of leaking for the session
+    sym.unpersist()
     return labels
 
 
@@ -458,4 +463,13 @@ def pagerank(
         ranks = stepped.select("node", "rank")
         if delta is not None and delta <= tol:
             break
+    if tol is not None:
+        # convergence mode materialized the final ranks through an eager
+        # checkpoint, so the invariant caches are no longer needed
+        nodes.unpersist()
+        e2.unpersist()
+    # tol=None keeps the zero-jobs contract: the result is lazy and still
+    # reads the caches at the caller's action, so release is the caller's
+    # (bench.py clears the cache after every query; long-lived sessions
+    # should spark.catalog.clearCache() once the ranks are materialized)
     return ranks

@@ -40,14 +40,30 @@ def interleave_bits(cols: list[F.Column], bits: int) -> F.Column:
     return out
 
 
+def _numeric_view(df: DataFrame, c: str) -> F.Column:
+    """``cols[c]`` as a double, handling temporal types explicitly: a
+    DateType cannot be cast to double (analysis error under Spark's ANSI
+    default), so dates go through day-since-epoch and timestamps through
+    the (legal) seconds cast."""
+    dt = dict(df.dtypes).get(c, "")
+    if dt == "date":
+        return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+    if dt.startswith("timestamp"):
+        return F.col(c).cast("double")
+    return F.col(c).cast("double")
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int | None = None
 ) -> tuple[DataFrame, str]:
-    """Attach a ``__z`` Morton key over ``cols`` (numeric/date/timestamp),
-    each min/max-normalized to an unsigned ``bits``-bit integer via a
-    broadcast 1-row min/max aggregate (lazy — zero jobs here). Returns
-    (df_with_key, key_col_name). Default bits = 63 // k (the widest that
-    fits a long)."""
+    """Attach a ``__z`` Morton key over ``cols`` (numeric/date/timestamp;
+    dates are converted to day-since-epoch first — a direct double cast is
+    an analysis error), each min/max-normalized to an unsigned
+    ``bits``-bit integer via a broadcast 1-row min/max aggregate (lazy —
+    zero jobs here). NULLs in a clustered column normalize to the curve
+    origin (bucket 0) rather than producing a NULL key — every row gets a
+    layout position. Returns (df_with_key, key_col_name). Default
+    bits = 63 // k (the widest that fits a long)."""
     k = len(cols)
     if k < 2:
         raise ValueError("z-ordering needs >= 2 columns (use range clustering for 1)")
@@ -55,16 +71,19 @@ def zorder_key(
         bits = 63 // k
     aggs = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = _numeric_view(df, c)
         aggs += [F.min(v).alias(f"__min_{c}"), F.max(v).alias(f"__max_{c}")]
     stats = df.agg(*aggs)
     staged = df.crossJoin(F.broadcast(stats))
     scale = float((1 << bits) - 1)
     normed = []
     for c in cols:
-        v = F.col(c).cast("double")
+        v = _numeric_view(df, c)
         lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
-        frac = F.when(hi > lo, (v - lo) / (hi - lo)).otherwise(F.lit(0.0))
+        frac = F.coalesce(
+            F.when(hi > lo, (v - lo) / (hi - lo)).otherwise(F.lit(0.0)),
+            F.lit(0.0),
+        )
         normed.append(F.round(frac * F.lit(scale)).cast("long"))
     keyed = staged.withColumn("__z", interleave_bits(normed, bits)).drop(
         *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols]

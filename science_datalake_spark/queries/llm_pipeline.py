@@ -3457,12 +3457,19 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     kept = weighted_sample(d, 50, "doc_id", "n_tokens", seed=42, es_col="__es")
-    return kept.select(
-        "doc_id",
-        "source",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round("__es", 6).alias("es_key"),
-    ).orderBy(F.desc("es_key"), "doc_id")
+    # final order on the UNROUNDED key (same key the oracle's ORDER BY es
+    # resolves to and the same key the limit-50 cut used) — ordering on the
+    # 6-dp rounded output column would diverge from the oracle on a
+    # rounded-key tie straddling the order boundary
+    return (
+        kept.orderBy(F.desc("__es"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("__es", 6).alias("es_key"),
+        )
+    )
 
 
 @query(
@@ -3508,7 +3515,9 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            ROUND(log_weight, 6) AS log_weight, ROUND(score, 6) AS score
     FROM g
-    ORDER BY score DESC, doc_id
+    -- qualified g.score: the UNROUNDED source column (the bare name would
+    -- resolve to the rounded output alias), matching the Spark cut key
+    ORDER BY g.score DESC, doc_id
     LIMIT 20
     """,
 )
@@ -3534,12 +3543,15 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dsir_sample(
         raw, target, "doc_id", "text", n=20, num_buckets=1024, alpha=0.5, seed=42
     )
-    return out.select(
+    # order on the UNROUNDED score (the key the limit-20 cut used and the
+    # key the oracle's qualified g.score ORDER BY references) BEFORE the
+    # rounding projection — see sample_weighted_tokens for the tie hazard
+    return out.orderBy(F.desc("score"), "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("log_weight", 6).alias("log_weight"),
         F.round("score", 6).alias("score"),
-    ).orderBy(F.desc("score"), "doc_id")
+    )
 
 
 @query(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from science_datalake_spark.operators.sampling import weighted_sample
+from science_datalake_spark.util import fs_exists
 
 
 def weighted_sample_sink(
@@ -34,20 +35,28 @@ def weighted_sample_sink(
     weight_col: str,
     seed: int = 42,
 ):
-    """Start a foreachBatch query maintaining the n-row weighted sample at
-    ``path``. Returns the StreamingQuery (caller triggers/awaits).
+    """Configure a foreachBatch writer maintaining the n-row weighted
+    sample at ``path``. Returns the un-started DataStreamWriter — the
+    caller attaches a trigger and calls ``.start()`` (so availableNow /
+    processingTime stay the caller's choice).
 
     Per batch: artifact(≤n) ∪ batch → dropDuplicates(key) → batch
     weighted_sample → collect (≤n rows — the bounded-artifact contract) →
     overwrite. The collect is what makes read-then-overwrite of the same
     path safe, and it is bounded by n regardless of stream volume.
+
+    The only failure treated as "first batch" is the artifact not
+    existing yet (probed via the Hadoop FS, the same check batch readers
+    use). Any OTHER read failure — transient FS error, corrupt footer —
+    propagates and fails the micro-batch, so the checkpoint retries
+    instead of silently discarding the accumulated reservoir.
     """
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        if fs_exists(spark, path):
             cur = spark.read.parquet(path).select(*batch_df.columns)
-        except Exception:
+        else:
             cur = None
         pool = batch_df if cur is None else batch_df.unionByName(cur)
         pool = pool.dropDuplicates([key_col])

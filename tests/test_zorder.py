@@ -85,3 +85,23 @@ def test_write_zordered_gives_tight_per_file_minmax(spark, tmp_path):
                 spans[name] = (min(lo, st.min), max(hi, st.max))
         for name, (lo, hi) in spans.items():
             assert hi - lo <= 32, (fp, name, lo, hi)
+
+
+def test_zorder_key_handles_dates_and_nulls(spark):
+    """DateType clustered columns must work (a direct double cast is an
+    analysis error under ANSI) and NULLs must land at the curve origin
+    rather than producing a NULL key that escapes the layout."""
+    import datetime
+
+    rows = [
+        (datetime.date(2020, 1, 1) + datetime.timedelta(days=d), v)
+        for d in range(16)
+        for v in range(16)
+    ] + [(None, None), (datetime.date(2020, 1, 5), None)]
+    df = spark.createDataFrame(rows, ["day", "v"])
+    keyed, z = zorder_key(df, ["day", "v"], bits=4)
+    got = keyed.select(z).collect()
+    assert all(r[z] is not None for r in got)
+    # the all-NULL row sits at the curve origin
+    origin = keyed.filter(F.col("day").isNull()).select(z).first()[z]
+    assert origin == 0
