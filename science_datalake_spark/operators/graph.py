@@ -314,6 +314,8 @@ def cooccurrence(
     item_col: str,
     min_count: int = 1,
     max_group_size: int | None = None,
+    num_partitions: int | None = None,
+    pack_keys: bool = False,
 ) -> DataFrame:
     """Item pairs sharing a group (papers sharing a topic, parts sharing an
     order), with co-occurrence counts. The self-join key is the group —
@@ -338,9 +340,38 @@ def cooccurrence(
     ``size(items) <= cap`` filter after the group agg. Co-occurrence
     inside such groups is near-meaningless (everything co-occurs with
     everything), so cap when corpus skew is unknown. Same cap discipline
-    as the LSH bucket guard (dedup.py)."""
+    as the LSH bucket guard (dedup.py).
+
+    ``num_partitions``: width of BOTH shuffles (the group agg and the
+    pair count). The pair stream is QUADRATIC in group size, so sizing
+    reducers off input bytes (the usual shuffle.partitions rule)
+    undersizes the expanded stage — at sf1 local[32] the input rule gave
+    8 reducers and the suite ran 3.8 s; explicitly widening both
+    exchanges to core count ran 1.69 s (decomposition in
+    BENCH_NOTES.md r12). Default None = max(defaultParallelism,
+    spark.sql.shuffle.partitions) — on a real cluster the configured
+    thousands win, locally the core count wins. The explicit repartition
+    trades away map-side partial aggregation, a loss only when the SAME
+    pair repeats across many groups AND already co-lives in a partition
+    — measured a net win here even so.
+
+    ``pack_keys``: pack (item_a, item_b) into ONE bigint
+    (``item_a << 32 | item_b``) for the count shuffle, unpacked after —
+    the shuffle moves 8-byte keys and the final hash agg runs on a
+    single primitive long (Spark's vectorized fast path) instead of a
+    two-column row; measured ~10% at sf1. ONLY valid when item ids are
+    non-negative and < 2^31 — that is the CALLER's contract to assert
+    (OpenAlex work ids exceed it; TPC-H partkeys at bench scales do
+    not), hence opt-in."""
+    spark = memberships.sparkSession
+    if num_partitions is None:
+        num_partitions = max(
+            spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
     grouped = (
-        memberships.groupBy(group_col)
+        memberships.repartition(num_partitions, group_col)
+        .groupBy(group_col)
         .agg(F.sort_array(F.collect_set(item_col)).alias("__items"))
     )
     if max_group_size is not None:
@@ -349,8 +380,26 @@ def cooccurrence(
         F.col("__items"), F.posexplode("__items").alias("__i", "item_a")
     )
     later = F.expr("slice(__items, __i + 2, size(__items) - __i - 1)")
+    pairs = exploded.select(F.col("item_a"), F.explode(later).alias("item_b"))
+    if pack_keys:
+        pk = pairs.select(
+            F.shiftleft(F.col("item_a").cast("bigint"), 32)
+            .bitwiseOR(F.col("item_b").cast("bigint"))
+            .alias("__pk")
+        )
+        cnt = (
+            pk.repartition(num_partitions, "__pk")
+            .groupBy("__pk")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_count)
+        )
+        return cnt.select(
+            F.shiftright(F.col("__pk"), 32).alias("item_a"),
+            F.col("__pk").bitwiseAND(F.lit(0x7FFFFFFF)).alias("item_b"),
+            "n_shared",
+        )
     return (
-        exploded.select(F.col("item_a"), F.explode(later).alias("item_b"))
+        pairs.repartition(num_partitions, "item_a", "item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)

@@ -582,7 +582,9 @@ def join_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from science_datalake_spark.operators.graph import cooccurrence
 
     li = table(spark, sf_dir, "lineitem")
-    pairs = cooccurrence(li, "l_orderkey", "l_partkey", min_count=2)
+    # pack_keys: TPC-H partkeys are positive and < 2^31 at every bench
+    # scale, so the pair-count shuffle can move one packed long
+    pairs = cooccurrence(li, "l_orderkey", "l_partkey", min_count=2, pack_keys=True)
     return (
         pairs.select(
             F.col("item_a"), F.col("item_b"), F.col("n_shared")
