@@ -123,29 +123,34 @@ def _threshold_sweep(
     empty_precision: float,
 ) -> DataFrame:
     """Shared engine for the threshold block and the PR sweep: the FIXED
-    threshold grid broadcasts against the annotation set (grid is a
-    constant — contract-bounded broadcast), one theta join + one
-    aggregation for ALL thresholds instead of a filter pass per
-    threshold (the reference loops; at 41 sweep points that is 41 scans
-    driver-side, here it is one). ``empty_precision`` encodes the
-    reference's two conventions for an empty above-threshold set:
-    0.0 in the threshold block, 1.0 on the PR curve."""
+    threshold grid becomes one CONDITIONAL SUM PAIR PER THRESHOLD inside
+    a single aggregation over the annotation set (the grid is a plan-time
+    constant, so it belongs in the aggregate expression list, not in a
+    relation) — then one ``stack`` unpivots the 1-row result to a row per
+    threshold. ONE aggregation, zero joins, zero broadcast exchanges,
+    for ALL thresholds: the earlier broadcast-grid theta-join shape paid
+    three exchanges + two broadcasts and ran ~1.2 s of pure stage floor
+    on a 40-row input (BENCH_NOTES r12); the reference loops a filter
+    pass per threshold — 41 driver-side scans at 41 sweep points.
+    ``empty_precision`` encodes the reference's two conventions for an
+    empty above-threshold set: 0.0 in the threshold block, 1.0 on the
+    PR curve."""
     from pyspark.sql import functions as F
 
-    spark = ann.sparkSession
-    grid = spark.createDataFrame([(float(t),) for t in thresholds], "threshold DOUBLE")
-    tot = ann.select(
-        F.sum(F.when(F.col(label_col) == "correct", 1).otherwise(0)).alias("__tot")
+    correct = F.when(F.col(label_col) == "correct", 1).otherwise(0)
+    aggs = [F.sum(correct).alias("__tot")]
+    for i, t in enumerate(thresholds):
+        above = F.col(sim_col) >= F.lit(float(t))
+        aggs.append(F.sum(F.when(above, 1).otherwise(0)).alias(f"__n_{i}"))
+        aggs.append(F.sum(F.when(above, correct).otherwise(0)).alias(f"__tp_{i}"))
+    stacked = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), __n_{i}, __tp_{i}"
+        for i, t in enumerate(thresholds)
     )
-    per = (
-        ann.join(F.broadcast(grid), F.col(sim_col) >= F.col("threshold"))
-        .groupBy("threshold")
-        .agg(
-            F.count("*").alias("__n"),
-            F.sum(F.when(F.col(label_col) == "correct", 1).otherwise(0)).alias("__tp"),
-        )
+    out = ann.agg(*aggs).select(
+        F.expr(f"stack({len(thresholds)}, {stacked}) AS (threshold, __n, __tp)"),
+        "__tot",
     )
-    out = F.broadcast(grid).join(per, "threshold", "left").crossJoin(F.broadcast(tot))
     p = F.when(F.col("__n") > 0, F.col("__tp") / F.col("__n")).otherwise(
         F.lit(empty_precision)
     )

@@ -207,6 +207,13 @@ def eval_alignment_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("incorrect")
         .alias("label"),
     ).withColumn("stratum", similarity_tiers(F.col("similarity")))
+    # The evaluator reads ann THREE times (stratum block, threshold-sweep
+    # total, threshold-sweep grid join); without a cut each leg re-runs
+    # the whole kNN cosine pipeline (the corpus_release lesson: score
+    # once, read thrice). ann is ≤40 rows by construction (best-match
+    # per left id < 40), so an eager localCheckpoint materializes the
+    # expensive part exactly once at negligible storage.
+    ann = ann.localCheckpoint(eager=True)
 
     a = annotated_stratum_metrics(ann).select(
         F.concat(F.lit("stratum:"), F.col("stratum")).alias("kind"),
