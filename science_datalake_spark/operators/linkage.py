@@ -127,17 +127,107 @@ def _jw_scorer():
     return jw
 
 
+def _jaro_winkler_batch(
+    a_list: list[str], b_list: list[str], p: float = 0.1, threshold: float = 0.7
+) -> "list[float]":
+    """Numpy-vectorized Jaro-Winkler over a BATCH of pairs — the
+    no-rapidfuzz fast path (round-11 verdict item 3: the pure-Python
+    `_jaro` inner loop was the suite's only per-row-Python hot spot).
+
+    The greedy matching scan is sequential WITHIN a pair but independent
+    ACROSS pairs, so the batch vectorizes over the pair axis: strings
+    become padded int32 codepoint matrices (disjoint pad sentinels so
+    padding never matches), and the i×j match loop runs L1·L2 iterations
+    of O(batch) boolean vector ops instead of O(batch·L1·L2) Python
+    steps — on ~20-char names that is ~400 numpy ops per batch. Every
+    arithmetic expression mirrors jaro_winkler_py's evaluation order
+    exactly (same double-precision sums, same t//2, same 0.7 boost
+    gate), so the scalar and vector paths are bit-identical and DuckDB
+    oracle parity is independent of which ran."""
+    import numpy as np
+
+    n = len(a_list)
+    l1 = np.array([len(s) for s in a_list], dtype=np.int64)
+    l2 = np.array([len(s) for s in b_list], dtype=np.int64)
+    L1 = max(int(l1.max(initial=0)), 1)
+    L2 = max(int(l2.max(initial=0)), 1)
+    A = np.full((n, L1), -1, dtype=np.int64)
+    B = np.full((n, L2), -2, dtype=np.int64)
+    for idx, s in enumerate(a_list):
+        if s:
+            A[idx, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    for idx, s in enumerate(b_list):
+        if s:
+            B[idx, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    for i in range(L1):
+        c = A[:, i]
+        lo = np.maximum(0, i - window)
+        hi = np.minimum(l2, i + window + 1)
+        active = i < l1
+        found = np.zeros(n, dtype=bool)
+        for j in range(L2):
+            ok = (
+                active
+                & ~found
+                & (j >= lo)
+                & (j < hi)
+                & ~m2[:, j]
+                & (B[:, j] == c)
+            )
+            if ok.any():
+                m2[ok, j] = True
+                m1[ok, i] = True
+                found |= ok
+
+    M = m1.sum(axis=1)
+    maxm = max(int(M.max(initial=0)), 1)
+    # matched chars of each side, packed in position order, for the
+    # transposition count
+    r1 = np.cumsum(m1, axis=1) - 1
+    r2 = np.cumsum(m2, axis=1) - 1
+    Am = np.full((n, maxm), -1, dtype=np.int64)
+    Bm = np.full((n, maxm), -1, dtype=np.int64)
+    ii, jj = np.nonzero(m1)
+    Am[ii, r1[ii, jj]] = A[ii, jj]
+    ii, jj = np.nonzero(m2)
+    Bm[ii, r2[ii, jj]] = B[ii, jj]
+    t = (((Am != Bm) & (np.arange(maxm)[None, :] < M[:, None])).sum(axis=1)) // 2
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        j = (M / l1 + M / l2 + (M - t) / M) / 3
+    j = np.where((M == 0) | (l1 == 0) | (l2 == 0), 0.0, j)
+
+    pmax = min(4, L1, L2)
+    eq = (A[:, :pmax] == B[:, :pmax])
+    prefix = np.cumprod(eq, axis=1).sum(axis=1) if pmax else np.zeros(n, np.int64)
+    out = np.where(j > threshold, j + (prefix * p) * (1.0 - j), j)
+    return out.tolist()
+
+
 @F.pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler similarity column."""
-    jw = _jw_scorer()
-    return pd.Series(
-        [
-            jw(x, y) if x is not None and y is not None else None
-            for x, y in zip(a, b)
-        ],
-        dtype="float64",
-    )
+    """Arrow-batched Jaro-Winkler similarity column. rapidfuzz's C Jaro
+    core scores per pair when importable; otherwise the whole Arrow batch
+    goes through the numpy-vectorized engine (`_jaro_winkler_batch`) —
+    both wrapped with the identical Winkler boost and empty-string
+    convention, so scores don't depend on which path ran."""
+    from science_datalake_spark.models import optional_import
+
+    valid = a.notna() & b.notna()
+    out = pd.Series([None] * len(a), dtype="float64")
+    if not valid.any():
+        return out
+    av, bv = a[valid], b[valid]
+    if optional_import("rapidfuzz.distance") is not None:
+        jw = _jw_scorer()
+        out[valid] = [jw(x, y) for x, y in zip(av, bv)]
+    else:
+        out[valid] = _jaro_winkler_batch(av.tolist(), bv.tolist())
+    return out
 
 
 def exact_label_join(
@@ -202,7 +292,14 @@ def fuzzy_label_join(
         pairs = pairs.filter(
             F.least(la, lb) >= min_ratio * F.greatest(la, lb)
         )
-    sim = jaro_winkler_udf(F.lower(left[left_label]), F.lower(right[right_label]))
+    # asNondeterministic stops Catalyst pushing the threshold predicate
+    # below the projection — pushed, the plan held TWO ArrowEvalPython
+    # nodes and scored every pair twice (one pass for the filter, one for
+    # the surviving projection). The scorer IS deterministic; the marker
+    # is purely an optimizer fence around the expensive Python stage, the
+    # standard Spark idiom for evaluate-exactly-once UDF columns.
+    scorer = jaro_winkler_udf.asNondeterministic()
+    sim = scorer(F.lower(left[left_label]), F.lower(right[right_label]))
     return pairs.withColumn("similarity", sim).filter(F.col("similarity") >= threshold)
 
 
