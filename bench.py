@@ -52,6 +52,7 @@ def main() -> None:
     from science_datalake_spark.session import (
         SCAN_OPEN_COST_BYTES,
         get_spark,
+        suggest_aqe,
         suggest_shuffle_partitions,
     )
 
@@ -94,6 +95,10 @@ def main() -> None:
         **{
             "spark.sql.shuffle.partitions": str(parts),
             "spark.sql.files.openCostInBytes": str(SCAN_OPEN_COST_BYTES),
+            # AQE gate (session.suggest_aqe): runtime re-planning is for
+            # multi-GB shuffles; below 64 MB of input its per-exchange
+            # job materialization is ~half the floor-class job count
+            "spark.sql.adaptive.enabled": suggest_aqe(sf_dir),
         },
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))

@@ -73,16 +73,62 @@ def k_hop(edges: DataFrame, start: DataFrame, k: int, src: str = "src", dst: str
 
 
 def transitive_closure(
-    edges: DataFrame, max_iters: int = 10, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    max_iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    small_graph_rows: int | None = 65536,
 ) -> DataFrame:
     """All (ancestor, descendant) pairs by iterated self-join to a fixed
     point (ontology ancestor expansion). Each iteration doubles reachable
-    path length; localCheckpoint truncates the exploding lineage."""
-    closure = edges.select(F.col(src).alias("a"), F.col(dst).alias("d")).distinct()
+    path length; localCheckpoint truncates the exploding lineage.
+
+    ``small_graph_rows``: bounded driver fast path. Ontology taxonomies —
+    the operator's actual workload (SKOS broader*, OBO is_a walks) — are
+    small by contract, yet the distributed loop pays ~2 scheduled jobs
+    PER DOUBLING round just to reach its fixpoint (the sparql family's
+    floor-class bench rows were 26 jobs for a 7-edge fixture). A
+    ``limit(cap+1)`` probe (short-circuits, never scans a big relation)
+    collects edge sets up to the cap and closes them in-process —
+    ONE job total; bigger graphs fall through to the distributed loop
+    unchanged. Pass None to force the distributed path. The in-process
+    closure is exact (not length-capped by ``max_iters``); expansion
+    never traverses a NULL endpoint, matching the join's null semantics,
+    and pair dedup is null-safe, matching ``distinct()``."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("d"))
+    if small_graph_rows:
+        head = e.limit(small_graph_rows + 1).collect()
+        if len(head) <= small_graph_rows:
+            # the CLOSURE can still be quadratic in a deep chain even
+            # when the edge set is small; bail to the distributed loop
+            # (which spills) if the pair set outgrows driver comfort
+            pair_cap = 2_000_000
+            base = {(r["a"], r["d"]) for r in head}
+            adj: dict = {}
+            for a, d in base:
+                adj.setdefault(a, set()).add(d)
+            out: set = set()
+            for a in {p[0] for p in base}:
+                seen = set(adj[a])
+                stack = [d for d in seen if d is not None]
+                while stack:
+                    mid = stack.pop()
+                    for d2 in adj.get(mid, ()):
+                        if d2 not in seen:
+                            seen.add(d2)
+                            if d2 is not None:
+                                stack.append(d2)
+                out.update((a, d) for d in seen)
+                if len(out) > pair_cap:
+                    out = None  # type: ignore[assignment]
+                    break
+            if out is not None:
+                return e.sparkSession.createDataFrame(list(out), schema=e.schema)
+    closure = e.distinct()
     prev_ckpt: DataFrame | None = None
-    # carry the previous size in a Python variable: one count action per
-    # iteration, not two (the old code re-counted the closure it had
-    # already counted last round — a full extra job per iteration)
+    # carry the previous size in a Python variable, and materialize each
+    # round's LAZY checkpoint through its count: ONE action per iteration
+    # (eager-checkpoint + count was two jobs per round)
     prev_n = closure.count()
     for _ in range(max_iters):
         hop = (
@@ -90,10 +136,10 @@ def transitive_closure(
             .join(closure.alias("r"), F.col("l.d") == F.col("r.a"))
             .select(F.col("l.a").alias("a"), F.col("r.d").alias("d"))
         )
-        grown = closure.unionByName(hop).distinct().localCheckpoint(eager=True)
+        grown = closure.unionByName(hop).distinct().localCheckpoint(eager=False)
+        n = grown.count()
         _release_checkpoint(prev_ckpt)
         prev_ckpt = grown
-        n = grown.count()
         if n == prev_n:
             return grown
         prev_n = n

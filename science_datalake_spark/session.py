@@ -70,6 +70,10 @@ def suggest_shuffle_partitions(
     further at runtime); the point is that a FIXED partition count is
     wrong at both ends — 32 partitions drown a 17 MB benchmark in empty
     tasks and would put 3 TB per partition at 100 TB."""
+    return max(floor, min(cap, _dir_bytes(sf_dir) // target_bytes))
+
+
+def _dir_bytes(sf_dir: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
@@ -77,7 +81,21 @@ def suggest_shuffle_partitions(
                 total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
-    return max(floor, min(cap, total // target_bytes))
+    return total
+
+
+def suggest_aqe(sf_dir: str, threshold_bytes: int = 64 * 1024 * 1024) -> str:
+    """AQE gate twin of the partition rule: adaptive execution exists to
+    RE-PLAN multi-GB shuffles at runtime (coalesce, skew-split, join
+    demotion) — but it materializes every exchange as its own scheduled
+    job, which is pure overhead when the whole input is a few MB.
+    Measured at sf0.1 (17 MB): AQE accounts for roughly half the job
+    count of floor-class queries and 15-40% of their wall time; at sf1+
+    (256 MB+) it is a wash on the heavies and earns its keep on skew.
+    Below ``threshold_bytes`` of input: "false"; at or above: "true".
+    On a real cluster input always clears the threshold and AQE is
+    always on — this only declutters tiny local runs."""
+    return "false" if _dir_bytes(sf_dir) < threshold_bytes else "true"
 
 
 #: File-scan fan-out floor for small single-file tables. Spark sizes file
