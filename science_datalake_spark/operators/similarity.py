@@ -536,3 +536,177 @@ def bucketed_ann_topk(
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
     )
     return top_k_per_key(scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k)
+
+
+def token_slices(vec: Column, num_tokens: int) -> Column:
+    """Split a flat ARRAY<DOUBLE> into ``num_tokens`` equal contiguous
+    sub-vectors (array of arrays). The multi-vector layout late
+    interaction consumes: a document's token embeddings stored flat in
+    one column, token dim = size(vec) / num_tokens."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_tokens - 1)),
+        lambda i: F.slice(
+            vec,
+            i * (F.size(vec) / num_tokens).cast("int") + 1,
+            (F.size(vec) / num_tokens).cast("int"),
+        ),
+    )
+
+
+def _late_interaction_numpy(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tokens: int,
+    k: int,
+    round_digits: int,
+    max_query_rows: int = 4096,
+) -> DataFrame:
+    """BLAS engine behind late_interaction_topk (see its docstring).
+    Per Arrow batch: one (batch·nt, td) × (td, nq·nt) matmul, max over
+    the doc-token axis, sum over the query-token axis, per-batch partial
+    top-k per query. Scores are rounded half-away BEFORE ranking, like
+    the SQL path; a NULL/ragged doc vector yields a NULL score ranked
+    last — the same convention as _cosine_topk_numpy."""
+    import numpy as np
+    import pandas as pd
+
+    from science_datalake_spark.operators.dedup import _round_half_away, _vec_matrix
+
+    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"late-interaction collects the query batch to the driver, but "
+            f"it exceeds max_query_rows={max_query_rows}; pass engine='sql' "
+            f"(lazy broadcast) or raise max_query_rows"
+        )
+    q_ids = [r[id_col] for r in qrows]
+    qvecs = [r[vec_col] for r in qrows]
+    dim = next((len(v) for v in qvecs if v is not None), 0)
+    nq = len(qrows)
+    td = dim // num_tokens if num_tokens else 0
+    qmat = _vec_matrix(pd.Series(qvecs), dim) if nq else None
+    # (nq*nt, td): query token vectors stacked in (query, token) order
+    qtok = qmat.reshape(nq * num_tokens, td) if nq else None
+
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    did_t = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_t}, doc_id {did_t}, score double"
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            v = _vec_matrix(pdf[vec_col], dim)  # (n, dim); NaN rows = bad vecs
+            dids = pdf[id_col].reset_index(drop=True)
+            dtok = v.reshape(n * num_tokens, td)
+            sims = dtok @ qtok.T  # (n*nt, nq*nt)
+            sims = sims.reshape(n, num_tokens, nq * num_tokens)
+            mx = sims.max(axis=1)  # max over DOC tokens: (n, nq*nt)
+            scores = mx.reshape(n, nq, num_tokens).sum(axis=2)  # (n, nq)
+            scores = _round_half_away(scores, round_digits)
+            frames = []
+            for j in range(nq):
+                col = scores[:, j]
+                key = np.where(np.isnan(col), -np.inf, col)
+                kk = min(k, n)
+                kth = np.partition(key, n - kk)[n - kk]
+                sel = np.nonzero(key >= kth)[0]
+                if sel.size == 0:  # all-NaN batch still ranks (nulls last)
+                    sel = np.arange(n)
+                tmp = pd.DataFrame(
+                    {
+                        "query_id": q_ids[j],
+                        "doc_id": dids.iloc[sel].to_numpy(),
+                        "score": col[sel],
+                        "__key": key[sel],
+                    }
+                )
+                frames.append(
+                    tmp.sort_values(
+                        ["__key", "doc_id"],
+                        ascending=[False, True],
+                        kind="mergesort",
+                    ).head(kk)[["query_id", "doc_id", "score"]]
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    part = docs.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    return top_k_per_key(
+        part, keys=["query_id"], order=[F.desc("score"), F.asc("doc_id")], k=k
+    )
+
+
+def late_interaction_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_tokens: int,
+    k: int,
+    engine: str = "numpy",
+    round_digits: int = 6,
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): score(q, d) =
+    Σ over q's token vectors of max over d's token vectors of the dot
+    product, top-k docs per query. The multi-vector alternative to
+    single-vector cosine retrieval — token-level interaction recovers
+    term-match precision that pooled embeddings average away (Khattab &
+    Zaharia, SIGIR 2020).
+
+    Input layout: each row's ``vec_col`` holds the document's
+    ``num_tokens`` token embeddings FLAT in one array (token dim =
+    size/num_tokens) — the storage shape a 100 TB corpus wants (one
+    fixed-width array column, no per-token rows to shuffle).
+
+    ``engine="numpy"`` (default) streams doc batches through one BLAS
+    matmul + axis-max + axis-sum with per-batch partial top-k — the
+    dual-engine contract shared with cosine_topk (scores rounded
+    half-away to ``round_digits`` before ranking on BOTH paths, so the
+    engines and the DuckDB twin agree). ``engine="sql"`` keeps the pure
+    column-expression form: queries broadcast, ONE map-only pass
+    computes MaxSim in-row with array HOFs (the per-token max is
+    order-free; the query-token sum is an explicit left-associated add
+    chain the twin replays bit-for-bit). Either way no shuffle touches
+    the corpus — only scored (query, doc) pairs move, and only to the
+    top-k window.
+    """
+    if engine == "numpy":
+        return _late_interaction_numpy(
+            docs, queries, id_col, vec_col, num_tokens, k, round_digits
+        )
+    if engine != "sql":
+        raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), as_double_vec(vec_col).alias("__dv")
+    )
+    pairs = d.crossJoin(F.broadcast(q)).withColumn(
+        "__dtoks", token_slices(F.col("__dv"), num_tokens)
+    )
+    td = (F.size(F.col("__qv")) / num_tokens).cast("int")
+
+    def _max_over_doc_tokens(qt: Column) -> Column:
+        # closure, NOT a default-arg lambda: a two-parameter lambda would
+        # be read by F.transform as its (element, index) binary form
+        return F.array_max(F.transform(F.col("__dtoks"), lambda t: dot(qt, t)))
+
+    maxes = []
+    for i in range(num_tokens):
+        qt = F.slice(F.col("__qv"), F.lit(i) * td + 1, td)
+        maxes.append(_max_over_doc_tokens(qt))
+    score = maxes[0]
+    for m in maxes[1:]:
+        score = score + m
+    # round BEFORE ranking — the dual-engine/oracle agreement point
+    scored = pairs.select(
+        "query_id", "doc_id", F.round(score, round_digits).alias("score")
+    )
+    return top_k_per_key(
+        scored, keys=["query_id"], order=[F.desc("score"), F.asc("doc_id")], k=k
+    )

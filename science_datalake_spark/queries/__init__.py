@@ -177,6 +177,13 @@ def query(
 # weighted sampling — the balanced-multilingual design) rotates IN,
 # resting ontology_skos_khop (9 rounds; the ontology/sparql family
 # keeps sparql_agg_stats / path_range / bgp_children driver rows).
+# Round-12 rotation (same-round additions get rows immediately):
+# sim_late_interaction (ColBERT-style MaxSim multi-vector retrieval,
+# added this round) rotates IN; sim_quantize_int8 (driver-green
+# r9-r11, >=2 rounds) rests in aux — the sim family keeps
+# ivf_durable / ivf_topk / ivfpq_topk / matryoshka_fidelity driver
+# rows plus the new late-interaction tier. The seven round-11
+# first-row entries all STAY for their second round (verdict item 6).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -221,7 +228,7 @@ DRIVER_ORDER: list[str] = [
     "corpus_split_leakage_safe",
     "sim_ivfpq_topk",
     "events_cohort_retention",
-    "sim_quantize_int8",
+    "sim_late_interaction",
     "graph_pagerank",
     "sparql_bgp_children",
     "text_bigram_logprob",

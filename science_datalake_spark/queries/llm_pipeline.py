@@ -2213,6 +2213,7 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_quantize_int8",
+    aux=True,  # rested round 12 (driver-green r9-r11; sim family keeps ivf_durable/ivf_topk/ivfpq_topk/matryoshka + the new late_interaction)
     oracle="""
     WITH base AS (
         SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
@@ -3801,3 +3802,79 @@ def sample_weighted_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("__es", 6).alias("es_key"),
     ).orderBy("lang", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Late-interaction retrieval (round 12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sim_late_interaction",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv
+          FROM embeddings WHERE vec_id >= 8),
+    dp AS (
+        SELECT query_id, doc_id, gi.i AS i,
+               list_dot_product(qv[(gi.i*16+1):(gi.i*16+16)],
+                                dv[(gj.j*16+1):(gj.j*16+16)]) AS p
+        FROM q, d, generate_series(0, 3) gi(i), generate_series(0, 3) gj(j)
+    ),
+    mx AS (
+        SELECT query_id, doc_id,
+               max(CASE WHEN i = 0 THEN p END) AS m0,
+               max(CASE WHEN i = 1 THEN p END) AS m1,
+               max(CASE WHEN i = 2 THEN p END) AS m2,
+               max(CASE WHEN i = 3 THEN p END) AS m3
+        FROM dp GROUP BY query_id, doc_id
+    ),
+    -- round BEFORE ranking: the agreement point between the BLAS engine,
+    -- the HOF twin, and this oracle (all three rank on the 6-dp value)
+    sc AS (SELECT query_id, doc_id,
+                  round(((m0 + m1) + m2) + m3, 6) AS score FROM mx),
+    best AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM sc
+    )
+    SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+           CAST(score AS DOUBLE) AS score
+    FROM best WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim — Khattab &
+    Zaharia, SIGIR 2020): each embedding row is treated as FOUR token
+    vectors of dim 16 stored flat (the multi-vector storage layout —
+    one fixed-width array column, no per-token rows); score(q, d) =
+    Σ_i max_j <q_i, d_j>; top-5 docs per query for an 8-query batch.
+    The token-level interaction that pooled single-vector cosine
+    averages away — the retrieval tier between sim_cosine_topk (pooled)
+    and search_hybrid_rrf (lexical+LM). Plan
+    (operators/similarity.late_interaction_topk): queries broadcast,
+    ONE map-only pass over the corpus computes MaxSim in-row with array
+    HOFs (the per-token max is order-free; the query-token sum is an
+    explicit left-associated chain the DuckDB twin replays bit-for-bit),
+    then the shared per-key top-k window. Only scored (query, doc) pairs
+    ever shuffle — never the corpus."""
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    out = late_interaction_topk(
+        e.filter(F.col("vec_id") >= 8),
+        e.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        num_tokens=4,
+        k=5,
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "rank")

@@ -601,3 +601,67 @@ def test_int8_fidelity_sql_engine_is_map_only_single_fold(spark):
     assert "Exchange" not in plan
     out_np = int8_fidelity(quantize_int8(df))
     assert "Exchange" not in plans.physical_plan(out_np)
+
+
+def test_late_interaction_topk_matches_hand_maxsim(spark):
+    """MaxSim on a tiny hand-checkable instance: 2 queries x 3 docs, 2
+    token vectors of dim 2 stored flat. score(q,d) = sum over q tokens of
+    max over d tokens of dot."""
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    # tokens: q1 = [1,0],[0,1]; q2 = [2,0],[0,0]
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0]), (2, [2.0, 0.0, 0.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    # d10 tokens [1,0],[0,2]; d11 [0,1],[1,1]; d12 [-1,0],[0,-1]
+    docs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 2.0]),
+            (11, [0.0, 1.0, 1.0, 1.0]),
+            (12, [-1.0, 0.0, 0.0, -1.0]),
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = late_interaction_topk(docs, queries, "vec_id", "embedding", num_tokens=2, k=2)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in out.collect()
+    }
+    # q1: d10 = max(1,0)+max(0,2) = 3; d11 = max(0,1)+max(1,1) = 2;
+    #     d12 = max(-1,0)+max(0,-1) = 0
+    assert got[(1, 1)] == (10, 3.0)
+    assert got[(1, 2)] == (11, 2.0)
+    # q2: d10 = max(2,0)+max(0,0) = 2; d11 = max(0,2)+0 = 2 (tie -> doc_id
+    #     asc puts d10 first); d12 = max(-2,0)+0 = 0
+    assert got[(2, 1)] == (10, 2.0)
+    assert got[(2, 2)] == (11, 2.0)
+    assert len(got) == 4
+
+
+def test_late_interaction_engines_agree(spark):
+    """The BLAS engine and the HOF column-expression twin must return the
+    IDENTICAL ranked result (both round half-away to 6 dp before
+    ranking) — the dual-engine contract shared with cosine_topk."""
+    import random
+
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    rng = random.Random(13)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(12)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    docs = df.filter("vec_id >= 6")
+    queries = df.filter("vec_id < 6")
+    a = late_interaction_topk(
+        docs, queries, "vec_id", "embedding", num_tokens=3, k=4, engine="numpy"
+    )
+    b = late_interaction_topk(
+        docs, queries, "vec_id", "embedding", num_tokens=3, k=4, engine="sql"
+    )
+    key = lambda r: (r["query_id"], r["rank"])
+    ra = sorted(a.collect(), key=key)
+    rb = sorted(b.collect(), key=key)
+    assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
+    assert len(ra) == 6 * 4
