@@ -1803,14 +1803,17 @@ def text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays every rule (the stand-in language gate is the stopword
     threshold, so 'non_english' reduces to the 0.05–0.10 stop band)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    g = T.quality_gate(F.col("text"))
-    return d.select(
+    # quality_gate_flags, not the Column form: the four independent
+    # expression trees re-ran the tokenizer per signal (the round-9
+    # funnel finding — this query was the last caller on the slow form)
+    flagged = T.quality_gate_flags(d.select("doc_id", "text"))
+    return flagged.select(
         "doc_id",
-        g["n_tokens"].alias("n_tokens"),
-        g["dup_bigram_frac"].alias("dup_bigram_frac"),
-        g["stop_ratio"].alias("stop_ratio"),
-        g["reject_reason"].alias("reject_reason"),
-        g["keep"].alias("keep"),
+        "n_tokens",
+        "dup_bigram_frac",
+        "stop_ratio",
+        F.col("quality_reject").alias("reject_reason"),
+        F.col("quality_reject").isNull().alias("keep"),
     ).orderBy("doc_id")
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from science_datalake_spark.operators.textops import quality_gate
+from science_datalake_spark.operators.textops import quality_gate_flags
 
 
 def quality_gate_stream(
@@ -31,9 +31,17 @@ def quality_gate_stream(
     """Annotate a document stream with the quality-gate verdict columns.
     Stateless (map-only per micro-batch) — identical expressions to the
     batch gate, so a row's verdict never depends on arrival order."""
-    # one withColumns call = ONE projection; a per-column withColumn loop
-    # stacks five nested Projects for the analyzer to re-collapse
-    return docs.withColumns(dict(quality_gate(F.col(text_col), **gate_kwargs)))
+    # quality_gate_flags, not the Column form: the independent expression
+    # trees re-ran the tokenizer per signal (round-9 funnel finding); the
+    # flags transform materializes the split once and works unchanged on
+    # a streaming relation (stateless projections)
+    flagged = quality_gate_flags(docs, text_col=text_col, **gate_kwargs)
+    return flagged.withColumns(
+        {
+            "reject_reason": F.col("quality_reject"),
+            "keep": F.col("quality_reject").isNull(),
+        }
+    ).drop("quality_reject")
 
 
 def reject_reason_counts_stream(
