@@ -140,14 +140,17 @@ def main() -> None:
         except Exception as e:  # report failures but keep the line parseable
             timings[name] = -1.0
             print(f"# bench error in {name}: {e}", file=sys.stderr)
-        # Release per-query persists (iterative-graph invariants, DSIR
-        # token relations, …) so a 100+-query session doesn't accumulate
-        # corpus-sized cache entries; each query pays its own cache build
-        # inside its own timing, so this also keeps timings independent.
-        try:
-            spark.catalog.clearCache()
-        except Exception:
-            pass
+        # No blanket clearCache here (tried in r12, reverted same round):
+        # it destroyed the DELIBERATE session-scoped materializations —
+        # the unify spine (_UNIFIED_CACHE, the analog of the reference's
+        # materialized unified-papers table), the LM model and LSH/IVF
+        # registries — forcing every consumer query to rebuild them
+        # (vignettes 0.15 s -> 4.7 s each at sf1). Transient per-query
+        # relations release themselves instead: operators use
+        # localCheckpoint (ContextCleaner frees blocks when the handles
+        # are GC'd) or unpersist explicitly once results are
+        # checkpoint-materialized (graph.py), so nothing unbounded
+        # accumulates across a 119-query session.
 
     # Pipeline benchmark: the unify flagship over skewed synthetic sources
     # sized to the SF (30% null keys + a 10%-of-corpus hot DOI — the

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def hashed_token_bucket(tok: F.Column, num_buckets: int) -> F.Column:
@@ -88,18 +87,17 @@ def dsir_log_weights(
     The raw corpus is needed TWICE (its feature distribution, then
     per-doc scoring); ``persist_tokens=True`` materializes the hashed
     token stream ONCE into a persisted skinny (id, array<bucket>)
-    relation (~8 bytes/token, MEMORY_AND_DISK so it spills instead of
-    OOMing) so the md5 tokenization doesn't run twice — the same work
-    shape a columnar engine gets by materializing the twice-referenced
-    CTE. Pass False to recompute when the token stream exceeds what the
-    cluster wants to cache.
+    relation (~8 bytes/token, MEMORY_AND_DISK blocks so it spills
+    instead of OOMing) so the md5 tokenization doesn't run twice — the
+    same work shape a columnar engine gets by materializing the
+    twice-referenced CTE. Pass False to recompute when the token stream
+    exceeds what the cluster wants to hold.
 
-    Cache lifetime: the result is LAZY, so the persist must stay live
-    until the caller's action — release is the caller's
-    (``spark.catalog.clearCache()`` once the result is materialized;
-    bench.py does this after every query). A long-lived session that
-    scores many corpora without clearing should pass
-    ``persist_tokens=False``.
+    Cache lifetime: the materialization is a lazy ``localCheckpoint``,
+    not a CacheManager persist — ContextCleaner releases the blocks once
+    the query's handles are garbage-collected, so repeated scoring runs
+    in one session cannot accumulate corpus-sized cache entries (the
+    r11 advisor finding).
     """
     rtoks_arr = raw.select(
         F.col(id_col),
@@ -110,7 +108,12 @@ def dsir_log_weights(
         ).alias("__bs"),
     )
     if persist_tokens:
-        rtoks_arr = rtoks_arr.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, NOT persist: blocks default to MEMORY_AND_DISK
+        # like the cache, but ContextCleaner releases them when the query's
+        # handles are GC'd — a CacheManager entry would outlive the query
+        # and accumulate corpus-sized cache across a long session (r11
+        # advisor finding). Lazy: the first consumer's action materializes.
+        rtoks_arr = rtoks_arr.localCheckpoint(eager=False)
     rtoks = rtoks_arr.select(id_col, F.explode("__bs").alias("__b"))
     tc = feature_counts(target, id_col, text_col, num_buckets)
     rc = rtoks.groupBy("__b").agg(F.count("*").alias("__ct"))

@@ -504,21 +504,24 @@ def pagerank(
     if dedup_edges:
         e = e.distinct()
     # The node set and the degree-annotated edge relation are read EVERY
-    # iteration; without a persist each round re-derives them from the
-    # raw edges (a scan + a distinct shuffle + a degree join per round —
-    # 10 iterations paid 10×). Persisting both is the Pregel-style
-    # invariant cache: materialize once, iterate over cached blocks
-    # (MEMORY_AND_DISK so a 100 TB edge relation spills instead of
-    # OOMing; the per-executor footprint is the partition, not the graph).
+    # iteration; without a materialization each round re-derives them
+    # from the raw edges (a scan + a distinct shuffle + a degree join per
+    # round — 10 iterations paid 10×). Lazy localCheckpoint is the
+    # Pregel-style invariant cache: materialize once at the first action,
+    # iterate over stored blocks (MEMORY_AND_DISK, spills instead of
+    # OOMing) — and, unlike a CacheManager persist, ContextCleaner frees
+    # the blocks when the query's handles are GC'd, so repeated pagerank
+    # runs in one session cannot accumulate graph-sized cache entries
+    # (r11 advisor finding).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count("*").alias("__n"))
     deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
-    e2 = e.join(deg, "__s").persist(StorageLevel.MEMORY_AND_DISK)
+    e2 = e.join(deg, "__s").localCheckpoint(eager=False)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
@@ -558,13 +561,6 @@ def pagerank(
         ranks = stepped.select("node", "rank")
         if delta is not None and delta <= tol:
             break
-    if tol is not None:
-        # convergence mode materialized the final ranks through an eager
-        # checkpoint, so the invariant caches are no longer needed
-        nodes.unpersist()
-        e2.unpersist()
-    # tol=None keeps the zero-jobs contract: the result is lazy and still
-    # reads the caches at the caller's action, so release is the caller's
-    # (bench.py clears the cache after every query; long-lived sessions
-    # should spark.catalog.clearCache() once the ranks are materialized)
+    # no explicit release needed: the invariant relations are checkpoint
+    # blocks, freed by ContextCleaner once the returned plan's handles die
     return ranks

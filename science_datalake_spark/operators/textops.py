@@ -207,6 +207,16 @@ def dup_bigram_fraction(text: Column) -> Column:
     return dup_bigram_fraction_from_tokens(tokens(text))
 
 
+def dup_token_fraction_from_tokens(toks: Column) -> Column:
+    """``dup_token_fraction`` over an ALREADY-tokenized array column —
+    same single-evaluation rationale as
+    :func:`dup_bigram_fraction_from_tokens`."""
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(toks)) / n, 4)
+    )
+
+
 def dup_bigram_fraction_from_tokens(toks: Column) -> Column:
     """``dup_bigram_fraction`` over an ALREADY-tokenized array column.
     When ``toks`` is a plain column reference the split is evaluated

@@ -1649,13 +1649,24 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Single codegen expression per column (zip_with shifted-view
     bigrams, no UDF, no shuffle)."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    dup_bi = T.dup_bigram_fraction(F.col("text"))
-    return d.select(
+    # materialize the split ONCE, signals in a second projection, the
+    # flag from the signal COLUMN in a third — the quality_gate_flags
+    # layering (each independent expression tree was re-tokenizing)
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    )
+    sig = toked.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.dup_token_fraction(F.col("text")).alias("dup_token_frac"),
-        dup_bi.alias("dup_bigram_frac"),
-        (T.dup_bigram_fraction(F.col("text")) > 0.2).alias("is_repetitive"),
+        F.size("__toks").alias("n_tokens"),
+        T.dup_token_fraction_from_tokens(F.col("__toks")).alias("dup_token_frac"),
+        T.dup_bigram_fraction_from_tokens(F.col("__toks")).alias("dup_bigram_frac"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        (F.col("dup_bigram_frac") > 0.2).alias("is_repetitive"),
     ).orderBy("doc_id")
 
 

@@ -333,7 +333,10 @@ def test_iterative_graph_ops_persist_invariant_relations(spark):
         [(1, 2), (2, 3), (4, 5)], ["src", "dst"]
     )
     pr = pagerank(edges, iters=3)
-    assert "InMemoryTableScan" in plans.physical_plan(pr)
+    # the invariant relations are lazy localCheckpoints (auto-released by
+    # ContextCleaner, unlike CacheManager persists — round-12 leak fix),
+    # which appear as existing-RDD scans in the physical plan
+    assert "ExistingRDD" in plans.physical_plan(pr)
     # connected_components' labels are checkpoint-materialized by its own
     # convergence probe, so the round-12 discipline is: the symmetrized
     # edge cache lives only DURING iteration and is released at return
