@@ -504,24 +504,25 @@ def pagerank(
     if dedup_edges:
         e = e.distinct()
     # The node set and the degree-annotated edge relation are read EVERY
-    # iteration; without a materialization each round re-derives them
-    # from the raw edges (a scan + a distinct shuffle + a degree join per
-    # round — 10 iterations paid 10×). Lazy localCheckpoint is the
-    # Pregel-style invariant cache: materialize once at the first action,
-    # iterate over stored blocks (MEMORY_AND_DISK, spills instead of
-    # OOMing) — and, unlike a CacheManager persist, ContextCleaner frees
-    # the blocks when the query's handles are GC'd, so repeated pagerank
-    # runs in one session cannot accumulate graph-sized cache entries
-    # (r11 advisor finding).
+    # iteration; without a persist each round re-derives them from the
+    # raw edges (a scan + a distinct shuffle + a degree join per round —
+    # 10 iterations paid 10×). Persist (columnar InMemoryRelation), NOT
+    # localCheckpoint: checkpoint blocks are row-serialized InternalRows
+    # and the 10 per-iteration reads through Scan ExistingRDD measured
+    # 3× slower than InMemoryTableScan (r12 A/B: 1.6 s -> 4.7 s at sf1).
+    # Session-lifetime is bounded: CacheManager canonicalizes plans, so
+    # repeated pagerank runs over the same edges share ONE cache entry —
+    # no per-run accumulation (the r11 advisor concern); MEMORY_AND_DISK
+    # spills instead of OOMing.
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nn = nodes.agg(F.count("*").alias("__n"))
     deg = e.groupBy("__s").agg(F.count("*").alias("__deg"))
-    e2 = e.join(deg, "__s").localCheckpoint(eager=False)
+    e2 = e.join(deg, "__s").persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
@@ -561,6 +562,12 @@ def pagerank(
         ranks = stepped.select("node", "rank")
         if delta is not None and delta <= tol:
             break
-    # no explicit release needed: the invariant relations are checkpoint
-    # blocks, freed by ContextCleaner once the returned plan's handles die
+    if tol is not None:
+        # convergence mode materialized the final ranks through an eager
+        # checkpoint, so the invariant caches can be released NOW; the
+        # tol=None result is lazy and still reads them at the caller's
+        # action (one deduplicated CacheManager entry per edge relation —
+        # bounded, see the persist comment above)
+        nodes.unpersist()
+        e2.unpersist()
     return ranks

@@ -392,3 +392,39 @@ def test_weighted_sample_sink_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(path).collect()}
     assert got == want
+
+
+def test_decontaminate_stream_matches_batch(spark, tmp_path):
+    """The streaming decontamination (broadcast eval shingles probed per
+    micro-batch, zero state) must produce the identical per-document
+    (n_shingles, n_shared, overlap, is_contaminated) as the batch
+    operator on the same documents, no matter how the stream chunks."""
+    from science_datalake_spark.operators.corpus import decontaminate
+    from science_datalake_spark.streaming.decontamination import (
+        decontaminate_stream,
+        eval_shingle_broadcast,
+    )
+
+    src = _write_doc_files(tmp_path, n_files=3, per_file=20)
+    batch = spark.read.schema(DOC_SCHEMA).json(src)
+    # eval set = a handful of docs' text, so some streamed docs overlap
+    eval_docs = batch.filter("doc_id % 4 = 0").select("text")
+    bc = eval_shingle_broadcast(eval_docs, n=3)
+
+    out = decontaminate_stream(
+        _doc_stream(spark, src), bc, "doc_id", n=3, max_overlap=0.5
+    ).select("doc_id", "n_shingles", "n_shared", "overlap", "is_contaminated")
+    run_available_now(out, str(tmp_path / "ckpt_dc"), "decon_test", output_mode="append")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap"], r["is_contaminated"])
+        for r in spark.sql("SELECT * FROM decon_test").collect()
+    }
+
+    want = {
+        r["doc_id"]: (r["n_shingles"], r["n_shared"], r["overlap"], r["is_contaminated"])
+        for r in decontaminate(batch, eval_docs, "doc_id", n=3, max_overlap=0.5).collect()
+    }
+    assert got == want and len(got) == 60
+    # the duplicated-text fixture guarantees real hits: every 4th doc's
+    # base text IS in the eval set, so contamination must actually fire
+    assert any(v[3] for v in got.values())
