@@ -449,12 +449,19 @@ def join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (materialize_unified_papers.py:361-396); Spark's explicit left_anti /
     left_semi are the same plans without the null-filter hack."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders").select("o_custkey")
     n = table(spark, sf_dir, "nation")
+    # pre-distinct the probe keys ONCE: both legs' build sides become the
+    # IDENTICAL subplan, so the distinct's exchange is computed once and
+    # reused (ReusedExchange), and the semi/anti joins move |customers
+    # with orders| keys instead of |orders| rows — 2.25 -> 1.18 s at sf3.
+    # No forced broadcast: the key set is bounded by |customer|, not a
+    # fixed-cardinality dim (the r9 policy class); AQE promotes to a
+    # broadcast join at runtime when the measured build side is small.
+    ok = table(spark, sf_dir, "orders").select("o_custkey").distinct()
 
     def per_nation(join_type: str, out: str) -> DataFrame:
         return (
-            c.join(o, c.c_custkey == o.o_custkey, join_type)
+            c.join(ok, c.c_custkey == ok.o_custkey, join_type)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("n_name")
             .agg(F.count("*").alias(out))
