@@ -312,13 +312,16 @@ def test_tpch_revenue_joins_pin_scale_safe_strategies(spark, sf_oracle):
 
 
 def test_shared_relation_queries_reuse_cached_blocks(spark, sf_oracle):
-    """search_hybrid_rrf and corpus_dsir_sample each persist one skinny
-    relation consumed by two pipeline legs; the physical plan must show
-    the cache being READ (InMemoryTableScan) rather than the upstream
-    tokenization being inlined twice."""
-    for name in ("search_hybrid_rrf", "corpus_dsir_sample"):
-        p = plans.physical_plan(QUERIES[name](spark, sf_oracle))
-        assert "InMemoryTableScan" in p, (name, p)
+    """search_hybrid_rrf and corpus_dsir_sample each materialize one
+    skinny relation consumed by two pipeline legs; the physical plan
+    must show the materialization being READ (InMemoryTableScan for the
+    persisted postings; Scan ExistingRDD for dsir's auto-releasing
+    localCheckpoint — the r12 cache-lifetime rework) rather than the
+    upstream tokenization being inlined twice."""
+    p = plans.physical_plan(QUERIES["search_hybrid_rrf"](spark, sf_oracle))
+    assert "InMemoryTableScan" in p, p
+    p = plans.physical_plan(QUERIES["corpus_dsir_sample"](spark, sf_oracle))
+    assert "ExistingRDD" in p, p
 
 
 def test_iterative_graph_ops_persist_invariant_relations(spark):
