@@ -710,3 +710,93 @@ def late_interaction_topk(
     return top_k_per_key(
         scored, keys=["query_id"], order=[F.desc("score"), F.asc("doc_id")], k=k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    score_col: str = "score",
+    vec_col: str = "vec",
+    max_group_rows: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick k candidates maximizing
+    ``lam * relevance - (1 - lam) * max cosine to already-selected`` —
+    the diversity stage that keeps a near-duplicate-heavy corpus from
+    filling the whole top-k with one document's clones. The standard
+    post-pass over an ANN/BM25 candidate list (RAG context selection,
+    eval-set construction, dedup-aware retrieval).
+
+    The greedy chain is inherently sequential WITHIN a query, so this is
+    the applyInPandas tier (documented custom-operator ladder): one
+    Arrow batch per query group, numpy cosine matrix inside, O(k·n)
+    selection on a candidate list the upstream retrieval stage already
+    bounded (``max_group_rows`` guards against an unbounded group —
+    MMR over more candidates than that belongs upstream in the ANN cut).
+    Scale: groups hash-partition on the query id; no task sees more than
+    one query's candidates; the corpus is never touched.
+
+    Greedy selection is NOT SQL-expressible (each pick depends on all
+    prior picks), so there is no DuckDB oracle — the operator is pinned
+    by hand-computed tests instead (the documented weaker evidence
+    class, like the streaming-only operators).
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_fields = []
+    for f in candidates.select(query_col, id_col, score_col).schema.fields:
+        out_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    out_schema = ", ".join(out_fields + ["rank int", "mmr_score double"])
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_group_rows:
+            raise ValueError(
+                f"MMR group for {pdf[query_col].iloc[0]!r} has {n} rows > "
+                f"max_group_rows={max_group_rows}; cut candidates upstream"
+            )
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        dim = max((len(v) for v in pdf[vec_col] if v is not None), default=0)
+        from science_datalake_spark.operators.dedup import _vec_matrix
+
+        v = _vec_matrix(pdf[vec_col], dim)
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = np.nan
+        vn = v / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype=float)
+        kk = min(k, n)
+        selected: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        mmr_vals: list[float] = []
+        cand = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            if not selected:
+                mmr = rel.copy()
+            else:
+                penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+                mmr = lam * rel - (1.0 - lam) * penalty
+            mmr_masked = np.where(cand, mmr, -np.inf)
+            best = int(np.nanargmax(mmr_masked))
+            selected.append(best)
+            mmr_vals.append(float(mmr_masked[best]))
+            cand[best] = False
+            sims = vn @ vn[best]
+            max_sim = np.where(np.isnan(sims), max_sim, np.maximum(max_sim, sims))
+        outp = pdf.iloc[selected][[query_col, id_col, score_col]].reset_index(
+            drop=True
+        )
+        outp["rank"] = np.arange(1, kk + 1, dtype=np.int32)
+        outp["mmr_score"] = np.round(mmr_vals, 6)
+        return outp
+
+    return (
+        candidates.select(query_col, id_col, score_col, vec_col)
+        .groupBy(query_col)
+        .applyInPandas(pick, out_schema)
+    )

@@ -665,3 +665,34 @@ def test_late_interaction_engines_agree(spark):
     rb = sorted(b.collect(), key=key)
     assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
     assert len(ra) == 6 * 4
+
+
+def test_mmr_rerank_demotes_near_duplicates(spark):
+    """Hand-computed MMR (lam=0.5): the near-duplicate of the top pick
+    must fall BEHIND a less-relevant-but-diverse candidate.
+    rel(A,B,C) = 1.0, 0.95, 0.5; B is A's clone ([1,0]), C orthogonal.
+    pick1 = A (mmr 1.0); pick2: B = .5*.95-.5*1 = -0.025 vs
+    C = .5*.5-0 = 0.25 -> C; pick3 = B (-0.025)."""
+    from science_datalake_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("q1", "A", 1.0, [1.0, 0.0]),
+            ("q1", "B", 0.95, [1.0, 0.0]),
+            ("q1", "C", 0.5, [0.0, 1.0]),
+            # second query group: pure relevance order (all orthogonal)
+            ("q2", "X", 0.9, [1.0, 0.0]),
+            ("q2", "Y", 0.8, [0.0, 1.0]),
+        ],
+        "query_id STRING, cand_id STRING, score DOUBLE, vec ARRAY<DOUBLE>",
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["mmr_score"])
+        for r in mmr_rerank(cands, k=3, lam=0.5).collect()
+    }
+    assert got[("q1", 1)] == ("A", 1.0)
+    assert got[("q1", 2)] == ("C", 0.25)
+    assert got[("q1", 3)] == ("B", -0.025)
+    assert got[("q2", 1)] == ("X", 0.9)
+    assert got[("q2", 2)][0] == "Y"
+    assert len(got) == 5
