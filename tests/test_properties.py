@@ -149,3 +149,26 @@ def test_sparql_errors_are_typed(garbage):
         _parse(garbage)
     except SparqlError:
         pass
+
+
+UNI_TEXT = st.text(
+    alphabet=st.characters(exclude_characters="\x00", exclude_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@given(st.lists(st.tuples(UNI_TEXT, UNI_TEXT), min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_batch_bit_identical_to_scalar(pairs):
+    """The numpy-vectorized batch engine (the no-rapidfuzz UDF fast path)
+    must be BIT-identical to the scalar reference on arbitrary unicode
+    batches — the mixed-length padding, window clamping, transposition
+    packing, and prefix-boost arithmetic all mirror the scalar
+    evaluation order exactly."""
+    from science_datalake_spark.operators.linkage import _jaro_winkler_batch
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = _jaro_winkler_batch(a, b)
+    want = [jaro_winkler_py(x, y) for x, y in pairs]
+    assert got == want
