@@ -562,13 +562,20 @@ def _late_interaction_numpy(
     k: int,
     round_digits: int,
     max_query_rows: int = 4096,
+    num_tokens_col: str | None = None,
 ) -> DataFrame:
     """BLAS engine behind late_interaction_topk (see its docstring).
     Per Arrow batch: one (batch·nt, td) × (td, nq·nt) matmul, max over
     the doc-token axis, sum over the query-token axis, per-batch partial
     top-k per query. Scores are rounded half-away BEFORE ranking, like
-    the SQL path; a NULL/ragged doc vector yields a NULL score ranked
-    last — the same convention as _cosine_topk_numpy."""
+    the SQL path; a NULL/ragged vector on EITHER side yields a NULL
+    score ranked last — enforced explicitly (bad rows are detected
+    before _vec_matrix zero-fills them: a zero vector is indistinguishable
+    from NULL only under cosine's zero-norm NaN, not under raw MaxSim
+    dot products, where it would silently score 0.0 — round-12 advice).
+    With ``num_tokens_col``, padding token positions at index >=
+    that row's real count are excluded from the per-query-token max,
+    and a doc with no real tokens scores NULL."""
     import numpy as np
     import pandas as pd
 
@@ -589,24 +596,45 @@ def _late_interaction_numpy(
     qmat = _vec_matrix(pd.Series(qvecs), dim) if nq else None
     # (nq*nt, td): query token vectors stacked in (query, token) order
     qtok = qmat.reshape(nq * num_tokens, td) if nq else None
+    # NULL/ragged query vectors: every score in that query's column is NULL
+    q_bad = np.array(
+        [v is None or len(v) != dim for v in qvecs], dtype=bool
+    ) if nq else None
 
     qid_t = queries.schema[id_col].dataType.simpleString()
     did_t = docs.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_t}, doc_id {did_t}, score double"
+    doc_cols = [id_col, vec_col] + ([num_tokens_col] if num_tokens_col else [])
 
     def scan(batches):
         for pdf in batches:
             n = len(pdf)
             if n == 0 or nq == 0:
                 continue
-            v = _vec_matrix(pdf[vec_col], dim)  # (n, dim); NaN rows = bad vecs
+            vals = pdf[vec_col].tolist()
+            d_bad = np.array(
+                [x is None or len(x) != dim for x in vals], dtype=bool
+            )
+            v = _vec_matrix(pdf[vec_col], dim)  # (n, dim); bad rows zeroed
             dids = pdf[id_col].reset_index(drop=True)
             dtok = v.reshape(n * num_tokens, td)
             sims = dtok @ qtok.T  # (n*nt, nq*nt)
             sims = sims.reshape(n, num_tokens, nq * num_tokens)
+            if num_tokens_col is not None:
+                ntok = (
+                    pdf[num_tokens_col]
+                    .fillna(0)
+                    .to_numpy(dtype=np.int64)
+                    .clip(0, num_tokens)
+                )
+                # padding positions never win the doc-token max
+                sims[np.arange(num_tokens)[None, :] >= ntok[:, None]] = -np.inf
+                d_bad |= ntok == 0
             mx = sims.max(axis=1)  # max over DOC tokens: (n, nq*nt)
             scores = mx.reshape(n, nq, num_tokens).sum(axis=2)  # (n, nq)
             scores = _round_half_away(scores, round_digits)
+            scores[d_bad, :] = np.nan
+            scores[:, q_bad] = np.nan
             frames = []
             for j in range(nq):
                 col = scores[:, j]
@@ -634,7 +662,7 @@ def _late_interaction_numpy(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    part = docs.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    part = docs.select(*doc_cols).mapInPandas(scan, out_schema)
     return top_k_per_key(
         part, keys=["query_id"], order=[F.desc("score"), F.asc("doc_id")], k=k
     )
@@ -649,6 +677,7 @@ def late_interaction_topk(
     k: int,
     engine: str = "numpy",
     round_digits: int = 6,
+    num_tokens_col: str | None = None,
 ) -> DataFrame:
     """ColBERT-style late-interaction retrieval (MaxSim): score(q, d) =
     Σ over q's token vectors of max over d's token vectors of the dot
@@ -660,7 +689,15 @@ def late_interaction_topk(
     Input layout: each row's ``vec_col`` holds the document's
     ``num_tokens`` token embeddings FLAT in one array (token dim =
     size/num_tokens) — the storage shape a 100 TB corpus wants (one
-    fixed-width array column, no per-token rows to shuffle).
+    fixed-width array column, no per-token rows to shuffle). Real
+    ColBERT corpora are RAGGED — documents shorter than ``num_tokens``
+    are zero/garbage-padded to the fixed width — so ``num_tokens_col``
+    (optional, an int column on ``docs``) declares each row's REAL token
+    count: padding positions are excluded from the per-query-token max
+    on BOTH engines (an unmasked zero pad wrongly wins the max whenever
+    every real dot product is negative), and a doc with zero real tokens
+    scores NULL. NULL/ragged vectors on either side score NULL (ranked
+    last), identically on both engines.
 
     ``engine="numpy"`` (default) streams doc batches through one BLAS
     matmul + axis-max + axis-sum with per-batch partial top-k — the
@@ -676,18 +713,31 @@ def late_interaction_topk(
     """
     if engine == "numpy":
         return _late_interaction_numpy(
-            docs, queries, id_col, vec_col, num_tokens, k, round_digits
+            docs, queries, id_col, vec_col, num_tokens, k, round_digits,
+            num_tokens_col=num_tokens_col,
         )
     if engine != "sql":
         raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
+    ntok = (
+        F.greatest(F.least(F.coalesce(F.col(num_tokens_col), F.lit(0)),
+                           F.lit(num_tokens)), F.lit(0))
+        if num_tokens_col is not None
+        else F.lit(num_tokens)
+    )
     d = docs.select(
-        F.col(id_col).alias("doc_id"), as_double_vec(vec_col).alias("__dv")
+        F.col(id_col).alias("doc_id"),
+        as_double_vec(vec_col).alias("__dv"),
+        ntok.cast("int").alias("__ntok"),
     )
     pairs = d.crossJoin(F.broadcast(q)).withColumn(
-        "__dtoks", token_slices(F.col("__dv"), num_tokens)
+        # padding tokens sliced off BEFORE the max — ragged-doc mask;
+        # __ntok == 0 leaves an empty array whose array_max is NULL,
+        # nulling the whole score (NULL + x), i.e. ranked last
+        "__dtoks",
+        F.slice(token_slices(F.col("__dv"), num_tokens), 1, F.col("__ntok")),
     )
     td = (F.size(F.col("__qv")) / num_tokens).cast("int")
 
@@ -703,6 +753,11 @@ def late_interaction_topk(
     score = maxes[0]
     for m in maxes[1:]:
         score = score + m
+    # a RAGGED (wrong-length) doc vector scores NULL, matching the BLAS
+    # engine — without the guard, slice() silently truncates and scores
+    # the partial tokens (size(NULL) is NULL, so NULL vecs pass through
+    # the when() as NULL too)
+    score = F.when(F.size("__dv") == F.size("__qv"), score)
     # round BEFORE ranking — the dual-engine/oracle agreement point
     scored = pairs.select(
         "query_id", "doc_id", F.round(score, round_digits).alias("score")
@@ -743,60 +798,97 @@ def mmr_rerank(
     prior picks), so there is no DuckDB oracle — the operator is pinned
     by hand-computed tests instead (the documented weaker evidence
     class, like the streaming-only operators).
-    """
-    import numpy as np
-    import pandas as pd
 
+    Candidates with an UNUSABLE vector (NULL, ragged, or zero-norm —
+    cosine undefined) are excluded from the greedy MMR chain entirely
+    and appended AFTER every usable candidate, in (relevance desc, id
+    asc) order, with a NULL mmr_score — the engine-wide nulls-last
+    convention. Without this, a cluster of null-vector near-duplicates
+    would compete on pure relevance with a permanent zero diversity
+    penalty and could fill the top-k (round-12 advice).
+    """
     out_fields = []
     for f in candidates.select(query_col, id_col, score_col).schema.fields:
         out_fields.append(f"{f.name} {f.dataType.simpleString()}")
     out_schema = ", ".join(out_fields + ["rank int", "mmr_score double"])
 
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n > max_group_rows:
-            raise ValueError(
-                f"MMR group for {pdf[query_col].iloc[0]!r} has {n} rows > "
-                f"max_group_rows={max_group_rows}; cut candidates upstream"
-            )
-        pdf = pdf.sort_values(
-            [score_col, id_col], ascending=[False, True]
-        ).reset_index(drop=True)
-        dim = max((len(v) for v in pdf[vec_col] if v is not None), default=0)
-        from science_datalake_spark.operators.dedup import _vec_matrix
-
-        v = _vec_matrix(pdf[vec_col], dim)
-        norms = np.sqrt((v * v).sum(axis=1))
-        norms[norms == 0] = np.nan
-        vn = v / norms[:, None]
-        rel = pdf[score_col].to_numpy(dtype=float)
-        kk = min(k, n)
-        selected: list[int] = []
-        max_sim = np.full(n, -np.inf)
-        mmr_vals: list[float] = []
-        cand = np.ones(n, dtype=bool)
-        for _ in range(kk):
-            if not selected:
-                mmr = rel.copy()
-            else:
-                penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
-                mmr = lam * rel - (1.0 - lam) * penalty
-            mmr_masked = np.where(cand, mmr, -np.inf)
-            best = int(np.nanargmax(mmr_masked))
-            selected.append(best)
-            mmr_vals.append(float(mmr_masked[best]))
-            cand[best] = False
-            sims = vn @ vn[best]
-            max_sim = np.where(np.isnan(sims), max_sim, np.maximum(max_sim, sims))
-        outp = pdf.iloc[selected][[query_col, id_col, score_col]].reset_index(
-            drop=True
+    def pick(pdf):
+        return _mmr_pick(
+            pdf, k, lam, query_col, id_col, score_col, vec_col, max_group_rows
         )
-        outp["rank"] = np.arange(1, kk + 1, dtype=np.int32)
-        outp["mmr_score"] = np.round(mmr_vals, 6)
-        return outp
 
     return (
         candidates.select(query_col, id_col, score_col, vec_col)
         .groupBy(query_col)
         .applyInPandas(pick, out_schema)
     )
+
+
+def _mmr_pick(
+    pdf,
+    k: int,
+    lam: float,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    max_group_rows: int,
+):
+    """The per-group greedy MMR kernel behind mmr_rerank — module-level
+    (not a closure) so the Hypothesis property suite can drive it on raw
+    pandas frames without a Spark session. Input-row-order invariant: it
+    sorts on (relevance desc, id asc) before selecting, and all ties
+    resolve through that total order (stable mergesort + first-index
+    argmax)."""
+    import numpy as np
+
+    n = len(pdf)
+    if n > max_group_rows:
+        raise ValueError(
+            f"MMR group for {pdf[query_col].iloc[0]!r} has {n} rows > "
+            f"max_group_rows={max_group_rows}; cut candidates upstream"
+        )
+    pdf = pdf.sort_values(
+        [score_col, id_col], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    dim = max((len(v) for v in pdf[vec_col] if v is not None), default=0)
+    from science_datalake_spark.operators.dedup import _vec_matrix
+
+    v = _vec_matrix(pdf[vec_col], dim)
+    norms = np.sqrt((v * v).sum(axis=1))
+    norms[norms == 0] = np.nan
+    vn = v / norms[:, None]
+    # NULL/ragged rows were zero-filled by _vec_matrix → zero norm →
+    # NaN; unusable vectors sit out the greedy chain (nulls-last)
+    usable = ~np.isnan(norms)
+    rel = pdf[score_col].to_numpy(dtype=float)
+    kk = min(k, n)
+    n_greedy = min(kk, int(usable.sum()))
+    selected: list[int] = []
+    max_sim = np.full(n, -np.inf)
+    mmr_vals: list[float] = []
+    cand = usable.copy()
+    for _ in range(n_greedy):
+        if not selected:
+            mmr = rel.copy()
+        else:
+            penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            mmr = lam * rel - (1.0 - lam) * penalty
+        mmr_masked = np.where(cand, mmr, -np.inf)
+        best = int(np.nanargmax(mmr_masked))
+        selected.append(best)
+        mmr_vals.append(float(mmr_masked[best]))
+        cand[best] = False
+        sims = vn @ vn[best]
+        max_sim = np.where(np.isnan(sims), max_sim, np.maximum(max_sim, sims))
+    # tail-fill with unusable-vector candidates in (rel desc, id asc)
+    # order — pdf is already sorted that way — with NULL mmr_score
+    for i in np.nonzero(~usable)[0][: kk - n_greedy]:
+        selected.append(int(i))
+        mmr_vals.append(np.nan)
+    outp = pdf.iloc[selected][[query_col, id_col, score_col]].reset_index(
+        drop=True
+    )
+    outp["rank"] = np.arange(1, len(selected) + 1, dtype=np.int32)
+    outp["mmr_score"] = np.round(mmr_vals, 6)
+    return outp

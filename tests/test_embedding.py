@@ -667,6 +667,136 @@ def test_late_interaction_engines_agree(spark):
     assert len(ra) == 6 * 4
 
 
+def test_late_interaction_null_ragged_rank_last_when_scores_negative(spark):
+    """The round-12 advice scenario: raw MaxSim has no normalization, so a
+    NULL/ragged doc vector zero-filled by the matrix builder would score
+    exactly 0.0 and BEAT every real doc whenever all real dot products
+    are negative. Both engines must rank NULL and ragged docs last with a
+    NULL score instead."""
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    docs = spark.createDataFrame(
+        [
+            # q tokens [1,0],[0,1]; d10 tokens [-1,-1],[-2,-1]:
+            # m0 = max(-1,-2) = -1, m1 = max(-1,-1) = -1 -> score -2
+            (10, [-1.0, -1.0, -2.0, -1.0]),
+            # d11 tokens [-3,-2],[-2,-3]: m0 = -2, m1 = -2 -> score -4
+            (11, [-3.0, -2.0, -2.0, -3.0]),
+            (12, None),                      # NULL vec
+            (13, [5.0, 5.0]),                # ragged (len 2 != 4)
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    for eng in ("numpy", "sql"):
+        rows = late_interaction_topk(
+            docs, queries, "vec_id", "embedding", num_tokens=2, k=4, engine=eng
+        ).collect()
+        by_rank = {r["rank"]: (r["doc_id"], r["score"]) for r in rows}
+        assert by_rank[1] == (10, -2.0), eng
+        assert by_rank[2] == (11, -4.0), eng
+        # null/ragged docs take ranks 3-4 (doc_id asc) with NULL scores
+        assert by_rank[3] == (12, None), eng
+        assert by_rank[4] == (13, None), eng
+
+
+def test_late_interaction_ragged_mask_num_tokens_col(spark):
+    """num_tokens_col excludes padding token positions from the MaxSim
+    max on BOTH engines. d10 has 1 real token [-1,0] padded with a zero
+    token: unmasked, the zero pad wins the max (0 > -1); masked, the
+    score is the real token's dot. A doc with 0 real tokens scores NULL,
+    ranked last."""
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 1.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, [-1.0, 0.0, 0.0, 0.0], 1),  # masked: -1 + -1 = -2
+            (11, [-3.0, 0.0, -4.0, 0.0], 2),  # max(-3,-4)*2 = -6
+            (12, [9.0, 9.0, 9.0, 9.0], 0),    # no real tokens -> NULL
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>, n_tok INT",
+    )
+    for eng in ("numpy", "sql"):
+        rows = late_interaction_topk(
+            docs, queries, "vec_id", "embedding", num_tokens=2, k=3,
+            engine=eng, num_tokens_col="n_tok",
+        ).collect()
+        by_rank = {r["rank"]: (r["doc_id"], r["score"]) for r in rows}
+        assert by_rank[1] == (10, -2.0), eng
+        assert by_rank[2] == (11, -6.0), eng
+        assert by_rank[3][0] == 12 and by_rank[3][1] is None, eng
+
+
+def test_late_interaction_engines_agree_with_nulls(spark):
+    """Dual-engine agreement on a fixture that CONTAINS null, ragged and
+    zero-padded rows on both sides (the round-12 engines-agree test used
+    only clean vectors, which is exactly why the null-vector divergence
+    survived review)."""
+    import random
+
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    rng = random.Random(17)
+    rows = []
+    for i in range(50):
+        if i % 11 == 3:
+            vec = None
+        elif i % 11 == 7:
+            vec = [1.0, 2.0]  # ragged
+        else:
+            # shift negative so zero-fill bugs surface as rank changes
+            vec = [round(rng.uniform(-2, -0.1), 3) for _ in range(12)]
+        rows.append((i, vec, rng.randint(0, 3)))
+    df = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<DOUBLE>, n_tok INT"
+    )
+    docs = df.filter("vec_id >= 6")
+    queries = df.filter("vec_id < 6")
+    for ntc in (None, "n_tok"):
+        a = late_interaction_topk(
+            docs, queries, "vec_id", "embedding", num_tokens=3, k=4,
+            engine="numpy", num_tokens_col=ntc,
+        )
+        b = late_interaction_topk(
+            docs, queries, "vec_id", "embedding", num_tokens=3, k=4,
+            engine="sql", num_tokens_col=ntc,
+        )
+        key = lambda r: (r["query_id"], r["rank"])
+        ra = sorted(a.collect(), key=key)
+        rb = sorted(b.collect(), key=key)
+        assert [tuple(r) for r in ra] == [tuple(r) for r in rb], ntc
+        assert len(ra) == 6 * 4, ntc
+
+
+def test_mmr_null_vector_candidates_rank_last(spark):
+    """Null/ragged/zero-norm-vector candidates must not fill the top-k on
+    pure relevance (their diversity penalty is uncomputable): they sit
+    out the greedy chain and tail-fill AFTER every usable candidate with
+    a NULL mmr_score."""
+    from science_datalake_spark.operators.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("q1", "N1", 0.99, None),          # null vec, huge relevance
+            ("q1", "N2", 0.98, [0.0, 0.0]),    # zero-norm
+            ("q1", "A", 0.9, [1.0, 0.0]),
+            ("q1", "B", 0.2, [0.0, 1.0]),
+        ],
+        "query_id STRING, cand_id STRING, score DOUBLE, vec ARRAY<DOUBLE>",
+    )
+    got = {
+        r["rank"]: (r["cand_id"], r["mmr_score"])
+        for r in mmr_rerank(cands, k=4, lam=0.5).collect()
+    }
+    assert got[1][0] == "A" and got[2][0] == "B"
+    assert got[3] == ("N1", None) and got[4] == ("N2", None)
+
+
 def test_mmr_rerank_demotes_near_duplicates(spark):
     """Hand-computed MMR (lam=0.5): the near-duplicate of the top pick
     must fall BEHIND a less-relevant-but-diverse candidate.
