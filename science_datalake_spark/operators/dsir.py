@@ -68,7 +68,7 @@ def dsir_log_weights(
     text_col: str,
     num_buckets: int = 1024,
     alpha: float = 0.5,
-    persist_tokens: bool = True,
+    persist_tokens: bool | str = True,
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weight.
 
@@ -97,7 +97,14 @@ def dsir_log_weights(
     not a CacheManager persist — ContextCleaner releases the blocks once
     the query's handles are garbage-collected, so repeated scoring runs
     in one session cannot accumulate corpus-sized cache entries (the
-    r11 advisor finding).
+    r11 advisor finding). TRADE-OFF (Spark's own localCheckpoint
+    warning): checkpoint blocks TRUNCATE lineage, so losing an executor
+    (dynamic allocation, spot preemption) between the two consumers
+    makes the relation unrecoverable and FAILS the job, where a persist
+    would transparently recompute. On clusters with executor churn pass
+    ``persist_tokens="persist"`` to keep the recomputable
+    MEMORY_AND_DISK persist instead — accepting that the CacheManager
+    entry outlives the query until unpersisted (round-12 advice).
     """
     rtoks_arr = raw.select(
         F.col(id_col),
@@ -107,7 +114,13 @@ def dsir_log_weights(
             % num_buckets,
         ).alias("__bs"),
     )
-    if persist_tokens:
+    if persist_tokens == "persist":
+        # executor-churn-safe mode: recomputable lineage kept (see the
+        # docstring trade-off)
+        from pyspark import StorageLevel
+
+        rtoks_arr = rtoks_arr.persist(StorageLevel.MEMORY_AND_DISK)
+    elif persist_tokens:
         # localCheckpoint, NOT persist: blocks default to MEMORY_AND_DISK
         # like the cache, but ContextCleaner releases them when the query's
         # handles are GC'd — a CacheManager entry would outlive the query

@@ -406,10 +406,36 @@ def cooccurrence(
     the shuffle moves 8-byte keys and the final hash agg runs on a
     single primitive long (Spark's vectorized fast path) instead of a
     two-column row; measured ~10% at sf1. ONLY valid when item ids are
-    non-negative and < 2^31 — that is the CALLER's contract to assert
-    (OpenAlex work ids exceed it; TPC-H partkeys at bench scales do
-    not), hence opt-in."""
+    non-negative and < 2^31 (OpenAlex work ids exceed it; TPC-H partkeys
+    at bench scales do not), hence opt-in — and the contract is ENFORCED,
+    not just documented: an assert_true is folded into the item column on
+    the input scan (linear, two long compares per row, NOT on the
+    quadratic pair stream), so an out-of-range id fails the job loudly
+    instead of sign-extending/overflowing into silently collided pairs
+    (round-12 advice); NULL ids stay allowed — collect_set drops them on
+    both layouts."""
     spark = memberships.sparkSession
+    if pack_keys:
+        # NULL ids stay allowed (collect_set drops them, same as unpacked)
+        in_range = F.col(item_col).isNull() | (
+            (F.col(item_col) >= 0) & (F.col(item_col) < F.lit(2**31))
+        )
+        memberships = memberships.withColumn(
+            item_col,
+            F.when(
+                F.assert_true(
+                    in_range,
+                    F.concat(
+                        F.lit(
+                            "cooccurrence(pack_keys=True) requires "
+                            "0 <= item id < 2^31; got "
+                        ),
+                        F.col(item_col).cast("string"),
+                    ),
+                ).isNull(),
+                F.col(item_col),
+            ),
+        )
     if num_partitions is None:
         num_partitions = max(
             spark.sparkContext.defaultParallelism,

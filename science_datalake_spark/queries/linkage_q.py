@@ -211,9 +211,13 @@ def eval_alignment_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     # total, threshold-sweep grid join); without a cut each leg re-runs
     # the whole kNN cosine pipeline (the corpus_release lesson: score
     # once, read thrice). ann is ≤40 rows by construction (best-match
-    # per left id < 40), so an eager localCheckpoint materializes the
-    # expensive part exactly once at negligible storage.
-    ann = ann.localCheckpoint(eager=True)
+    # per left id < 40), so a localCheckpoint materializes the expensive
+    # part exactly once at negligible storage. LAZY (eager=False), the
+    # graph-operator pattern: query CONSTRUCTION stays job-free — the
+    # first consumer's action materializes it — so timings that separate
+    # plan build from execution aren't skewed by a definition-time kNN
+    # job (round-12 advice).
+    ann = ann.localCheckpoint(eager=False)
 
     a = annotated_stratum_metrics(ann).select(
         F.concat(F.lit("stratum:"), F.col("stratum")).alias("kind"),

@@ -83,6 +83,24 @@ def test_log_weights_match_pure_python_mirror(spark):
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
 
 
+def test_log_weights_persist_mode_matches_checkpoint_mode(spark):
+    """persist_tokens="persist" (the executor-churn-safe recomputable
+    materialization) must be result-identical to the default lazy
+    localCheckpoint."""
+    raw, target = _df(spark, RAW), _df(spark, TARGET)
+    base = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(raw, target, "doc_id", "text", B, ALPHA).collect()
+    }
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, persist_tokens="persist"
+        ).collect()
+    }
+    assert got == base
+
+
 def test_target_vocabulary_docs_outrank_disjoint_docs(spark):
     raw, target = _df(spark, RAW), _df(spark, TARGET)
     w = _mirror_log_weights(RAW, TARGET)

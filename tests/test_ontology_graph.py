@@ -469,6 +469,39 @@ def test_cooccurrence_basic(spark):
     assert pairs[("a", "b")] == 2 and pairs[("a", "c")] == 1
 
 
+def test_cooccurrence_pack_keys_guard(spark):
+    """pack_keys=True enforces its id contract loudly: an id >= 2^31 (or
+    negative) would overflow/sign-extend into silently collided pairs, so
+    the folded assert_true must FAIL the job instead. Valid ids (incl.
+    NULLs, dropped by collect_set as on the unpacked layout) match the
+    unpacked result exactly."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    ok = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", None), ("g2", 1), ("g2", 2)],
+        "grp STRING, item INT",
+    )
+    packed = {
+        (r["item_a"], r["item_b"]): r["n_shared"]
+        for r in cooccurrence(ok, "grp", "item", pack_keys=True).collect()
+    }
+    plain = {
+        (r["item_a"], r["item_b"]): r["n_shared"]
+        for r in cooccurrence(ok, "grp", "item").collect()
+    }
+    assert packed == plain == {(1, 2): 2}
+
+    for bad_id in (2**31, -5):
+        bad = spark.createDataFrame(
+            [("g1", 1), ("g1", bad_id)], "grp STRING, item LONG"
+        )
+        with pytest.raises(SparkRuntimeException, match="2\\^31"):
+            cooccurrence(bad, "grp", "item", pack_keys=True).collect()
+        # the unpacked layout stays total on the same ids
+        assert cooccurrence(bad, "grp", "item").count() == 1
+
+
 def test_tfidf_vectors_shape(spark, sf_oracle):
     from science_datalake_spark.operators.ranking import tfidf_vectors
 
