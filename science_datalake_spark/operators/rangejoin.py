@@ -53,6 +53,7 @@ def interval_overlap_join(
     right_suffix: str = "_r",
     long_span_buckets: int | None = 64,
     strategy: str = "banded",
+    share_scan: bool = False,
 ) -> DataFrame:
     """Inner join of interval pairs that OVERLAP (closed intervals:
     ``l.start <= r.end AND r.start <= l.end``), optionally also equi-keyed
@@ -81,7 +82,22 @@ def interval_overlap_join(
     identical. Banding remains the default because it is the only plan
     that scales when there are NO keys (an unkeyed theta join is a
     cartesian product) or when a key group can be corpus-sized.
-    """
+
+    ``share_scan``: the banded + long-span layout reads LEFT three times
+    (short band, short theta probe, long build) and RIGHT three times —
+    six scans of the source for a self-join. With ``share_scan=True``
+    each input is persisted ONCE (MEMORY_AND_DISK — columnar
+    InMemoryTableScan re-reads; a self-join where ``right is left``
+    persists a single relation) and every leg reads the cache. Opt-in
+    because the caller must judge that its projected interval relation
+    fits cluster storage (spills to disk past memory; project to the
+    key/bound columns BEFORE calling). The round-13 decomposition
+    (tools/decompose_rangejoin.py, BENCH_NOTES r13): persist+width
+    retune took the sf3 driver query 11.6 -> 5.4 s; the same
+    materialization as a localCheckpoint measured 19.6 s — checkpoint
+    blocks are row-serialized and this relation is read 6x (the
+    pagerank lesson). No-op under strategy="keyed" or
+    long_span_buckets=None (each side is read once there)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if strategy not in ("banded", "keyed"):
@@ -91,6 +107,13 @@ def interval_overlap_join(
     on = list(on or [])
     ls, le = left_bounds
     rs, re_ = right_bounds
+
+    if share_scan and strategy == "banded" and long_span_buckets is not None:
+        from pyspark import StorageLevel
+
+        self_join = right is left
+        left = left.persist(StorageLevel.MEMORY_AND_DISK)
+        right = left if self_join else right.persist(StorageLevel.MEMORY_AND_DISK)
 
     # suffix right-side columns that clash (keys keep their names)
     clash = (set(left.columns) & set(right.columns)) - set(on)

@@ -58,8 +58,16 @@ def cosine_topk(
     exclude_self: bool = True,
     engine: str = "numpy",
     max_query_rows: int = 65536,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast queries × corpus.
+
+    ``carry_cols``: extra CORPUS columns carried through scoring into the
+    output rows (label, url, source, …) — the retrieval-metadata pattern.
+    The scan already reads every corpus row, so carrying a column is
+    free compared to the alternative: a second full-corpus scan joined
+    back onto the top-k ids (the sim_knn_label_vote round-12 profile —
+    the labels join re-read the whole corpus to label 100 winners).
 
     Scale: queries broadcast (small side), corpus streams — no shuffle of
     the corpus at all; the per-query top-k is a window over (query_id),
@@ -87,17 +95,22 @@ def cosine_topk(
     query side); callers with a large query relation should pass
     ``engine="sql"``, whose broadcast degrades gracefully instead.
     """
+    carry = list(carry_cols or [])
+    if bad := set(carry) & {"query_id", "cand_id", "sim", id_col, vec_col}:
+        raise ValueError(f"carry_cols clash with output/input columns: {bad}")
     if engine == "numpy":
         return _cosine_topk_numpy(
             corpus, queries, id_col, vec_col, k, exclude_self,
-            max_query_rows=max_query_rows,
+            max_query_rows=max_query_rows, carry_cols=carry,
         )
     if engine != "sql":
         raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"), as_double_vec(vec_col).alias("__cv"), *carry
+    )
     pairs = c.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("cand_id"))
@@ -105,6 +118,7 @@ def cosine_topk(
         "query_id",
         "cand_id",
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).alias("sim"),
+        *carry,
     )
     return top_k_per_key(
         scored, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
@@ -121,6 +135,7 @@ def _cosine_topk_numpy(
     round_digits: int = 4,
     threshold: float | None = None,
     max_query_rows: int = 65536,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """The Arrow/numpy engine behind cosine_topk (see its docstring) and
     knn_embedding_join (linkage.py — which passes ``threshold``).
@@ -158,9 +173,12 @@ def _cosine_topk_numpy(
     qmat = _vec_matrix(pd.Series(qvecs), dim) if nq else None
     qq = (qmat * qmat).sum(axis=1) if nq else None
 
+    carry = list(carry_cols or [])
     qid_t = queries.schema[id_col].dataType.simpleString()
     cid_t = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {qid_t}, cand_id {cid_t}, sim double"
+    for cc in carry:
+        out_schema += f", {cc} {corpus.schema[cc].dataType.simpleString()}"
 
     def scan(batches):
         for pdf in batches:
@@ -204,17 +222,19 @@ def _cosine_topk_numpy(
                         "__key": key[sel],
                     }
                 )
+                for cc in carry:
+                    tmp[cc] = pdf[cc].iloc[sel].reset_index(drop=True)
                 frames.append(
                     tmp.sort_values(
                         ["__key", "cand_id"],
                         ascending=[False, True],
                         kind="mergesort",
-                    ).head(kk)[["query_id", "cand_id", "sim"]]
+                    ).head(kk)[["query_id", "cand_id", "sim", *carry]]
                 )
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    part = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    part = corpus.select(id_col, vec_col, *carry).mapInPandas(scan, out_schema)
     return top_k_per_key(
         part, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
     )

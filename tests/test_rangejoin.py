@@ -79,6 +79,26 @@ def test_overlap_join_self_pairs_dedup_pattern(spark):
     assert got == {(a, b) for a, b in naive if a < b}
 
 
+@pytest.mark.parametrize("self_join", [False, True])
+def test_overlap_join_share_scan_result_identical(spark, self_join):
+    """share_scan=True (single persisted input feeding all three legs —
+    the round-13 scan-dedup) must be row-identical to the unshared plan,
+    for both a true self-join (one persist) and two distinct inputs."""
+    left = _intervals(spark, 120, seed=7, key_card=5)
+    right = left if self_join else _intervals(spark, 90, seed=8, key_card=5)
+    kw = dict(bucket_width=10.0, on=["k"], long_span_buckets=8)
+    base = {
+        (r["uid"], r["uid_r"])
+        for r in interval_overlap_join(left, right, **kw).collect()
+    }
+    shared_df = interval_overlap_join(left, right, share_scan=True, **kw)
+    shared = {(r["uid"], r["uid_r"]) for r in shared_df.collect()}
+    assert shared == base
+    from science_datalake_spark import plans
+
+    assert "InMemoryTableScan" in plans.physical_plan(shared_df)
+
+
 def test_point_in_interval_matches_naive(spark):
     ivals = _intervals(spark, 80, seed=11)
     rng = np.random.default_rng(12)
