@@ -433,7 +433,9 @@ def test_knn_label_vote_never_builds_on_corpus(spark, sf_smoke):
         assert any(
             any(tag in s.nodeName() for tag in reducing) for s in sub
         ), f"corpus-side broadcast build: {build.treeString()}"
-    assert checked >= 2  # the hints exist and point at the small side
+    # round 13: the labels broadcast join is GONE (carry_cols rides the
+    # label through the cosine scan), leaving only winners x truth
+    assert checked >= 1  # the hint exists and points at the small side
 
 
 # ---------------------------------------------------------------------------
@@ -665,6 +667,46 @@ def test_late_interaction_engines_agree(spark):
     rb = sorted(b.collect(), key=key)
     assert [tuple(r) for r in ra] == [tuple(r) for r in rb]
     assert len(ra) == 6 * 4
+
+
+def test_cosine_topk_carry_cols_both_engines(spark):
+    """carry_cols rides corpus metadata through the scoring scan into the
+    top-k output — identical rows to the join-it-back-on formulation, on
+    both engines (the sim_knn_label_vote round-13 rework)."""
+    import random
+
+    from science_datalake_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(23)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(8)], f"lab{i % 3}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>, label STRING")
+    q = df.filter("vec_id < 4")
+    want = None
+    for eng in ("numpy", "sql"):
+        top = cosine_topk(
+            df, q, "vec_id", "embedding", k=3, engine=eng, carry_cols=["label"]
+        )
+        got = sorted(
+            (r["query_id"], r["cand_id"], r["sim"], r["label"]) for r in top.collect()
+        )
+        # carried label must equal the candidate's own label
+        assert all(lab == f"lab{cid % 3}" for _, cid, _, lab in got), eng
+        # and the ranked (query, cand, sim) triples must be unchanged vs
+        # the no-carry call
+        plain = sorted(
+            (r["query_id"], r["cand_id"], r["sim"])
+            for r in cosine_topk(df, q, "vec_id", "embedding", k=3, engine=eng).collect()
+        )
+        assert [(a, b, c) for a, b, c, _ in got] == plain, eng
+        want = want or got
+        assert got == want  # engines agree
+    import pytest
+
+    with pytest.raises(ValueError, match="carry_cols"):
+        cosine_topk(df, q, "vec_id", "embedding", k=3, carry_cols=["sim"])
 
 
 def test_late_interaction_null_ragged_rank_last_when_scores_negative(spark):
