@@ -408,34 +408,17 @@ def cooccurrence(
     two-column row; measured ~10% at sf1. ONLY valid when item ids are
     non-negative and < 2^31 (OpenAlex work ids exceed it; TPC-H partkeys
     at bench scales do not), hence opt-in — and the contract is ENFORCED,
-    not just documented: an assert_true is folded into the item column on
-    the input scan (linear, two long compares per row, NOT on the
-    quadratic pair stream), so an out-of-range id fails the job loudly
-    instead of sign-extending/overflowing into silently collided pairs
-    (round-12 advice); NULL ids stay allowed — collect_set drops them on
-    both layouts."""
+    not just documented: an assert_true is folded onto the grouped item
+    arrays, so an out-of-range id fails the job loudly instead of
+    sign-extending/overflowing into silently collided pairs (round-12
+    advice). The check sits on the per-GROUP sorted array (collect_set
+    output is sort_array'd), where range-validity is just first-element
+    >= 0 AND last-element < 2^31 — two compares per group instead of two
+    per input row (the per-row form measured 1.41 -> 1.55 s at sf1 and
+    inverted the packing win; the per-group form is ~12x fewer
+    evaluations on this data). NULL ids stay allowed — collect_set drops
+    them on both layouts."""
     spark = memberships.sparkSession
-    if pack_keys:
-        # NULL ids stay allowed (collect_set drops them, same as unpacked)
-        in_range = F.col(item_col).isNull() | (
-            (F.col(item_col) >= 0) & (F.col(item_col) < F.lit(2**31))
-        )
-        memberships = memberships.withColumn(
-            item_col,
-            F.when(
-                F.assert_true(
-                    in_range,
-                    F.concat(
-                        F.lit(
-                            "cooccurrence(pack_keys=True) requires "
-                            "0 <= item id < 2^31; got "
-                        ),
-                        F.col(item_col).cast("string"),
-                    ),
-                ).isNull(),
-                F.col(item_col),
-            ),
-        )
     if num_partitions is None:
         num_partitions = max(
             spark.sparkContext.defaultParallelism,
@@ -448,6 +431,30 @@ def cooccurrence(
     )
     if max_group_size is not None:
         grouped = grouped.filter(F.size("__items") <= max_group_size)
+    if pack_keys:
+        in_range = (F.size("__items") == 0) | (
+            (F.element_at("__items", 1) >= 0)
+            & (F.element_at("__items", F.size("__items")) < F.lit(2**31))
+        )
+        grouped = grouped.withColumn(
+            "__items",
+            F.when(
+                F.assert_true(
+                    in_range,
+                    F.concat(
+                        F.lit(
+                            "cooccurrence(pack_keys=True) requires "
+                            "0 <= item id < 2^31; group item range ["
+                        ),
+                        F.element_at("__items", 1).cast("string"),
+                        F.lit(", "),
+                        F.element_at("__items", F.size("__items")).cast("string"),
+                        F.lit("]"),
+                    ),
+                ).isNull(),
+                F.col("__items"),
+            ),
+        )
     exploded = grouped.select(
         F.col("__items"), F.posexplode("__items").alias("__i", "item_a")
     )
