@@ -3896,3 +3896,74 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     ).orderBy("query_id", "rank")
+
+@query(
+    "sim_late_interaction_masked",
+    aux=True,  # oracle-paired evidence for the round-13 ragged-doc mask
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dv,
+                 1 + vec_id % 4 AS n_tok
+          FROM embeddings WHERE vec_id >= 8),
+    dp AS (
+        SELECT query_id, doc_id, gi.i AS i,
+               list_dot_product(qv[(gi.i*16+1):(gi.i*16+16)],
+                                dv[(gj.j*16+1):(gj.j*16+16)]) AS p
+        FROM q, d, generate_series(0, 3) gi(i), generate_series(0, 3) gj(j)
+        WHERE gj.j < d.n_tok
+    ),
+    mx AS (
+        SELECT query_id, doc_id,
+               max(CASE WHEN i = 0 THEN p END) AS m0,
+               max(CASE WHEN i = 1 THEN p END) AS m1,
+               max(CASE WHEN i = 2 THEN p END) AS m2,
+               max(CASE WHEN i = 3 THEN p END) AS m3
+        FROM dp GROUP BY query_id, doc_id
+    ),
+    sc AS (SELECT query_id, doc_id,
+                  round(((m0 + m1) + m2) + m3, 6) AS score FROM mx),
+    best AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM sc
+    )
+    SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank,
+           CAST(score AS DOUBLE) AS score
+    FROM best WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def sim_late_interaction_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_late_interaction's RAGGED sibling (round-13 verdict #4): real
+    ColBERT corpora pad documents shorter than the fixed token budget, and
+    an unmasked pad token wrongly wins the per-query-token max whenever
+    every real dot product is negative. Here each doc declares
+    ``1 + vec_id % 4`` real tokens of its 4 stored slots
+    (``num_tokens_col`` on late_interaction_topk), so padding slots are
+    excluded from MaxSim on the BLAS engine and the DuckDB twin replays
+    the same mask with a correlated generate_series bound. Same plan
+    shape as the unmasked driver query: queries broadcast, one map-only
+    corpus pass, only scored pairs shuffle."""
+    from science_datalake_spark.operators.similarity import late_interaction_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    docs = e.filter(F.col("vec_id") >= 8).withColumn(
+        "n_tok", (F.lit(1) + F.col("vec_id") % 4).cast("int")
+    )
+    out = late_interaction_topk(
+        docs,
+        e.filter(F.col("vec_id") < 8),
+        "vec_id",
+        "embedding",
+        num_tokens=4,
+        k=5,
+        num_tokens_col="n_tok",
+    )
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "rank")
