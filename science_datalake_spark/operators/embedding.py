@@ -299,12 +299,18 @@ def _int8_fidelity_numpy(
 # RESIDENT data — FAISS composes them as IVF-PQ).
 
 
+_PQ_BOOK_CACHE: dict = {}
+_PQ_BOOK_CACHE_CAP = 64  # FIFO-bounded like _IVF_INDEX_CACHE (entries are
+# m*k*(d/m) python floats — small, but a registry should never be unbounded)
+
+
 def pq_codebooks(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     m: int = 8,
     k: int = 16,
+    cache_key: str | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic per-subspace PQ codebooks: the subvectors of the
     ``k`` corpus vectors with the smallest ids (exemplar seeding — the
@@ -315,8 +321,20 @@ def pq_codebooks(
     a driver-local m×k×(d/m) structure consumed by the encode/decode
     broadcasts. Centroid index = position in ascending-id order, so a
     relational twin derives the identical codebook with
-    ``ORDER BY id LIMIT k``."""
+    ``ORDER BY id LIMIT k``.
+
+    ``cache_key``: the ivf_index contract — the codebook collect is a
+    TakeOrdered JOB at call time, re-paid by every PQ query in a session
+    without it (round-13 profile: ~0.2-0.3 s per construction at sf0.1).
+    The key must identify the CORPUS (plus any filters baked into it);
+    m and k are folded in automatically. None (default) opts out."""
     from science_datalake_spark.operators.similarity import as_double_vec
+
+    if cache_key is not None:
+        key = (corpus.sparkSession.sparkContext.applicationId, cache_key, m, k)
+        hit = _PQ_BOOK_CACHE.get(key)
+        if hit is not None:
+            return hit
 
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
@@ -331,10 +349,15 @@ def pq_codebooks(
     if d % m != 0:
         raise ValueError(f"vector dim {d} must divide into m={m} subspaces")
     w = d // m
-    return [
+    books = [
         [[float(x) for x in r["__v"][j * w : (j + 1) * w]] for r in rows]
         for j in range(m)
     ]
+    if cache_key is not None:
+        while len(_PQ_BOOK_CACHE) >= _PQ_BOOK_CACHE_CAP:
+            _PQ_BOOK_CACHE.pop(next(iter(_PQ_BOOK_CACHE)))
+        _PQ_BOOK_CACHE[key] = books
+    return books
 
 
 def _pq_book_df(spark, books: list[list[list[float]]]):

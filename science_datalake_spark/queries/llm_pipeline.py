@@ -753,7 +753,9 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture gains NULL vectors). The cache key carries the filter so a
     # sibling query's unfiltered index is never returned for this corpus.
     e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    books = pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
+    books = pq_codebooks(
+        e, "vec_id", "embedding", m=8, k=16, cache_key=sf_dir + "|nonnull"
+    )
     cents, assigned = S.ivf_index(
         e, "vec_id", "embedding", k=8, cache_key=sf_dir + "|nonnull"
     )
@@ -2394,7 +2396,9 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
-    books = pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
+    books = pq_codebooks(
+        e, "vec_id", "embedding", m=8, k=16, cache_key=sf_dir + "|nonnull"
+    )
     dec = pq_decode(pq_encode(e, books, "embedding"), books)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     rec = F.col("pq_vec")

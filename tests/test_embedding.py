@@ -868,3 +868,22 @@ def test_mmr_rerank_demotes_near_duplicates(spark):
     assert got[("q2", 1)] == ("X", 0.9)
     assert got[("q2", 2)][0] == "Y"
     assert len(got) == 5
+
+
+def test_pq_codebooks_session_cache(spark):
+    """cache_key memoizes the codebook per (app, key, m, k) — the
+    ivf_index contract: repeat PQ queries measure encoding/probing, not a
+    TakeOrdered rebuild per construction. Different m/k never share."""
+    from science_datalake_spark.operators.embedding import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5, 1.5]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    a = pq_codebooks(df, "vec_id", "embedding", m=2, k=3, cache_key="t")
+    b = pq_codebooks(df, "vec_id", "embedding", m=2, k=3, cache_key="t")
+    assert a is b
+    c = pq_codebooks(df, "vec_id", "embedding", m=2, k=2, cache_key="t")
+    assert c is not a and len(c[0]) == 2
+    d = pq_codebooks(df, "vec_id", "embedding", m=2, k=3)  # opt-out
+    assert d is not a and d == a
