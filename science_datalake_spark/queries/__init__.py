@@ -184,6 +184,12 @@ def query(
 # ivf_durable / ivf_topk / ivfpq_topk / matryoshka_fidelity driver
 # rows plus the new late-interaction tier. The seven round-11
 # first-row entries all STAY for their second round (verdict item 6).
+# Round-13 rotation: sim_late_interaction_masked (the ragged-doc
+# num_tokens_col mask over MaxSim, added this round) rotates IN on
+# arrival for its first rows; sim_ivf_topk rests in aux (driver-green
+# r9-r12 — the sim family keeps ivf_durable / ivfpq_topk / matryoshka /
+# late_interaction driver rows). sim_late_interaction stays for its
+# second round of evidence per the r12 verdict.
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -217,7 +223,7 @@ DRIVER_ORDER: list[str] = [
     "vignette_topic_patent_rollup",
     "dedup_minhash_lsh",
     "sample_weighted_tokens",
-    "sim_ivf_topk",
+    "sim_late_interaction_masked",
     "dedup_semantic",
     "corpus_pack_greedy",
     "web_domain_cap",

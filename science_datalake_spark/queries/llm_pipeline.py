@@ -635,7 +635,11 @@ _IVF_TOPK_ORACLE = f"""
     """
 
 
-@query("sim_ivf_topk", oracle=_IVF_TOPK_ORACLE)
+@query(
+    "sim_ivf_topk",
+    aux=True,  # rested round 13 (driver-green r9-r12; the sim family keeps ivf_durable/ivfpq_topk/matryoshka/late_interaction driver rows + the new masked variant)
+    oracle=_IVF_TOPK_ORACLE,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: 8-exemplar coarse quantizer → per-vector bucket assignment
     (map-only, centroids broadcast) → queries probe their 2 nearest
@@ -3903,7 +3907,8 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_late_interaction_masked",
-    aux=True,  # oracle-paired evidence for the round-13 ragged-doc mask
+    # rotated INTO the driver on arrival (round 13) for its first rows,
+    # resting sim_ivf_topk — same-round additions get rows immediately
     oracle="""
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 8),
