@@ -310,6 +310,7 @@ def exact_group_quantiles_histogram(
     value_col: str,
     quantiles: Sequence[float],
     out_names: Sequence[str] | None = None,
+    block_width: float | None = None,
 ) -> DataFrame:
     """Exact PER-GROUP quantiles for a BOUNDED-CARDINALITY value domain:
     :func:`exact_quantiles_histogram` grouped. One value-count histogram
@@ -328,7 +329,28 @@ def exact_group_quantiles_histogram(
     continuous domains (distinct ~ rows) use
     ``exact_group_quantiles_parallel``. NULL values excluded, NULL group
     keys kept (they are real SQL groups), no sampling action, no
-    row-level window."""
+    row-level window.
+
+    ``block_width``: the cumulative-rank windows partition on the GROUP
+    key, so with few groups (agg_stats_profile: THREE) the whole
+    histogram funnels through that many single-threaded sort tasks
+    however large the value domain or the cluster — the one serial
+    residue this engine had. With ``block_width`` set, the cumsum goes
+    two-level (the classic parallel prefix sum): intra-block running
+    sums window on (group, floor(value/width)) — parallel across
+    |groups| x |blocks| cells — and each block's starting offset plus
+    the group total come from a per-(group, block) totals relation
+    (histogram-pass reuse via exchange reuse; |groups| x |blocks| rows)
+    broadcast-joined back on. Identical integers out, so identical
+    quantiles. Pick width so blocks-per-group is O(100): parallelism
+    without a fat broadcast. None keeps the single-window form (right
+    when groups are many — then the group key already parallelizes).
+    MEASURED locally (round 13, sf0.1, 583k-value histogram, 3 groups,
+    32 cores): blocked 1.75 s vs plain 1.52 s — the second histogram
+    read + broadcast overhead exceeds the 3-task sort it parallelizes at
+    this size, so the driver query keeps the plain form; the option is
+    for per-group histograms large enough that a single task's sort
+    dominates (billions of distinct values on a wide cluster)."""
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
@@ -338,13 +360,39 @@ def exact_group_quantiles_histogram(
         .groupBy(*keys, "__v")
         .agg(F.count("*").alias("__c"))
     )
-    cum_w = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    all_w = Window.partitionBy(*keys)
-    r = hist.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
-        "__n", F.sum("__c").over(all_w)
-    )
+    if block_width is not None:
+        blk_col = F.floor(F.col("__v") / F.lit(float(block_width))).cast("long")
+        h = hist.withColumn("__blk", blk_col)
+        intra_w = Window.partitionBy(*keys, "__blk").orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        h = h.withColumn("__cum_in", F.sum("__c").over(intra_w))
+        totals = (
+            hist.withColumn("__blk", blk_col)
+            .groupBy(*keys, "__blk")
+            .agg(F.sum("__c").alias("__bc"))
+        )
+        off_w = Window.partitionBy(*keys).orderBy("__blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        grp_w = Window.partitionBy(*keys)
+        totals = totals.select(
+            *keys,
+            "__blk",
+            F.coalesce(F.sum("__bc").over(off_w), F.lit(0)).alias("__off"),
+            F.sum("__bc").over(grp_w).alias("__n"),
+        )
+        r = _null_safe_join(h, totals, [*keys, "__blk"]).withColumn(
+            "__cum", F.col("__cum_in") + F.col("__off")
+        )
+    else:
+        cum_w = Window.partitionBy(*keys).orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        all_w = Window.partitionBy(*keys)
+        r = hist.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
+            "__n", F.sum("__c").over(all_w)
+        )
     aggs = []
     for q, name in zip(quantiles, out_names):
         pos = (F.col("__n") - 1) * F.lit(float(q))

@@ -697,6 +697,12 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
+    # block_width considered and REVERTED (round 13): the two-level
+    # blocked cumsum (see exact_group_quantiles_histogram) measured
+    # 1.52 -> 1.75 s here at sf0.1 — the second histogram pass + offset
+    # broadcast cost more than the 3-task window serialization it
+    # removes at this histogram size on one machine. The option stays in
+    # the operator for the wide-cluster/huge-domain case it exists for.
     quant = exact_group_quantiles_histogram(
         li,
         ["l_returnflag"],

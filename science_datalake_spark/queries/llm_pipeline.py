@@ -3401,6 +3401,14 @@ def sim_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.round(F.avg("e"), 6).alias("avg_energy"),
     )
+    # NOTE (round-13 measured-and-REVERTED): collecting the 40-row query
+    # cohort once and feeding the four retrieval passes driver-local
+    # createDataFrame relations looked like it would save three pruned
+    # scan jobs at construction — measured 2.0 -> 4.9 s at sf0.1: the
+    # non-Arrow local-relation path (pickled parallelize + per-pass
+    # LocalTableScan evaluation) costs far more than the pruned parquet
+    # collects it replaced. Pruned scans of a 40-row cohort are cheap;
+    # leave them alone.
     q = e.filter(F.col("vec_id") < 40)
     c = e.filter(F.col("vec_id") >= 40)
     full = knn_embedding_join(

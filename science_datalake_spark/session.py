@@ -41,6 +41,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # JVM unified logging writes [gc,alloc] WARNINGS to STDOUT under heap
+    # pressure (GCLocker retry warnings observed mid-bench at sf3), which
+    # breaks any consumer of the process's stdout — bench.py's
+    # one-JSON-line contract, the driver's BENCH parse (r12's artifact
+    # recorded parsed:null for exactly this reason). Route all JVM
+    # unified logging to stderr; Spark's own log4j output goes there
+    # already.
+    "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
 }
 
 

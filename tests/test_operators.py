@@ -1688,6 +1688,17 @@ def test_exact_group_quantiles_histogram_matches_parallel(spark, sf_oracle):
         for r in exact_group_quantiles_parallel(li, ["g"], "v", **kw).collect()
     }
     assert hist == par and len(hist) >= 2 and None in hist
+    # blocked two-level cumsum (round 13): identical results at several
+    # widths, including degenerate ones (width larger than the domain ->
+    # one block per group == the plain path; tiny width -> many blocks)
+    for w in (1024.0, 7.0, 1e9):
+        blk = {
+            r["g"]: (r["a"], r["b"], r["c"], r["d"])
+            for r in exact_group_quantiles_histogram(
+                li, ["g"], "v", block_width=w, **kw
+            ).collect()
+        }
+        assert blk == hist, w
 
 
 def test_trigram_logprob_scores_hand_computed(spark):
