@@ -54,6 +54,7 @@ def interval_overlap_join(
     long_span_buckets: int | None = 64,
     strategy: str = "banded",
     share_scan: bool = False,
+    keyed_join: str = "sort_merge",
 ) -> DataFrame:
     """Inner join of interval pairs that OVERLAP (closed intervals:
     ``l.start <= r.end AND r.start <= l.end``), optionally also equi-keyed
@@ -97,13 +98,27 @@ def interval_overlap_join(
     materialization as a localCheckpoint measured 19.6 s — checkpoint
     blocks are row-serialized and this relation is read 6x (the
     pagerank lesson). No-op under strategy="keyed" or
-    long_span_buckets=None (each side is read once there)."""
+    long_span_buckets=None (each side is read once there).
+
+    ``keyed_join="shuffle_hash"`` (keyed strategy only): hash instead of
+    sort-merge — the overlap post-filter consumes the join unordered, so
+    SMJ's two full sorts are pure overhead whenever the per-partition
+    build fits memory (Spark >=3.2 SHJ spills). Measured sf3 on the
+    18M-interval keyed self-join: 3.92 -> 2.74 s, rows identical. Stays
+    opt-in because forcing a hash build on an arbitrary right side is
+    the caller's memory call (the banded-leg SHJ experiment OOM'd an 8g
+    heap at 32 partitions — widen exchanges first when the build side is
+    exploded or huge)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if strategy not in ("banded", "keyed"):
         raise ValueError(f"strategy must be 'banded' or 'keyed', got {strategy!r}")
     if strategy == "keyed" and not on:
         raise ValueError("strategy='keyed' requires equi keys (on=...)")
+    if keyed_join not in ("sort_merge", "shuffle_hash"):
+        raise ValueError(
+            f"keyed_join must be 'sort_merge' or 'shuffle_hash', got {keyed_join!r}"
+        )
     on = list(on or [])
     ls, le = left_bounds
     rs, re_ = right_bounds
@@ -126,6 +141,8 @@ def interval_overlap_join(
     overlap = (F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le))
 
     if strategy == "keyed":
+        if keyed_join == "shuffle_hash":
+            right = right.hint("shuffle_hash")
         return left.join(right, on=on).filter(overlap)
 
     def split(df: DataFrame, s: str, e: str):

@@ -236,3 +236,17 @@ def test_keyed_strategy_matches_banded(spark):
     assert keyed == banded and len(keyed) > 0
     with _pytest.raises(ValueError, match="requires equi keys"):
         interval_overlap_join(iv, iv, bucket_width=4.0, strategy="keyed")
+    # keyed_join="shuffle_hash": identical pairs, ShuffledHashJoin plan
+    # (the overlap post-filter consumes the join unordered — round 13)
+    shj_df = interval_overlap_join(
+        iv, iv, strategy="keyed", keyed_join="shuffle_hash", **kw
+    ).filter("uid < uid_r")
+    shj = {(r["uid"], r["uid_r"]) for r in shj_df.collect()}
+    assert shj == keyed
+    from science_datalake_spark import plans
+
+    assert "ShuffledHashJoin" in plans.physical_plan(shj_df)
+    with _pytest.raises(ValueError, match="keyed_join"):
+        interval_overlap_join(
+            iv, iv, strategy="keyed", keyed_join="nope", **kw
+        )
