@@ -194,3 +194,70 @@ def annotated_pr_curve(
     n_steps = int(round((hi - lo) / step))
     ts = [round(lo + i * step, 10) for i in range(n_steps + 1)]
     return _threshold_sweep(ann, ts, sim_col, label_col, 1.0)
+
+
+def group_auc(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Tie-aware ROC-AUC per group — the binary-classifier quality metric
+    for scorer audits (quality model vs held-out labels, linkage score vs
+    gold pairs; the reference evaluates its aligner with threshold-sweep
+    P/R/F1, evaluate_ontology_alignment.py:216-430 — AUC is the
+    threshold-free companion). Mann-Whitney form over MIDRANKS:
+
+        AUC = (Σ midrank(positives) − n_pos(n_pos+1)/2) / (n_pos · n_neg)
+
+    where tied scores share the average of their positional ranks — the
+    exact tie convention of sklearn's roc_auc_score.
+
+    Plan (the quantile-histogram discipline, NOT a corpus-sized window):
+    one map-side-combinable (group, score) histogram carrying per-cell
+    positive counts — bounded by |groups| × |distinct scores| regardless
+    of corpus size — then midranks from a running count over the
+    histogram rows and one algebraic rollup. Two shuffles total, both on
+    the bounded histogram; the corpus is read once. Degenerate groups
+    (all-positive or all-negative) return NULL auc, like sklearn raising
+    — they carry no ranking information. NULL scores/labels excluded.
+
+    ``label_col`` must be 0/1 (cast booleans first). Scores of any
+    orderable numeric type; discretize (round) continuous scores when
+    the domain must stay bounded at scale.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    h = (
+        df.select(*keys, F.col(score_col).alias("__s"), F.col(label_col).alias("__y"))
+        .filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+        .groupBy(*keys, "__s")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__y").cast("long")).alias("__p"),
+        )
+    )
+    cum_w = Window.partitionBy(*keys).orderBy("__s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # midrank of every row scoring __s = (#rows strictly below) + (n+1)/2
+    mid = F.coalesce(F.sum("__n").over(cum_w), F.lit(0)) + (
+        F.col("__n") + 1
+    ) / F.lit(2.0)
+    r = h.withColumn("__pos_rank_sum", F.col("__p") * mid)
+    out = r.groupBy(*keys).agg(
+        F.sum("__p").alias("n_pos"),
+        (F.sum("__n") - F.sum("__p")).alias("n_neg"),
+        F.sum("__pos_rank_sum").alias("__rs"),
+    )
+    auc = (
+        F.col("__rs") - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return out.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
+    )

@@ -189,7 +189,12 @@ def query(
 # arrival for its first rows; sim_ivf_topk rests in aux (driver-green
 # r9-r12 — the sim family keeps ivf_durable / ivfpq_topk / matryoshka /
 # late_interaction driver rows). sim_late_interaction stays for its
-# second round of evidence per the r12 verdict.
+# second round of evidence per the r12 verdict. Also round 13:
+# eval_quality_auc (tie-aware grouped ROC-AUC — the threshold-free
+# scorer-audit companion to the alignment evaluator) rotates IN on
+# arrival, resting events_sessionize (driver-green r8-r12; the events
+# family keeps cohort_retention's driver row and sessionize keeps its
+# stream==batch test pins + local parity).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -215,7 +220,7 @@ DRIVER_ORDER: list[str] = [
     "vignette_citation_reliability",
     "dedup_source_overlap",
     "dedup_incremental_bloom",
-    "events_sessionize",
+    "eval_quality_auc",
     "corpus_token_mix",
     "unify_coverage",
     "linkage_fuzzy_jw",

@@ -1185,6 +1185,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sessionize",
+    aux=True,  # rested round 13 (driver-green r8-r12; events family keeps cohort_retention's driver row; the streaming twin stays pinned by stream==batch tests)
     oracle="""
     WITH g AS (
         SELECT user_id, ts, value, event_id,

@@ -3984,3 +3984,76 @@ def sim_late_interaction_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         F.round("score", 6).alias("score"),
     ).orderBy("query_id", "rank")
+
+@query(
+    "eval_quality_auc",
+    # rotated INTO the driver on arrival (round 13), resting
+    # events_sessionize — same-round additions get rows immediately
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               {_QUALITY_SQL} AS q,
+               CASE WHEN lang IS NULL THEN NULL
+                    WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    h AS (
+        SELECT source, q, count(*) AS n, sum(y) AS p
+        FROM scored WHERE q IS NOT NULL AND y IS NOT NULL
+        GROUP BY source, q
+    ),
+    r AS (
+        SELECT source, q, n, p,
+               coalesce(sum(n) OVER (PARTITION BY source ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (n + 1) / 2.0 AS mid
+        FROM h
+    ),
+    a AS (
+        SELECT source, sum(p) AS n_pos, sum(n) - sum(p) AS n_neg,
+               sum(p * mid) AS rs
+        FROM r GROUP BY source
+    )
+    SELECT source,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(round(CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN (rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+                END, 6) AS DOUBLE) AS auc
+    FROM a ORDER BY source
+    """,
+)
+def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC of the heuristic quality score as an
+    English-detector (evaluation.group_auc — tie-aware Mann-Whitney over
+    midranks): the scorer-audit primitive a training pipeline runs on
+    every quality/filter model against held-out labels, threshold-free
+    where the reference's alignment evaluator sweeps thresholds
+    (evaluate_ontology_alignment.py:216-430). The stopword term makes
+    quality_score genuinely English-discriminative, so the fixture AUC
+    is informative, not degenerate. Plan: one corpus scan into a
+    bounded (source, score) histogram (scores are 4-dp rounded by
+    construction), midranks via a running count over histogram rows,
+    one algebraic rollup — no corpus-sized window, two bounded
+    shuffles. The twin replays the identical midrank arithmetic; every
+    intermediate is a dyadic rational (counts and halves), so the
+    engines agree bit-for-bit before the final 6-dp round."""
+    from science_datalake_spark.evaluation import group_auc
+    from science_datalake_spark.operators.textops import with_quality_score
+
+    d = table(spark, sf_dir, "documents")
+    labeled = with_quality_score(d, "text", "q").select(
+        "source",
+        "q",
+        F.when(F.col("lang").isNull(), F.lit(None).cast("int"))
+        .when(F.col("lang") == "en", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    out = group_auc(labeled, ["source"], "q", "y")
+    return out.select(
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round("auc", 6).alias("auc"),
+    ).orderBy("source")

@@ -614,3 +614,45 @@ def test_annotated_stratified_metrics_hand_computed(spark):
     # monotone n
     ns = [curve[t]["n"] for t in sorted(curve)]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_group_auc_hand_computed_and_vs_pairwise(spark):
+    """group_auc: hand-checkable instance with TIES, plus equivalence to
+    the O(n_pos*n_neg) pairwise definition
+    (#(pos>neg) + 0.5*#(pos==neg)) / (n_pos*n_neg) on seeded random
+    groups — the Mann-Whitney midrank identity. Degenerate one-class
+    groups return NULL auc; perfect separation returns 1.0."""
+    import random
+
+    from science_datalake_spark.evaluation import group_auc
+
+    # g1: scores pos {0.9, 0.5}, neg {0.5, 0.1}:
+    # pairs: (.9>.5)+(.9>.1)+(.5==.5 -> .5)+(.5>.1) = 3.5 of 4 -> 0.875
+    rows = [
+        ("g1", 0.9, 1), ("g1", 0.5, 1), ("g1", 0.5, 0), ("g1", 0.1, 0),
+        ("g2", 0.8, 1), ("g2", 0.2, 0),            # perfect -> 1.0
+        ("g3", 0.7, 1), ("g3", 0.6, 1),            # one-class -> NULL
+        ("g4", None, 1), ("g4", 0.3, None), ("g4", 0.4, 1), ("g4", 0.2, 0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, s DOUBLE, y INT")
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["auc"]) for r in group_auc(df, ["g"], "s", "y").collect()}
+    assert got["g1"] == (2, 2, 0.875)
+    assert got["g2"] == (1, 1, 1.0)
+    assert got["g3"] == (2, 0, None)
+    assert got["g4"] == (1, 1, 1.0)  # NULL score/label rows excluded
+
+    rng = random.Random(41)
+    rnd = [
+        (f"r{i % 4}", round(rng.uniform(0, 1), 1), rng.randint(0, 1))
+        for i in range(240)
+    ]
+    rdf = spark.createDataFrame(rnd, "g STRING, s DOUBLE, y INT")
+    got = {r["g"]: r["auc"] for r in group_auc(rdf, ["g"], "s", "y").collect()}
+    for g in sorted({r[0] for r in rnd}):
+        pos = [s for gg, s, y in rnd if gg == g and y == 1]
+        neg = [s for gg, s, y in rnd if gg == g and y == 0]
+        if not pos or not neg:
+            assert got[g] is None
+            continue
+        num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+        assert abs(got[g] - num / (len(pos) * len(neg))) < 1e-12, g
