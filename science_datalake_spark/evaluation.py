@@ -261,3 +261,101 @@ def group_auc(
         "n_neg",
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc).alias("auc"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    keys: list[str],
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    prob_scale: int = 10_000,
+) -> DataFrame:
+    """Per-group calibration audit for a probabilistic scorer — the
+    companion to :func:`group_auc` (AUC measures RANKING; calibration
+    measures whether 0.8 means 80%): equal-width reliability bins
+    (``floor(p·n_bins)``, p = 1.0 clamped into the top bin), and per
+    group
+
+    - ``ece`` — expected calibration error, Σ_b (n_b/N)·|acc_b − conf_b|
+      (Naeini et al. 2015; the standard single-number calibration
+      metric),
+    - ``max_gap`` — worst single-bin |accuracy − confidence|,
+    - ``brier`` — mean squared error of the probabilities (proper score,
+      bin-free).
+
+    Plan: ONE map-side-combinable aggregation to |groups| × n_bins rows,
+    then one rollup — no windows, no corpus-sized shuffle; the corpus is
+    read once. NULL probabilities/labels excluded; ``label_col`` must be
+    0/1. Probabilities outside [0, 1] raise (fold assert_true into the
+    bin column) — a mis-scaled score silently produces nonsense
+    calibration numbers otherwise.
+
+    Determinism: probabilities are quantized ONCE to integer grid points
+    (``round(p · prob_scale)``), after which every metric numerator is a
+    SUM OF INTEGERS — exact in double regardless of aggregation order —
+    and the single final division is the only rounding step. Without
+    this, summing 4-dp doubles in engine-specific order shifts sums by
+    an ulp and flips values sitting on the output rounding grid (the
+    first parity run hit exactly that: max_gap 0.81595 rounding to
+    0.816 on one engine and 0.8159 on the other). A relational twin
+    replays the identical integer arithmetic. Quantization error is
+    ≤ 0.5/prob_scale per row — pick prob_scale to match (or exceed) the
+    score's own rounding."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    p = F.col("__p")
+    guard = F.assert_true(
+        (p >= 0.0) & (p <= 1.0),
+        F.concat(F.lit("calibration_report: probability outside [0,1]: "),
+                 p.cast("string")),
+    )
+    bin_col = F.when(
+        guard.isNull(), F.least(F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1))
+    )
+    base = (
+        df.select(*keys, F.col(prob_col).alias("__p"), F.col(label_col).alias("__y"))
+        .filter(F.col("__p").isNotNull() & F.col("__y").isNotNull())
+        .withColumn("__b", bin_col)
+        .withColumn("__pi", F.round(p * prob_scale).cast("long"))
+        .withColumn("__yi", F.col("__y").cast("long") * prob_scale)
+    )
+    d2 = (F.col("__pi") - F.col("__yi"))
+    bins = base.groupBy(*keys, "__b").agg(
+        F.count("*").alias("__n"),
+        F.sum("__pi").alias("__sp"),
+        F.sum("__yi").alias("__sy"),
+        F.sum(d2 * d2).alias("__se"),  # integer-valued: exact sum
+    )
+    # |Σy − Σp| per bin, still an integer numerator at scale prob_scale
+    gap_num = F.abs(F.col("__sy") - F.col("__sp"))
+    scale = float(prob_scale)
+
+    def round4(c):
+        # floor(x*1e4 + 0.5)/1e4, NOT F.round: Spark ROUND reinterprets
+        # the double through BigDecimal while DuckDB multiplies in
+        # doubles — on a value whose product crosses .5 differently the
+        # two disagree (max_gap 0.8159 vs 0.816, first parity run). The
+        # floor form is the _round_half_away trick: identical IEEE ops
+        # on identical operands on every engine. Values here are >= 0.
+        return F.floor(c * 10000.0 + 0.5) / 10000.0
+
+    return (
+        bins.groupBy(*keys)
+        .agg(
+            F.sum("__n").alias("n"),
+            F.sum(gap_num).alias("__ece_num"),  # integer
+            F.max(gap_num / F.col("__n")).alias("__mg_scaled"),
+            F.sum("__se").alias("__se_num"),  # integer
+        )
+        .select(
+            *keys,
+            "n",
+            round4(F.col("__ece_num") / (F.col("n") * scale)).alias("ece"),
+            round4(F.col("__mg_scaled") / scale).alias("max_gap"),
+            round4(
+                F.col("__se_num") / (F.col("n") * scale * scale)
+            ).alias("brier"),
+        )
+    )

@@ -194,7 +194,10 @@ def query(
 # scorer-audit companion to the alignment evaluator) rotates IN on
 # arrival, resting events_sessionize (driver-green r8-r12; the events
 # family keeps cohort_retention's driver row and sessionize keeps its
-# stream==batch test pins + local parity).
+# stream==batch test pins + local parity). eval_quality_calibration
+# (ECE/Brier calibration audit, group_auc's companion) also rotates IN
+# on arrival, resting text_bigram_logprob (driver-green r11-r12; the LM
+# ladder keeps trigram + ppl_buckets + wilson driver rows).
 DRIVER_ORDER: list[str] = [
     "join_range_overlap_spans",
     "corpus_snapshot_diff",
@@ -242,7 +245,7 @@ DRIVER_ORDER: list[str] = [
     "sim_late_interaction",
     "graph_pagerank",
     "sparql_bgp_children",
-    "text_bigram_logprob",
+    "eval_quality_calibration",
     "web_url_canonical",
     "text_trigram_logprob",
     "text_span_dedup",

@@ -3071,7 +3071,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_bigram_logprob",
-    # rotated INTO driver round 10 wave 2 (driver evidence derived by tools/rotation_audit.py)
+    aux=True,  # rested round 13 (driver-green r10-r12; the LM ladder keeps trigram + ppl_buckets + wilson driver rows)
     oracle="""
     WITH toks AS (
         SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
@@ -4057,3 +4057,73 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").cast("long").alias("n_neg"),
         F.round("auc", 6).alias("auc"),
     ).orderBy("source")
+
+@query(
+    "eval_quality_calibration",
+    # rotated INTO the driver on arrival (round 13), resting
+    # text_bigram_logprob — same-round additions get rows immediately
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               {_QUALITY_SQL} AS q,
+               CASE WHEN lang IS NULL THEN NULL
+                    WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    base AS (
+        -- probabilities quantized to the 1/10000 integer grid: every
+        -- metric numerator below is a SUM OF INTEGERS (aggregation-order
+        -- independent), matching calibration_report's determinism design
+        SELECT source,
+               least(CAST(floor(q * 10) AS INTEGER), 9) AS b,
+               CAST(round(q * 10000) AS BIGINT) AS pi,
+               CAST(y AS BIGINT) * 10000 AS yi
+        FROM scored WHERE q IS NOT NULL AND y IS NOT NULL
+    ),
+    bins AS (
+        SELECT source, b, count(*) AS n,
+               abs(sum(yi) - sum(pi)) AS gap_num,
+               sum((pi - yi) * (pi - yi)) AS se_num
+        FROM base GROUP BY source, b
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n,
+           -- floor(x*1e4 + 0.5)/1e4 everywhere, NOT round(): the same
+           -- IEEE ops as the Spark side (round() semantics differ
+           -- between engines on .5-crossing products)
+           CAST(floor(CAST(sum(gap_num) AS DOUBLE)
+                      / (sum(n) * 10000.0) * 10000.0 + 0.5) / 10000.0
+                AS DOUBLE) AS ece,
+           CAST(floor(max(CAST(gap_num AS DOUBLE) / n) / 10000.0 * 10000.0
+                      + 0.5) / 10000.0 AS DOUBLE) AS max_gap,
+           CAST(floor(CAST(sum(se_num) AS DOUBLE)
+                      / (sum(n) * 10000.0 * 10000.0) * 10000.0 + 0.5)
+                / 10000.0 AS DOUBLE) AS brier
+    FROM bins GROUP BY source ORDER BY source
+    """,
+)
+def eval_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration audit of the heuristic quality score
+    against the English label (evaluation.calibration_report): ECE over
+    10 equal-width reliability bins, worst-bin gap, and the Brier score
+    — group_auc's companion (AUC says the scorer RANKS well; this says
+    whether its VALUES mean what they claim — the pair a training
+    pipeline runs on every quality/filter model). One map-side
+    aggregation to |sources| x 10 bin rows plus a rollup; no windows, no
+    corpus-sized shuffle, one corpus scan. The DuckDB twin replays the
+    identical bin arithmetic on the same 4-dp-rounded score."""
+    from science_datalake_spark.evaluation import calibration_report
+    from science_datalake_spark.operators.textops import with_quality_score
+
+    d = table(spark, sf_dir, "documents")
+    labeled = with_quality_score(d, "text", "q").select(
+        "source",
+        "q",
+        F.when(F.col("lang").isNull(), F.lit(None).cast("int"))
+        .when(F.col("lang") == "en", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return calibration_report(labeled, ["source"], "q", "y", n_bins=10).orderBy(
+        "source"
+    )

@@ -656,3 +656,45 @@ def test_group_auc_hand_computed_and_vs_pairwise(spark):
             continue
         num = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
         assert abs(got[g] - num / (len(pos) * len(neg))) < 1e-12, g
+
+
+def test_calibration_report_hand_computed(spark):
+    """Hand-checked bins (n_bins=2): g1 probs/labels chosen so bin 0 =
+    {0.2/0, 0.4/1} (conf .3, acc .5, gap .2) and bin 1 = {0.6/1, 1.0/1}
+    (conf .8, acc 1.0, gap .2): ece = .2, max_gap = .2, brier =
+    (0.04+0.36+0.16+0)/4 = 0.14. p=1.0 clamps into the top bin;
+    out-of-range probabilities fail loudly; NULLs excluded."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from science_datalake_spark.evaluation import calibration_report
+
+    rows = [
+        ("g1", 0.2, 0), ("g1", 0.4, 1), ("g1", 0.6, 1), ("g1", 1.0, 1),
+        ("g1", None, 1), ("g1", 0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, p DOUBLE, y INT")
+    r = calibration_report(df, ["g"], "p", "y", n_bins=2).collect()[0]
+    assert (r["n"], r["ece"], r["max_gap"], r["brier"]) == (4, 0.2, 0.2, 0.14)
+
+    bad = spark.createDataFrame([("g", 1.5, 1)], "g STRING, p DOUBLE, y INT")
+    with pytest.raises(SparkRuntimeException, match="outside"):
+        calibration_report(bad, ["g"], "p", "y").collect()
+
+
+def test_calibration_report_perfect_and_random(spark):
+    """A perfectly-calibrated scorer (within-bin accuracy == confidence)
+    scores ece ~0; a constant-0.9 scorer on a 50/50 label mix scores
+    ece = 0.4 and brier = 0.9^2*.5 + 0.1^2*.5 = 0.41."""
+    from science_datalake_spark.evaluation import calibration_report
+
+    # prob 0.25 with exactly 25% positives
+    perfect = [("p", 0.25, 1 if i % 4 == 0 else 0) for i in range(400)]
+    overconf = [("o", 0.9, i % 2) for i in range(400)]
+    df = spark.createDataFrame(
+        [(g, p, int(y)) for g, p, y in perfect + overconf],
+        "g STRING, p DOUBLE, y INT",
+    )
+    got = {r["g"]: r for r in calibration_report(df, ["g"], "p", "y").collect()}
+    assert got["p"]["ece"] == 0.0 and got["p"]["brier"] == 0.1875
+    assert got["o"]["ece"] == 0.4 and got["o"]["brier"] == 0.41
