@@ -114,6 +114,13 @@ def dsir_log_weights(
             % num_buckets,
         ).alias("__bs"),
     )
+    if isinstance(persist_tokens, str) and persist_tokens != "persist":
+        # any other truthy string ("Persist", "cache") would silently fall
+        # through to the localCheckpoint branch, defeating the
+        # executor-churn-safe mode the caller asked for (r13 advice)
+        raise ValueError(
+            f"persist_tokens must be a bool or 'persist', got {persist_tokens!r}"
+        )
     if persist_tokens == "persist":
         # executor-churn-safe mode: recomputable lineage kept (see the
         # docstring trade-off)

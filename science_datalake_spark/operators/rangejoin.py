@@ -55,6 +55,7 @@ def interval_overlap_join(
     strategy: str = "banded",
     share_scan: bool = False,
     keyed_join: str = "sort_merge",
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """Inner join of interval pairs that OVERLAP (closed intervals:
     ``l.start <= r.end AND r.start <= l.end``), optionally also equi-keyed
@@ -108,7 +109,17 @@ def interval_overlap_join(
     opt-in because forcing a hash build on an arbitrary right side is
     the caller's memory call (the banded-leg SHJ experiment OOM'd an 8g
     heap at 32 partitions — widen exchanges first when the build side is
-    exploded or huge)."""
+    exploded or huge).
+
+    Cache lifetime under ``share_scan=True``: the persists are NOT
+    unpersisted by this function (the join is lazy — releasing before
+    the caller materializes would defeat the sharing), so each DISTINCT
+    input plan pins a CacheManager entry until session end. CacheManager
+    deduplicates by canonical plan, so re-running the same query does
+    not accumulate copies, but long sessions joining many distinct
+    relations should pass ``persist_handles=[]``: the persisted
+    DataFrames are appended to it, and the caller unpersists them once
+    results are materialized (r13 advice)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     if strategy not in ("banded", "keyed"):
@@ -129,6 +140,10 @@ def interval_overlap_join(
         self_join = right is left
         left = left.persist(StorageLevel.MEMORY_AND_DISK)
         right = left if self_join else right.persist(StorageLevel.MEMORY_AND_DISK)
+        if persist_handles is not None:
+            persist_handles.append(left)
+            if not self_join:
+                persist_handles.append(right)
 
     # suffix right-side columns that clash (keys keep their names)
     clash = (set(left.columns) & set(right.columns)) - set(on)

@@ -351,6 +351,12 @@ def exact_group_quantiles_histogram(
     this size, so the driver query keeps the plain form; the option is
     for per-group histograms large enough that a single task's sort
     dominates (billions of distinct values on a wide cluster)."""
+    if block_width is not None and block_width <= 0:
+        # a negative width makes block ids DECREASE as values increase, so
+        # the off_w cumulative offsets accumulate from the wrong end and
+        # quantiles come out silently wrong (r13 advice; mirrors
+        # interval_overlap_join's bucket_width check)
+        raise ValueError("block_width must be positive when set")
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)

@@ -4017,9 +4017,12 @@ def sim_late_interaction_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           CAST(round(CASE WHEN n_pos > 0 AND n_neg > 0
+           -- floor-form 6-dp round, NOT round(): AUC = integer/(n_pos*n_neg)
+           -- is not dyadic, and Spark/DuckDB round() can disagree on values
+           -- landing on the .5 grid (calibration_report determinism design)
+           CAST(floor(CASE WHEN n_pos > 0 AND n_neg > 0
                 THEN (rs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
-                END, 6) AS DOUBLE) AS auc
+                END * 1e6 + 0.5) / 1e6 AS DOUBLE) AS auc
     FROM a ORDER BY source
     """,
 )
@@ -4055,7 +4058,11 @@ def eval_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
-        F.round("auc", 6).alias("auc"),
+        # floor-form round on both engines — F.round vs DuckDB round() can
+        # split on the 6-dp .5 grid for the non-dyadic AUC ratio (r13 advice)
+        (F.floor(F.col("auc") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "auc"
+        ),
     ).orderBy("source")
 
 @query(

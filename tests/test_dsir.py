@@ -10,6 +10,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import pytest
+
 import pyspark.sql.functions as F
 
 from science_datalake_spark import plans
@@ -99,6 +101,12 @@ def test_log_weights_persist_mode_matches_checkpoint_mode(spark):
         ).collect()
     }
     assert got == base
+    # any other string would silently fall through to the checkpoint branch,
+    # defeating the churn-safe mode the caller asked for (r13 advice)
+    with pytest.raises(ValueError, match="persist_tokens"):
+        dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, persist_tokens="Persist"
+        )
 
 
 def test_target_vocabulary_docs_outrank_disjoint_docs(spark):

@@ -1699,6 +1699,13 @@ def test_exact_group_quantiles_histogram_matches_parallel(spark, sf_oracle):
             ).collect()
         }
         assert blk == hist, w
+    # block_width <= 0 would make block ids decrease as values increase and
+    # silently corrupt the cumulative offsets (r13 advice): rejected up front
+    import pytest as _pytest
+
+    for bad in (0, -5.0):
+        with _pytest.raises(ValueError, match="block_width"):
+            exact_group_quantiles_histogram(li, ["g"], "v", block_width=bad, **kw)
 
 
 def test_trigram_logprob_scores_hand_computed(spark):

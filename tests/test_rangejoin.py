@@ -99,6 +99,31 @@ def test_overlap_join_share_scan_result_identical(spark, self_join):
     assert "InMemoryTableScan" in plans.physical_plan(shared_df)
 
 
+@pytest.mark.parametrize("self_join", [True, False])
+def test_overlap_join_share_scan_persist_handles(spark, self_join):
+    """persist_handles=[] receives the persisted inputs (ONE for a true
+    self-join, two for distinct inputs) so callers can unpersist after
+    materialization — the r13-advice cache-lifetime escape hatch."""
+    left = _intervals(spark, 60, seed=7, key_card=5)
+    right = left if self_join else _intervals(spark, 40, seed=8, key_card=5)
+    handles = []
+    out = interval_overlap_join(
+        left,
+        right,
+        bucket_width=10.0,
+        on=["k"],
+        long_span_buckets=8,
+        share_scan=True,
+        persist_handles=handles,
+    )
+    assert len(handles) == (1 if self_join else 2)
+    out.count()
+    assert all(h.storageLevel.useMemory for h in handles)
+    for h in handles:
+        h.unpersist()
+    assert not any(h.storageLevel.useMemory for h in handles)
+
+
 def test_point_in_interval_matches_naive(spark):
     ivals = _intervals(spark, 80, seed=11)
     rng = np.random.default_rng(12)
