@@ -110,6 +110,20 @@ def load_psl_rules(path: str = _DEFAULT_PATH) -> PslRules:
 _INVALID_HOST = re.compile(r"^\.|\.\.|\.$")
 
 
+def _let(col: Column, body) -> Column:
+    """Let-binding for Column trees: evaluate ``col`` ONCE per row and give
+    ``body`` a lambda VARIABLE to reference — ``get(transform(array(col),
+    body), 0)``. Without this, every reference in a hand-built expression
+    tree re-embeds (and re-evaluates) the whole sub-tree: the PSL probe
+    battery referenced the caller's host expression ~50 times, and CASE
+    branches block codegen subexpression elimination, so a 4-regex
+    url_host chain ran ~50x per row (round-14 decomposition:
+    web_domain_cap spent ~55 us/row on a probe battery that costs ~2 us
+    evaluated linearly). ``body`` must be a plain unary lambda — a
+    default-arg lambda parses as the binary (element, index) form."""
+    return F.get(F.transform(F.array(col), body), 0)
+
+
 def _suffix_len(labels: Column, n: Column, rules: PslRules) -> Column:
     """Label count of the prevailing public suffix for a pre-lowercased,
     pre-split host."""
@@ -150,21 +164,41 @@ def _suffix_len(labels: Column, n: Column, rules: PslRules) -> Column:
 
 
 def public_suffix_registrable(
-    host: Column, rules: PslRules | None = None
+    host: Column, rules: PslRules | None = None, *, fallback_to_host: bool = False
 ) -> Column:
     """STRICT registrable domain (the checkPublicSuffix contract):
     lowercased eTLD+1, or NULL when the host is itself a public suffix,
     a bare TLD, or syntactically invalid (leading/trailing/empty
     label). This is the upstream-test-vector surface;
     ``operators.web.registrable_domain`` wraps it with the
-    host-fallback the curation operators want."""
+    host-fallback the curation operators want (``fallback_to_host=True``
+    — inside the let-binding, so the caller's possibly-expensive host
+    expression is still evaluated exactly once per row).
+
+    Evaluation shape: the host, its label array, and the prevailing
+    suffix length are each bound ONCE via :func:`_let` — the probe
+    battery references lambda variables, not copies of the caller's
+    expression tree. Still a pure map-only expression: no join, no
+    broadcast, no UDF, no shuffle."""
     if rules is None:
         rules = load_psl_rules()
-    h = F.lower(host)
-    labels = F.split(h, r"\.")
-    n = F.size(labels)
-    ps = _suffix_len(labels, n, rules)
-    reg = F.when(n > ps, F.array_join(F.slice(labels, -(ps + 1), ps + 1), "."))
-    return F.when(h.rlike(_INVALID_HOST.pattern) | (h == ""), F.lit(None)).otherwise(
-        reg
-    )
+
+    def with_host(h: Column) -> Column:
+        def with_labels(labels: Column) -> Column:
+            n = F.size(labels)
+
+            def with_ps(ps: Column) -> Column:
+                # registrable = suffix + one label; NULL when the host IS
+                # a public suffix (or shorter)
+                return F.when(
+                    n > ps, F.array_join(F.slice(labels, -(ps + 1), ps + 1), ".")
+                )
+
+            return _let(_suffix_len(labels, n, rules), with_ps)
+
+        core = F.when(
+            h.rlike(_INVALID_HOST.pattern) | (h == ""), F.lit(None)
+        ).otherwise(_let(F.split(h, r"\."), with_labels))
+        return F.coalesce(core, h) if fallback_to_host else core
+
+    return _let(F.lower(host), with_host)
