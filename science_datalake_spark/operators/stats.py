@@ -416,6 +416,52 @@ def exact_group_quantiles_histogram(
     return r.groupBy(*keys).agg(*aggs)
 
 
+def exact_group_quantiles_percentile(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact per-group quantiles for a BOUNDED-CARDINALITY value domain
+    via Spark's ``percentile(value, array(...), frequency)`` aggregate
+    over the (group, value) count histogram — the round-14 successor to
+    :func:`exact_group_quantiles_histogram` for the grouped-profile
+    queries. Same first stage (one map-side-combinable histogram shuffle
+    bounded by |groups| x |value domain| at ANY corpus size), but the
+    rank/interpolation arithmetic runs inside ONE hash aggregate instead
+    of a per-group window sort + per-quantile conditional sums: measured
+    bit-identical to the window path on the lineitem price grid and
+    1.67-1.83 -> 1.34 s at sf1, 2.51 -> 2.37 s sf3, 1.81 -> 1.31 s
+    sf0.1 (agg_stats_profile end-to-end, interleaved best-of-3).
+
+    Trade-off vs the window path: ``percentile`` buffers one group's
+    (value, count) pairs in its aggregation buffer (ObjectHashAggregate
+    — falls back to sort-based with spilling under memory pressure),
+    where the window sorts them externally. Both are bounded by the
+    value-domain size, NOT the corpus — the histogram stage already
+    collapsed duplicates — so the 100 TB contract is unchanged: use
+    either only when |value domain| per group is materially smaller than
+    rows (else :func:`exact_group_quantiles_parallel`)."""
+    if out_names is None:
+        out_names = [f"p{int(round(q * 100))}" for q in quantiles]
+    keys = list(keys)
+    hist = (
+        df.select(*keys, F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*keys, "__v")
+        .agg(F.count("*").alias("__c"))
+    )
+    arr = ", ".join(f"{float(q)!r}d" for q in quantiles)
+    out = hist.groupBy(*keys).agg(
+        F.expr(f"percentile(__v, array({arr}), __c)").alias("__qs")
+    )
+    return out.select(
+        *keys,
+        *[F.col("__qs")[i].alias(n) for i, n in enumerate(out_names)],
+    )
+
+
 def _null_safe_join(
     left: DataFrame, right: DataFrame, on: Sequence[str], broadcast: bool = True
 ) -> DataFrame:

@@ -664,27 +664,35 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's cross-source citation-count consistency check over 121M
     rows (sanity_checks cell 8).
 
-    Quantiles come from operators.stats.exact_group_quantiles_histogram
-    (round 11 — the engine history is the repo's own A/B ledger): NOT
-    Spark's ``percentile``/``median`` aggregate (per-group value
-    buffering — the round-1 bench's slowest entry, OOM-prone at 100 TB
-    group sizes); NOT the window-path exact_group_quantiles
-    (l_returnflag has THREE groups → three tasks sort the whole corpus;
-    round-8 A/B: 5.33 s sf1 / 18.8 s sf3); NOT the bucket-ranked
-    exact_group_quantiles_parallel that replaced it (4.07 s sf1 /
-    7.7 s sf3 — but it samples boundaries in an extra action and
-    row_number-ranks the FULL corpus). l_extendedprice is a BOUNDED
-    domain — 583,090 distinct values at both 6M and 18M fixture rows
-    (TPC-H cent prices) — so the histogram engine's one
-    map-side-combinable (group, value) count shuffle is constant-size
-    in the corpus: round-11 same-session A/B, values identical:
-    parallel 3.9-11.6 s -> hist 1.5-2.7 s at sf1, 7.0-7.3 -> 2.1 s at
-    sf3. The parallel engine remains the right tool for continuous
-    domains (distinct ~ rows). The algebraic aggregates run in a
-    separate single-shuffle pass and broadcast-join onto the quantiles.
+    Quantiles come from operators.stats.exact_group_quantiles_percentile
+    (round 14 — the engine history is the repo's own A/B ledger): NOT
+    Spark's raw ``percentile``/``median`` aggregate over the corpus
+    (per-group value buffering of every ROW — the round-1 bench's
+    slowest entry, OOM-prone at 100 TB group sizes; re-measured r14:
+    1.76 s sf1 vs 1.09 for the histogram form); NOT the window-path
+    exact_group_quantiles (l_returnflag has THREE groups → three tasks
+    sort the whole corpus; round-8 A/B: 5.33 s sf1 / 18.8 s sf3); NOT
+    the bucket-ranked exact_group_quantiles_parallel (4.07 s sf1 /
+    7.7 s sf3 — samples boundaries in an extra action and
+    row_number-ranks the FULL corpus); NOT the window-over-histogram
+    exact_group_quantiles_histogram that held rounds 11-13 (the r14
+    A/B: percentile-over-histogram is bit-identical and 1.67-1.83 ->
+    1.34 s sf1 / 2.51 -> 2.37 sf3 / 1.81 -> 1.31 sf0.1 end-to-end —
+    the rank arithmetic fuses into one hash aggregate instead of a
+    3-task window sort feeding per-quantile conditional sums); and NOT
+    a fully-fused single-pass plan deriving the algebraic aggregates
+    from histogram moments (measured r14: 11 aggregation buffers per
+    histogram cell cost more than the second corpus scan they save,
+    1.82 vs 1.34 s sf1). l_extendedprice is a BOUNDED domain — 583,090
+    distinct values at both 6M and 18M fixture rows (TPC-H cent
+    prices) — so the histogram stage's one map-side-combinable
+    (group, value) count shuffle is constant-size in the corpus. The
+    parallel engine remains the right tool for continuous domains
+    (distinct ~ rows). The algebraic aggregates run in a separate
+    single-shuffle pass and broadcast-join onto the quantiles.
     For sketch-accuracy profiling use stats.approx_stats_profile."""
     from science_datalake_spark.operators.stats import (
-        exact_group_quantiles_histogram,
+        exact_group_quantiles_percentile,
     )
 
     li = table(spark, sf_dir, "lineitem")
@@ -697,13 +705,11 @@ def agg_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.corr("l_discount", "l_tax"), 6).alias("corr_disc_tax"),
     )
-    # block_width considered and REVERTED (round 13): the two-level
-    # blocked cumsum (see exact_group_quantiles_histogram) measured
-    # 1.52 -> 1.75 s here at sf0.1 — the second histogram pass + offset
-    # broadcast cost more than the 3-task window serialization it
-    # removes at this histogram size on one machine. The option stays in
-    # the operator for the wide-cluster/huge-domain case it exists for.
-    quant = exact_group_quantiles_histogram(
+    # block_width on the window-over-histogram engine was considered and
+    # REVERTED in r13 (1.52 -> 1.75 s sf0.1) and re-measured worse at sf1
+    # in r14 (1.40 plain vs 1.51-1.69 blocked at four widths) before the
+    # percentile-over-histogram engine replaced the window entirely.
+    quant = exact_group_quantiles_percentile(
         li,
         ["l_returnflag"],
         "l_extendedprice",

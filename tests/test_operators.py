@@ -1699,6 +1699,18 @@ def test_exact_group_quantiles_histogram_matches_parallel(spark, sf_oracle):
             ).collect()
         }
         assert blk == hist, w
+    # round-14 percentile-over-histogram engine: same histogram stage, rank
+    # arithmetic fused into one percentile(value, array, frequency) aggregate
+    # -> must be value-identical to the window-over-histogram path
+    from science_datalake_spark.operators.stats import (
+        exact_group_quantiles_percentile,
+    )
+
+    perc = {
+        r["g"]: (r["a"], r["b"], r["c"], r["d"])
+        for r in exact_group_quantiles_percentile(li, ["g"], "v", **kw).collect()
+    }
+    assert perc == hist
     # block_width <= 0 would make block ids decrease as values increase and
     # silently corrupt the cumulative offsets (r13 advice): rejected up front
     import pytest as _pytest
