@@ -56,6 +56,7 @@ def interval_overlap_join(
     share_scan: bool = False,
     keyed_join: str = "sort_merge",
     persist_handles: list | None = None,
+    grouped_max_size: int | None = 4096,
 ) -> DataFrame:
     """Inner join of interval pairs that OVERLAP (closed intervals:
     ``l.start <= r.end AND r.start <= l.end``), optionally also equi-keyed
@@ -84,6 +85,31 @@ def interval_overlap_join(
     identical. Banding remains the default because it is the only plan
     that scales when there are NO keys (an unkeyed theta join is a
     cartesian product) or when a key group can be corpus-sized.
+
+    ``strategy="grouped"`` (requires ``on``; round 14) replaces the
+    banded SHORT×SHORT engine with per-key interval lists: one
+    ``collect_list`` shuffle builds the groups, then pairs are
+    enumerated map-side inside each list (the cooccurrence generator
+    pattern) and overlap-filtered — no band explode, no join exchange
+    on the pair stream, and for a self-join no second scan of the
+    input. Span length is irrelevant inside a group, so the engine is
+    insensitive to bucket_width; the ``long_span_buckets`` theta legs
+    are kept unchanged (they bound the BANDED fallback and keep the
+    three-way pair-space partition intact). ``grouped_max_size`` guards
+    the quadratic in-list blowup: key groups larger than the cap route
+    to the banded engine (a group is entirely small or entirely big and
+    pairs only exist within a group, so the two legs partition the pair
+    space exactly); ``None`` trusts the caller's data model. MEASURED
+    AND NOT ADOPTED for the sf3 spans self-join (the r13 verdict-#7
+    experiment, interleaved same-session A/B): grouped 12.8-16.3 s vs
+    banded 6-7.4 s — the in-list enumeration copies the group array
+    into every outer pair row (unsafe-row format has no array sharing)
+    and emits BOTH pair orderings to honor the operator contract, so
+    its streamed volume exceeds the band-colocated pair stream it
+    replaces whenever typical spans are narrow relative to
+    bucket_width. Kept opt-in for the shape it fits: wide/irregular
+    span distributions where band fan-out explodes (grouped is
+    span-insensitive) and group lists are small.
 
     ``share_scan``: the banded + long-span layout reads LEFT three times
     (short band, short theta probe, long build) and RIGHT three times —
@@ -122,22 +148,26 @@ def interval_overlap_join(
     results are materialized (r13 advice)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    if strategy not in ("banded", "keyed"):
-        raise ValueError(f"strategy must be 'banded' or 'keyed', got {strategy!r}")
-    if strategy == "keyed" and not on:
-        raise ValueError("strategy='keyed' requires equi keys (on=...)")
+    if strategy not in ("banded", "keyed", "grouped"):
+        raise ValueError(
+            f"strategy must be 'banded', 'keyed' or 'grouped', got {strategy!r}"
+        )
+    if strategy in ("keyed", "grouped") and not on:
+        raise ValueError(f"strategy={strategy!r} requires equi keys (on=...)")
     if keyed_join not in ("sort_merge", "shuffle_hash"):
         raise ValueError(
             f"keyed_join must be 'sort_merge' or 'shuffle_hash', got {keyed_join!r}"
         )
+    if grouped_max_size is not None and grouped_max_size < 1:
+        raise ValueError("grouped_max_size must be >= 1 (or None to disable)")
     on = list(on or [])
     ls, le = left_bounds
     rs, re_ = right_bounds
+    self_join = right is left
 
-    if share_scan and strategy == "banded" and long_span_buckets is not None:
+    if share_scan and strategy in ("banded", "grouped") and long_span_buckets is not None:
         from pyspark import StorageLevel
 
-        self_join = right is left
         left = left.persist(StorageLevel.MEMORY_AND_DISK)
         right = left if self_join else right.persist(StorageLevel.MEMORY_AND_DISK)
         if persist_handles is not None:
@@ -173,27 +203,87 @@ def interval_overlap_join(
     l_short, l_long = split(left, ls, le)
     r_short, r_long = split(right, rs, re_)
 
-    # banded path: short×short
-    lb = l_short.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(_bucket(F.col(ls), bucket_width), _bucket(F.col(le), bucket_width))
-        ),
-    )
-    rb = r_short.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(_bucket(F.col(rs), bucket_width), _bucket(F.col(re_), bucket_width))
-        ),
-    )
-    first_common = F.greatest(
-        _bucket(F.col(ls), bucket_width), _bucket(F.col(rs), bucket_width)
-    )
-    banded = (
-        lb.join(rb, on=[*on, "__bucket"])
-        .filter(overlap & (F.col("__bucket") == first_common))
-        .drop("__bucket")
-    )
+    def banded_leg(ldf: DataFrame, rdf: DataFrame) -> DataFrame:
+        # banded engine for a short×short pair space: band explode + equi
+        # join + first-common-bucket dedup (module docstring)
+        lb = ldf.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    _bucket(F.col(ls), bucket_width), _bucket(F.col(le), bucket_width)
+                )
+            ),
+        )
+        rb = rdf.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    _bucket(F.col(rs), bucket_width), _bucket(F.col(re_), bucket_width)
+                )
+            ),
+        )
+        first_common = F.greatest(
+            _bucket(F.col(ls), bucket_width), _bucket(F.col(rs), bucket_width)
+        )
+        return (
+            lb.join(rb, on=[*on, "__bucket"])
+            .filter(overlap & (F.col("__bucket") == first_common))
+            .drop("__bucket")
+        )
+
+    if strategy == "grouped":
+        # short×short via per-key interval lists: ONE shuffle builds the
+        # group lists, pairs are enumerated map-side inside each list (the
+        # cooccurrence generator pattern) — no band explode, no join
+        # exchange on the pair stream. Oversized groups (quadratic in-list
+        # blowup) route to the banded engine; groups are entirely small or
+        # entirely big, and pairs only exist WITHIN a key group, so the
+        # two legs partition the short×short pair space exactly. NULL-key
+        # rows are excluded up front to mirror equi-join semantics (a
+        # NULL key never joins on any path).
+        l_items = [c for c in left.columns if c not in on]
+        nn = l_short
+        for k_ in on:
+            nn = nn.filter(F.col(k_).isNotNull())
+        g = nn.groupBy(*on).agg(F.collect_list(F.struct(*l_items)).alias("__g"))
+        if grouped_max_size is not None:
+            g_small = g.filter(F.size("__g") <= grouped_max_size)
+            big_l = g.filter(F.size("__g") > grouped_max_size).select(
+                *on, F.explode("__g").alias("__x")
+            )
+            big_l = big_l.select(
+                *on, *[F.col("__x").getField(c).alias(c) for c in l_items]
+            )
+        else:
+            g_small, big_l = g, None
+        if self_join:
+            ex = g_small.select(*on, "__g", F.explode("__g").alias("__a"))
+            pp = ex.select(*on, "__a", F.explode("__g").alias("__b"))
+            sel = [*[F.col(k_) for k_ in on]]
+            sel += [F.col("__a").getField(c).alias(c) for c in l_items]
+            sel += [
+                F.col("__b").getField(c).alias(renames.get(c, c)) for c in l_items
+            ]
+            shortshort = pp.select(*sel).filter(overlap)
+        else:
+            paired = r_short.join(g_small, on=on)
+            pp = paired.select(*r_short.columns, F.explode("__g").alias("__a"))
+            sel = [*[F.col(k_) for k_ in on]]
+            sel += [F.col("__a").getField(c).alias(c) for c in l_items]
+            sel += [F.col(c) for c in r_short.columns if c not in on]
+            shortshort = pp.select(*sel).filter(overlap)
+        if big_l is not None:
+            big_r = (
+                big_l.select(
+                    *on, *[F.col(c).alias(renames.get(c, c)) for c in l_items]
+                )
+                if self_join
+                else r_short
+            )
+            shortshort = shortshort.unionByName(banded_leg(big_l, big_r))
+        banded = shortshort
+    else:
+        banded = banded_leg(l_short, r_short)
 
     # theta fallback: long×all plus short×long. The LONG side is the
     # documented-rare one, so it is the broadcast side — the plan

@@ -99,13 +99,24 @@ def test_cooccurrence_is_joinless_generators(spark, sf_oracle):
     assert plan.count("Generate") >= 2, plan
 
 
-def test_stats_profile_has_no_buffering_percentile(spark, sf_oracle):
-    """agg_stats_profile must use the sort-based quantile path (Window),
-    never Spark's value-buffering percentile aggregate."""
+def test_stats_profile_percentile_over_histogram_only(spark, sf_oracle):
+    """agg_stats_profile's quantile contract, round-14 revision: Spark's
+    percentile aggregate IS allowed — but only with a FREQUENCY column
+    over the bounded (group, value) histogram (buffer size = value
+    domain), never over raw corpus rows (buffer size = group row count,
+    the round-1 OOM shape). The window sort the histogram engine used in
+    rounds 11-13 must be gone (that was the fixed 3-task stage the r13
+    verdict flagged), and the histogram stage itself must still be there
+    feeding the percentile its counts."""
     df = QUERIES["agg_stats_profile"](spark, sf_oracle)
     plan = plans.physical_plan(df)
-    assert "percentile" not in plan, plan
-    assert "Window" in plan
+    assert "Window" not in plan, plan
+    # frequency-weighted percentile over the histogram: the aggregate's
+    # third argument is the histogram count column, not the literal 1
+    # frequency the raw-row form would show
+    assert "percentile(__v" in plan and "__c" in plan, plan
+    # and the histogram stage exists: a count aggregated by (group, __v)
+    assert "count(1)" in plan and "__v" in plan, plan
 
 
 def test_bucketed_join_eliminates_shuffle(spark, sf_oracle, tmp_path):

@@ -275,3 +275,64 @@ def test_keyed_strategy_matches_banded(spark):
         interval_overlap_join(
             iv, iv, strategy="keyed", keyed_join="nope", **kw
         )
+
+
+def test_grouped_strategy_matches_banded(spark):
+    """strategy='grouped' (per-key interval lists, map-side pair
+    enumeration — round 14) returns the identical pair set as the banded
+    strategy on self-joins and two-sided joins, at every
+    grouped_max_size routing (all-small, mixed small/big via the banded
+    fallback, cap=None trust mode), excludes NULL-key rows exactly like
+    the equi-join paths, and validates its arguments."""
+    from science_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    rows = [
+        (i, i % 5, float((i * 37) % 400), float((i * 37) % 400 + (1, 3, 9, 120, 900)[i % 5]))
+        for i in range(240)
+    ]
+    rows.append((9001, None, 5.0, 50.0))  # NULL key: must never pair
+    iv = spark.createDataFrame(rows, "uid LONG, k INT, start DOUBLE, end DOUBLE")
+    kw = dict(bucket_width=10.0, on=["k"], long_span_buckets=8)
+    base = {
+        (r["uid"], r["uid_r"])
+        for r in interval_overlap_join(iv, iv, **kw).collect()
+    }
+    assert base and not any(9001 in p for p in base)
+    for cap in (4096, 3, 1, None):
+        got = {
+            (r["uid"], r["uid_r"])
+            for r in interval_overlap_join(
+                iv, iv, strategy="grouped", grouped_max_size=cap, **kw
+            ).collect()
+        }
+        assert got == base, cap
+    # two-sided: group-left + row-stream-right leg
+    other = iv.filter(F.col("uid") % 2 == 0).withColumnRenamed("uid", "uid2")
+    base2 = {
+        (r["uid"], r["uid2"])
+        for r in interval_overlap_join(iv, other, **kw).collect()
+    }
+    for cap in (4096, 3):
+        got2 = {
+            (r["uid"], r["uid2"])
+            for r in interval_overlap_join(
+                iv, other, strategy="grouped", grouped_max_size=cap, **kw
+            ).collect()
+        }
+        assert got2 == base2, cap
+    # long_span_buckets=None: grouped covers the whole pair space alone
+    got3 = {
+        (r["uid"], r["uid_r"])
+        for r in interval_overlap_join(
+            iv, iv, bucket_width=10.0, on=["k"], long_span_buckets=None,
+            strategy="grouped",
+        ).collect()
+    }
+    assert got3 == base
+    with pytest.raises(ValueError, match="requires equi keys"):
+        interval_overlap_join(iv, iv, bucket_width=10.0, strategy="grouped")
+    with pytest.raises(ValueError, match="grouped_max_size"):
+        interval_overlap_join(
+            iv, iv, bucket_width=10.0, on=["k"], strategy="grouped",
+            grouped_max_size=0,
+        )
