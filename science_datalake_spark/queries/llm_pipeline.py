@@ -177,8 +177,19 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster {{A,B,C}} even when A~C was never a candidate). The DuckDB
     oracle computes the identical clustering with a recursive CTE, on the
     same 4-source shard (see _CLUSTER_SOURCES for why the demo is
-    sharded)."""
-    from science_datalake_spark.operators.graph import connected_components
+    sharded).
+
+    Round-14 engine choice: ``connected_components_star`` directly, not
+    the min-label default. The K-copy crawl's LSH graph is CHAIN-shaped
+    (measured diameter 8 at sf0.1 — 9 propagation rounds at ~0.5 s fixed
+    job cost each), exactly the regime the star alternation's O(log n)
+    rounds exist for: measured identical labels and 4.47 -> 3.11 s
+    sf0.1, 10.5 -> 7.3 s sf3 (2.27M pairs) warm. A label-of-label
+    pointer-doubling variant of min-label was also measured and
+    rejected (rounds 9 -> 6 but the extra shortcut join made each round
+    dearer: net 7.9 s). Min-label remains the operator default for the
+    dense-blob dedup graphs it assumed; this corpus is not one."""
+    from science_datalake_spark.operators.graph import connected_components_star
 
     d = (
         table(spark, sf_dir, "documents")
@@ -189,7 +200,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.lsh_candidate_pairs(
         sigs, "doc_id", num_hashes=_NUM_HASHES, max_bucket=_LSH_MAX_BUCKET
     )
-    cc = connected_components(pairs, "id_a", "id_b")
+    cc = connected_components_star(pairs, "id_a", "id_b")
     return (
         cc.groupBy(F.col("comp").alias("cluster_id"))
         .agg(F.count("*").alias("cluster_size"))
