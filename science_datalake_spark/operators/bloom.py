@@ -144,17 +144,14 @@ def _bloom_words_df(spark, model: BloomModel) -> DataFrame:
     # plain python-list createDataFrame takes: shipping the ~num_bits/64
     # word array measured 0.53 s pickled vs 0.13 s Arrow per run at m=410k
     # (round-14 decomposition — this was the dominant fixed cost of the
-    # whole probe leg). Fallback to the plain path if Arrow is disabled.
+    # whole probe leg). With Arrow disabled the pandas input degrades to
+    # the row-converted path but stays CORRECT, so no fallback branch —
+    # a try/except here would only mask real errors (review finding).
     import pandas as pd
 
-    try:
-        return spark.createDataFrame(
-            pd.DataFrame({"__bloom_words": [model.words]})
-        ).select(F.col("__bloom_words").cast("array<bigint>"))
-    except Exception:
-        return spark.createDataFrame(
-            [(model.words,)], "__bloom_words array<bigint>"
-        )
+    return spark.createDataFrame(
+        pd.DataFrame({"__bloom_words": [model.words]})
+    ).select(F.col("__bloom_words").cast("array<bigint>"))
 
 
 def bloom_might_contain(

@@ -246,6 +246,21 @@ def exact_group_quantiles_parallel(
     return r.groupBy(*keys).agg(*_quantile_contrib_aggs(quantiles, out_names))
 
 
+def _value_histogram(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:
+    """The shared first stage of every histogram quantile engine: one
+    map-side-combinable (keys..., value) count shuffle with NULL values
+    excluded, output bounded by |key groups| x |value domain| at any
+    corpus size. Extracted so the three engines (global window, grouped
+    window, grouped percentile) cannot silently diverge on histogram
+    semantics (review finding)."""
+    return (
+        df.select(*keys, F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*keys, "__v")
+        .agg(F.count("*").alias("__c"))
+    )
+
+
 def exact_quantiles_histogram(
     df: DataFrame,
     value_col: str,
@@ -276,12 +291,7 @@ def exact_quantiles_histogram(
     """
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
-    hist = (
-        df.select(F.col(value_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .groupBy("__v")
-        .agg(F.count("*").alias("__c"))
-    )
+    hist = _value_histogram(df, [], value_col)
     tot = hist.agg(F.sum("__c").alias("__n"))
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     r = hist.withColumn("__cum", F.sum("__c").over(w)).crossJoin(F.broadcast(tot))
@@ -360,12 +370,7 @@ def exact_group_quantiles_histogram(
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
-    hist = (
-        df.select(*keys, F.col(value_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .groupBy(*keys, "__v")
-        .agg(F.count("*").alias("__c"))
-    )
+    hist = _value_histogram(df, keys, value_col)
     if block_width is not None:
         blk_col = F.floor(F.col("__v") / F.lit(float(block_width))).cast("long")
         h = hist.withColumn("__blk", blk_col)
@@ -446,12 +451,7 @@ def exact_group_quantiles_percentile(
     if out_names is None:
         out_names = [f"p{int(round(q * 100))}" for q in quantiles]
     keys = list(keys)
-    hist = (
-        df.select(*keys, F.col(value_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .groupBy(*keys, "__v")
-        .agg(F.count("*").alias("__c"))
-    )
+    hist = _value_histogram(df, keys, value_col)
     arr = ", ".join(f"{float(q)!r}d" for q in quantiles)
     out = hist.groupBy(*keys).agg(
         F.expr(f"percentile(__v, array({arr}), __c)").alias("__qs")

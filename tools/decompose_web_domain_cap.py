@@ -122,13 +122,17 @@ def main() -> None:
     out = {}
     for name, fn in stages.items():
         best, jobs_at_best = None, None
+        group = f"decomp-{name}"
         for _ in range(reps):
-            j0 = len(sc.statusTracker().getJobIdsForGroup(None) or [])
-            sc.setJobGroup(f"decomp-{name}", name)
+            # getJobIdsForGroup is CUMULATIVE over the session, so the
+            # per-rep job count is the delta against a pre-rep snapshot
+            # (review finding: without this, rep k reported k*jobs)
+            j0 = len(sc.statusTracker().getJobIdsForGroup(group) or [])
+            sc.setJobGroup(group, name)
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
-            jobs = len(sc.statusTracker().getJobIdsForGroup(f"decomp-{name}") or [])
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group) or []) - j0
             sc.setJobGroup(None, None)
             if best is None or dt < best:
                 best, jobs_at_best = dt, jobs
