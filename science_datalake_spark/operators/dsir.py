@@ -24,10 +24,13 @@ computable verbatim by the DuckDB twin (``('0x' || substr(md5(..),1,8))
 ::BIGINT``).
 
 Scale shape: two bounded aggregations (≤ num_buckets rows each, map-side
-combined), one broadcast join of the ≤num_buckets-row ratio relation onto
-the token stream, ONE data-sized shuffle (the per-doc groupBy), and a
-TakeOrderedAndProject for the top-k. Nothing grows with corpus size except
-the doc-keyed aggregation.
+combined), then scoring. The default ``score_strategy="fold"`` collects
+the ≤num_buckets-row ratio (the same bounded-artifact contract as
+``dsir_model_read``) and scores map-only via an in-row fold over a dense
+log-ratio array — leaving the map-side-combined bucket count as the ONLY
+data-sized exchange in the operator. ``score_strategy="join"`` keeps the
+broadcast-join + per-doc-groupBy shape for num_buckets too large to embed
+as an expression literal.
 """
 
 from __future__ import annotations
@@ -69,6 +72,7 @@ def dsir_log_weights(
     num_buckets: int = 1024,
     alpha: float = 0.5,
     persist_tokens: bool | str = True,
+    score_strategy: str = "vocab",
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weight.
 
@@ -79,19 +83,46 @@ def dsir_log_weights(
     ln of a precomputed ratio) keeps each term exactly reproducible by the
     SQL twin.
 
-    Plan: the ratio relation is a full-outer join of two ≤B-row aggregates
-    with the two 1-row totals attached via broadcast; it is then broadcast
-    onto the raw token stream, so the only data-sized shuffle is the final
-    per-doc sum.
+    Two result-identical scoring shapes (pinned by test):
 
-    The raw corpus is needed TWICE (its feature distribution, then
-    per-doc scoring); ``persist_tokens=True`` materializes the hashed
-    token stream ONCE into a persisted skinny (id, array<bucket>)
-    relation (~8 bytes/token, MEMORY_AND_DISK blocks so it spills
-    instead of OOMing) so the md5 tokenization doesn't run twice — the
-    same work shape a columnar engine gets by materializing the
-    twice-referenced CTE. Pass False to recompute when the token stream
-    exceeds what the cluster wants to hold.
+    - ``score_strategy="vocab"`` (default): hash features per DISTINCT
+      token — a word-count aggregation (the canonical map-side-combined
+      shuffle, volume = Σ per-partition vocabulary, zipf-compressed far
+      below token count) materialized once as a small (token, count,
+      bucket) relation; md5/bucketing then runs once per vocabulary entry
+      instead of once per token occurrence (round-14 decomposition: the
+      md5→hex→conv chain per token was ~60% of the operator), and per-doc
+      scoring joins the token stream to the vocabulary's (token,
+      log-ratio) relation — unhinted, so AQE broadcasts it while it fits
+      and falls back to a shuffle join when the vocabulary outgrows the
+      threshold (vocabularies are data-sized in the worst case).
+    - ``score_strategy="join"``: md5 every token occurrence into a
+      persisted (id, array<bucket>) relation, broadcast the ≤B-row ratio
+      onto the exploded stream, sum per doc. Immune to adversarial
+      vocabularies (random-string tokens make the vocab relation as large
+      as the token stream); prefer it when dedup buys nothing.
+
+    A third shape — collect the bounded ratio and fold map-only over the
+    bucket arrays via element_at, eliminating the per-doc shuffle — was
+    measured and REJECTED: higher-order-function evaluation is
+    CodegenFallback (interpreted per element), and it lost ~0.3-0.5 s to
+    the codegen'd broadcast-probe+hash-agg at sf1/sf3 (BENCH_NOTES
+    round 14). ``dsir_score_with_model`` keeps that shape for what it is
+    uniquely good at: stateless map-only scoring of NEW batches/streams
+    against a frozen model.
+
+    In the join strategy the raw corpus is needed TWICE (its feature
+    distribution, then per-doc scoring); ``persist_tokens=True``
+    materializes the hashed token stream ONCE into a persisted skinny
+    (id, array<bucket>) relation (~8 bytes/token, MEMORY_AND_DISK blocks
+    so it spills instead of OOMing) so the md5 tokenization doesn't run
+    twice — the same work shape a columnar engine gets by materializing
+    the twice-referenced CTE. Pass False to recompute when the token
+    stream exceeds what the cluster wants to hold. The vocab strategy
+    instead materializes the small vocabulary relation (consumed by both
+    the bucket counts and the scoring join) and deliberately recomputes
+    the split+explode token stream — cheaper than checkpointing
+    corpus-sized exploded rows, since there is no per-token md5 to save.
 
     Cache lifetime: the materialization is a lazy ``localCheckpoint``,
     not a CacheManager persist — ContextCleaner releases the blocks once
@@ -106,6 +137,19 @@ def dsir_log_weights(
     MEMORY_AND_DISK persist instead — accepting that the CacheManager
     entry outlives the query until unpersisted (round-12 advice).
     """
+    if score_strategy not in ("vocab", "join"):
+        raise ValueError(
+            f"score_strategy must be 'vocab' or 'join', got {score_strategy!r}"
+        )
+    if isinstance(persist_tokens, str) and persist_tokens != "persist":
+        # any other truthy string ("Persist", "cache") would silently fall
+        # through to the localCheckpoint branch, defeating the
+        # executor-churn-safe mode the caller asked for (r13 advice)
+        raise ValueError(
+            f"persist_tokens must be a bool or 'persist', got {persist_tokens!r}"
+        )
+    if score_strategy == "vocab":
+        return _log_weights_vocab(raw, target, id_col, text_col, num_buckets, alpha)
     rtoks_arr = raw.select(
         F.col(id_col),
         F.transform(
@@ -114,13 +158,6 @@ def dsir_log_weights(
             % num_buckets,
         ).alias("__bs"),
     )
-    if isinstance(persist_tokens, str) and persist_tokens != "persist":
-        # any other truthy string ("Persist", "cache") would silently fall
-        # through to the localCheckpoint branch, defeating the
-        # executor-churn-safe mode the caller asked for (r13 advice)
-        raise ValueError(
-            f"persist_tokens must be a bool or 'persist', got {persist_tokens!r}"
-        )
     if persist_tokens == "persist":
         # executor-churn-safe mode: recomputable lineage kept (see the
         # docstring trade-off)
@@ -137,9 +174,19 @@ def dsir_log_weights(
     rtoks = rtoks_arr.select(id_col, F.explode("__bs").alias("__b"))
     tc = feature_counts(target, id_col, text_col, num_buckets)
     rc = rtoks.groupBy("__b").agg(F.count("*").alias("__ct"))
+    ratio = _ratio_relation(tc, rc, num_buckets, alpha)
+    scored = rtoks.join(F.broadcast(ratio), "__b")
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.sum("__lr").alias("log_weight")
+    )
+
+
+def _ratio_relation(tc: DataFrame, rc: DataFrame, num_buckets: int, alpha: float) -> DataFrame:
+    """The fitted per-bucket log ratio: full-outer join of the two ≤B-row
+    count aggregates with the 1-row totals attached via broadcast."""
     t_total = tc.agg(F.sum("__ct").alias("__T"))
     r_total = rc.agg(F.sum("__ct").alias("__R"))
-    ratio = (
+    return (
         tc.withColumnRenamed("__ct", "__tc")
         .join(rc.withColumnRenamed("__ct", "__rc"), "__b", "full_outer")
         .crossJoin(F.broadcast(t_total))
@@ -154,7 +201,62 @@ def dsir_log_weights(
             ).alias("__lr"),
         )
     )
-    scored = rtoks.join(F.broadcast(ratio), "__b")
+
+
+def _log_weights_vocab(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """The vocab scoring shape (see dsir_log_weights): md5/bucket once per
+    DISTINCT token, score through a token-keyed join."""
+
+    def toks(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+        )
+
+    rtoks = toks(raw)
+    # (token, occurrences, bucket): word-count agg, md5 per distinct token.
+    # Materialized once — consumed by BOTH the bucket counts and the
+    # scoring join; lazy localCheckpoint so ContextCleaner releases the
+    # (vocabulary-sized, zipf-small) blocks with the query's handles.
+    vb = (
+        rtoks.groupBy("__tok")
+        .agg(F.count("*").alias("__n"))
+        .select("__tok", "__n", hashed_token_bucket(F.col("__tok"), num_buckets))
+        .localCheckpoint(eager=False)
+    )
+    # the target leg gets the same per-distinct-token treatment (counts
+    # identical to feature_counts — pinned by the mirror test); its vocab
+    # relation is consumed once, so no materialization
+    tc = (
+        toks(target)
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__n"))
+        .select("__n", hashed_token_bucket(F.col("__tok"), num_buckets))
+        .groupBy("__b")
+        .agg(F.sum("__n").alias("__ct"))
+    )
+    rc = vb.groupBy("__b").agg(F.sum("__n").alias("__ct"))
+    ratio = _ratio_relation(tc, rc, num_buckets, alpha)
+    # ratio is ≤B rows by construction → bounded broadcast. The vocabulary
+    # relation is NOT force-broadcast (data-sized in the worst case); it
+    # carries a SHUFFLE_HASH hint instead: without it the static planner
+    # broadcasts the WRONG side — it under-estimates the exploded token
+    # stream from the parquet scan stats and builds a corpus-sized
+    # single-threaded hash relation (measured 5.3 s vs 1.6 s at sf3, the
+    # round-11 top_customers_flagged trap) — while the checkpointed vocab
+    # side has no stats at all. The hint makes the vocab side the build
+    # (its per-partition hash build is vocab-bounded), the per-doc
+    # consumer is order-free so SMJ's sorts buy nothing, and AQE still
+    # promotes the join to broadcast at runtime when the vocabulary fits.
+    vocab_lr = vb.join(F.broadcast(ratio), "__b").select("__tok", "__lr")
+    scored = rtoks.join(vocab_lr.hint("shuffle_hash"), "__tok")
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"), F.sum("__lr").alias("log_weight")
     )
@@ -183,16 +285,25 @@ def dsir_sample(
     alpha: float = 0.5,
     seed: int = 42,
     persist_tokens: bool = True,
+    score_strategy: str = "vocab",
 ) -> DataFrame:
     """Gumbel top-k resampling over DSIR log weights: a without-replacement
     sample of ``n`` raw documents distributed as softmax(log_weight).
     Returns (id_col, n_tokens, log_weight, score) sorted by score desc.
 
-    Plan: dsir_log_weights (one data-sized shuffle) + map-only Gumbel
-    perturbation + TakeOrderedAndProject.
+    Plan: dsir_log_weights (default vocab strategy: md5 once per distinct
+    token, token-keyed scoring join) + map-only Gumbel perturbation +
+    TakeOrderedAndProject.
     """
     w = dsir_log_weights(
-        raw, target, id_col, text_col, num_buckets, alpha, persist_tokens
+        raw,
+        target,
+        id_col,
+        text_col,
+        num_buckets,
+        alpha,
+        persist_tokens,
+        score_strategy,
     )
     scored = w.withColumn("score", F.col("log_weight") + gumbel_noise(F.col(id_col), seed))
     return scored.orderBy(F.desc("score"), id_col).limit(n)
@@ -281,7 +392,8 @@ def dsir_score_with_model(
     against a frozen target distribution. Returns (id, n_tokens,
     log_weight) with log_weight UNROUNDED (callers round at the edge)."""
     num_buckets = len(model)
-    arr = F.array(*[F.lit(float(v)) for v in model])
+    # one ArrayType Literal, not CreateArray-of-B-literals (never folded)
+    arr = F.lit([float(v) for v in model])
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     per_tok = F.transform(
         toks,

@@ -92,12 +92,21 @@ def test_log_weights_persist_mode_matches_checkpoint_mode(spark):
     raw, target = _df(spark, RAW), _df(spark, TARGET)
     base = {
         r["doc_id"]: r["log_weight"]
-        for r in dsir_log_weights(raw, target, "doc_id", "text", B, ALPHA).collect()
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, score_strategy="join"
+        ).collect()
     }
     got = {
         r["doc_id"]: r["log_weight"]
         for r in dsir_log_weights(
-            raw, target, "doc_id", "text", B, ALPHA, persist_tokens="persist"
+            raw,
+            target,
+            "doc_id",
+            "text",
+            B,
+            ALPHA,
+            persist_tokens="persist",
+            score_strategy="join",
         ).collect()
     }
     assert got == base
@@ -118,6 +127,39 @@ def test_target_vocabulary_docs_outrank_disjoint_docs(spark):
     plan = plans.physical_plan(sample)
     assert "BroadcastHashJoin" in plan, plan  # ratio relation rides a broadcast
     assert plans.is_take_ordered(sample), plan
+    # the join strategy keeps the broadcast-probe + per-doc-sum shape
+    sample_j = dsir_sample(
+        raw, target, "doc_id", "text", n=2, num_buckets=B, score_strategy="join"
+    )
+    plan_j = plans.physical_plan(sample_j)
+    assert "BroadcastHashJoin" in plan_j, plan_j
+    assert plans.is_take_ordered(sample_j), plan_j
+
+
+def test_vocab_and_join_scoring_are_result_identical(spark):
+    """The two score strategies must agree doc-for-doc: same doc set, same
+    n_tokens, log_weight within float-sum-reorder tolerance."""
+    raw, target = _df(spark, RAW), _df(spark, TARGET)
+    vocab = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, score_strategy="vocab"
+        ).collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, score_strategy="join"
+        ).collect()
+    }
+    assert set(vocab) == set(join)
+    for k in join:
+        assert vocab[k][0] == join[k][0], (k, vocab[k], join[k])
+        assert abs(vocab[k][1] - join[k][1]) < 1e-9, (k, vocab[k], join[k])
+    with pytest.raises(ValueError, match="score_strategy"):
+        dsir_log_weights(
+            raw, target, "doc_id", "text", B, ALPHA, score_strategy="fold"
+        )
 
 
 def test_feature_counts_bounded_by_num_buckets(spark):
