@@ -201,6 +201,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 8,
     hash_fn: str = "md5",
+    shingle_hash: str = "occurrence",
 ) -> DataFrame:
     """Per-document MinHash signature: num_hashes salted-hash minima over
     word n-grams. Documents with fewer than n words drop out (no shingles).
@@ -210,26 +211,51 @@ def minhash_signatures(
     leading hash input — an 8-byte long min instead of a 32-char hex
     string min, the fast path for corpora where no DuckDB twin is needed.
 
-    Scale: explode is linear in corpus token count; the groupBy(id) agg is
-    one shuffle with map-side partial min — no pairwise work.
+    ``shingle_hash="occurrence"`` (default) hashes every (doc, shingle)
+    row map-only — no exchange before the signature aggregate.
+    ``shingle_hash="vocab"`` computes the salted hashes once per
+    DISTINCT shingle and joins them back (min over a multiset equals min
+    over its support — value-identical, pinned by test). Unlike the dsir
+    vocab strategy this was measured WORSE on the fixtures (sigs 2.6 ->
+    3.2-4.0 s sf3; dedup_minhash_lsh 7 -> 46+ s through the persisted
+    self-join): dsir's scoring join exists in both strategies, so
+    deduping the hash work there was free — here the vocab join ADDS a
+    corpus-sized shingle-string exchange the map-only path never had.
+    Kept as an option for corpora whose shingle repetition is extreme
+    enough to invert that trade (BENCH_NOTES round 14b).
+
+    Scale: explode is linear in corpus token count; the vocab distinct is
+    a map-side-combined shuffle of the same stream; the groupBy(id) agg
+    is one shuffle with map-side partial min — no pairwise work.
     """
+    if shingle_hash not in ("vocab", "occurrence"):
+        raise ValueError(
+            f"shingle_hash must be 'vocab' or 'occurrence', got {shingle_hash!r}"
+        )
     ng = (
         with_word_ngrams(_spread(df.select(id_col, text_col), id_col), text_col, n)
         .select(id_col, F.explode("ng").alias("__ng"))
     )
     if hash_fn == "md5":
-        aggs = [
-            F.min(F.md5(F.concat(F.lit(f"{b}:"), F.col("__ng")))).alias(f"mh{b}")
+        hashes = [
+            F.md5(F.concat(F.lit(f"{b}:"), F.col("__ng"))).alias(f"__h{b}")
             for b in range(num_hashes)
         ]
     elif hash_fn == "xxhash64":
-        aggs = [
-            F.min(F.xxhash64(F.lit(b), F.col("__ng"))).alias(f"mh{b}")
+        hashes = [
+            F.xxhash64(F.lit(b), F.col("__ng")).alias(f"__h{b}")
             for b in range(num_hashes)
         ]
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    return ng.groupBy(id_col).agg(*aggs)
+    if shingle_hash == "vocab":
+        vh = ng.select("__ng").distinct().select(F.col("__ng"), *hashes)
+        scored = ng.join(vh.hint("shuffle_hash"), "__ng")
+    else:
+        scored = ng.select(id_col, *hashes)
+    return scored.groupBy(id_col).agg(
+        *[F.min(f"__h{b}").alias(f"mh{b}") for b in range(num_hashes)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -293,6 +319,61 @@ def lsh_candidate_pairs(
     )
     own_caches = () if caller_cached else (signatures,)
     return _materialize_release(pairs, *own_caches, slot="lsh_candidate_pairs")
+
+
+def lsh_star_edges(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Connectivity-equivalent LSH edges for CLUSTERING: one star per band
+    bucket (bucket-min → every other member) instead of
+    :func:`lsh_candidate_pairs`' full intra-bucket clique. Returns
+    distinct (id_a, id_b) with id_a < id_b.
+
+    Why this exists: an LSH bucket is a clique in the candidate graph, and
+    connected components only need the bucket to stay CONNECTED — a star
+    spans it with b−1 edges where the clique emits b(b−1)/2. The
+    transitive closure over "shares some bucket" is therefore identical
+    (pinned by test against the clique edges), while the edge volume the
+    CC rounds shuffle drops by ~half the typical bucket size — for a
+    K-copy crawl shape that is ~K/2×. Use :func:`lsh_candidate_pairs`
+    when downstream SCORES pairs (Jaccard verify, dedup decisions —
+    near-dup candidates must be enumerated, not just connected); use this
+    when the pairs feed a clustering.
+
+    Scale: the hub aggregation and the member join shuffle on the same
+    (band, minhash) key the clique self-join would — with the quadratic
+    blow-up replaced by a groupBy+join that is LINEAR in bucket size, so
+    ``max_bucket`` becomes a noise filter rather than an O(n²) guard
+    (kept for semantic parity with the pair operator: an oversized bucket
+    is boilerplate, and pairs inside it are noise for clustering too).
+    Persist/lifetime discipline identical to lsh_candidate_pairs.
+    """
+    lvl = signatures.storageLevel
+    caller_cached = lvl.useMemory or lvl.useDisk
+    if not caller_cached:
+        signatures = signatures.persist()
+    stack_args = ", ".join(f"'{b}', mh{b}" for b in range(num_hashes))
+    bands = signatures.select(
+        F.col(id_col), F.expr(f"stack({num_hashes}, {stack_args}) AS (band, mh)")
+    )
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "mh").agg(F.count("*").alias("__n"))
+        bands = bands.join(
+            sizes.filter(F.col("__n") <= max_bucket).select("band", "mh"),
+            ["band", "mh"],
+        )
+    hubs = bands.groupBy("band", "mh").agg(F.min(F.col(id_col)).alias("__hub"))
+    edges = (
+        bands.join(hubs, ["band", "mh"])
+        .filter(F.col(id_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    own_caches = () if caller_cached else (signatures,)
+    return _materialize_release(edges, *own_caches, slot="lsh_star_edges")
 
 
 def simhash(

@@ -242,7 +242,14 @@ def connected_components(
 
 def _large_star(sym: DataFrame) -> DataFrame:
     """One large-star round: every node u connects each strictly-LARGER
-    neighbor to m = min(N(u) ∪ {u}). One groupBy + one join, both on u."""
+    neighbor to m = min(N(u) ∪ {u}). One groupBy + one join, both on u.
+
+    The output is deliberately NOT distinct'd: its only consumer is
+    ``_small_star``, whose min-aggregate is duplicate-insensitive and
+    whose terminal distinct produces the round's set anyway — the
+    removed (u,v) exchange was ~15-25% of the round (interleaved sf3
+    A/B, identical labels), and the duplicate volume is bounded at one
+    row per oriented input edge by construction."""
     m = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
@@ -252,7 +259,6 @@ def _large_star(sym: DataFrame) -> DataFrame:
         sym.join(m, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("__m").alias("v"))
-        .distinct()
     )
 
 

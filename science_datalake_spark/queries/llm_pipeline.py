@@ -188,7 +188,14 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-doubling variant of min-label was also measured and
     rejected (rounds 9 -> 6 but the extra shortcut join made each round
     dearer: net 7.9 s). Min-label remains the operator default for the
-    dense-blob dedup graphs it assumed; this corpus is not one."""
+    dense-blob dedup graphs it assumed; this corpus is not one.
+
+    Round-14b edge choice: the CC consumes ``lsh_star_edges`` (one star
+    per band bucket) instead of the full clique pairs — a bucket is a
+    clique, a star spans it, the transitive closure is identical
+    (operator-level equality test), and the edge volume the CC rounds
+    shuffle drops ~K/2× on the K-copy shape. ``lsh_candidate_pairs``
+    remains the input for every operator that SCORES pairs."""
     from science_datalake_spark.operators.graph import connected_components_star
 
     d = (
@@ -197,7 +204,7 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     sigs = D.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=_NUM_HASHES)
-    pairs = D.lsh_candidate_pairs(
+    pairs = D.lsh_star_edges(
         sigs, "doc_id", num_hashes=_NUM_HASHES, max_bucket=_LSH_MAX_BUCKET
     )
     cc = connected_components_star(pairs, "id_a", "id_b")

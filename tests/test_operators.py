@@ -659,6 +659,105 @@ def test_lsh_candidate_pairs_bucket_cap_guards_degenerate_corpus(spark):
         sigs.unpersist()
 
 
+def test_minhash_vocab_hashing_matches_occurrence_hashing(spark):
+    """shingle_hash='vocab' (hash per distinct shingle + join) must be
+    row-identical to the direct per-occurrence hashing for BOTH hash
+    functions — min over a multiset equals min over its support."""
+    from science_datalake_spark.operators.dedup import minhash_signatures
+
+    docs = [
+        (1, "alpha beta gamma alpha beta gamma alpha beta gamma"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "one two three four five six"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    for fn in ("md5", "xxhash64"):
+        vocab = {
+            tuple(r)
+            for r in minhash_signatures(
+                df,
+                "doc_id",
+                "text",
+                n=3,
+                num_hashes=4,
+                hash_fn=fn,
+                shingle_hash="vocab",
+            ).collect()
+        }
+        occ = {
+            tuple(r)
+            for r in minhash_signatures(
+                df,
+                "doc_id",
+                "text",
+                n=3,
+                num_hashes=4,
+                hash_fn=fn,
+                shingle_hash="occurrence",
+            ).collect()
+        }
+        assert vocab == occ, fn
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shingle_hash"):
+        minhash_signatures(df, "doc_id", "text", shingle_hash="distinct")
+
+
+def test_lsh_star_edges_connectivity_equals_clique_pairs(spark):
+    """lsh_star_edges must induce EXACTLY the clique pairs' connected
+    components (a bucket is a clique; a star spans it), with strictly
+    fewer-or-equal edges, id_a < id_b, and the same max_bucket guard."""
+    from science_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signatures,
+    )
+    from science_datalake_spark.operators.graph import connected_components
+
+    docs = [
+        # two K-copy clusters + chain-ish overlap + singletons
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (10, "one two three four five six seven"),
+        (11, "one two three four five six seven"),
+        (12, "one two three four five six eight"),
+        (20, "completely unrelated text about nothing shared"),
+        (21, "another disjoint document with its own words"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    sigs = minhash_signatures(df, "doc_id", "text", n=3, num_hashes=4).persist()
+    try:
+        pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=4)
+        star = lsh_star_edges(sigs, "doc_id", num_hashes=4)
+        assert star.count() <= pairs.count()
+        assert star.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+        comp_pairs = {
+            (r["node"], r["comp"])
+            for r in connected_components(pairs, "id_a", "id_b").collect()
+        }
+        comp_star = {
+            (r["node"], r["comp"])
+            for r in connected_components(star, "id_a", "id_b").collect()
+        }
+        assert comp_star == comp_pairs
+        # the max_bucket guard drops the same oversized buckets
+        boiler = spark.createDataFrame(
+            [(i, "same boilerplate everywhere") for i in range(24)]
+            + [(100, "unique quantum optics doc"), (101, "unique quantum optics doc")],
+            "doc_id LONG, text STRING",
+        )
+        bs = minhash_signatures(boiler, "doc_id", "text", n=3, num_hashes=4).persist()
+        try:
+            capped = lsh_star_edges(bs, "doc_id", num_hashes=4, max_bucket=10)
+            assert [tuple(r) for r in capped.collect()] == [(100, 101)]
+        finally:
+            bs.unpersist()
+    finally:
+        sigs.unpersist()
+
+
 def test_semantic_dedup_dominated_rule(spark):
     """semantic_dedup's keep rule, verified against a brute-force python
     mirror: a row is dropped IFF some smaller-id row in its cluster is
