@@ -24,13 +24,12 @@ computable verbatim by the DuckDB twin (``('0x' || substr(md5(..),1,8))
 ::BIGINT``).
 
 Scale shape: two bounded aggregations (≤ num_buckets rows each, map-side
-combined), then scoring. The default ``score_strategy="fold"`` collects
-the ≤num_buckets-row ratio (the same bounded-artifact contract as
-``dsir_model_read``) and scores map-only via an in-row fold over a dense
-log-ratio array — leaving the map-side-combined bucket count as the ONLY
-data-sized exchange in the operator. ``score_strategy="join"`` keeps the
-broadcast-join + per-doc-groupBy shape for num_buckets too large to embed
-as an expression literal.
+combined), then scoring. The default ``score_strategy="vocab"`` hashes
+features once per DISTINCT token (word-count shuffle, zipf-compressed)
+and scores through a token-keyed join; ``score_strategy="join"`` keeps
+the md5-per-occurrence + ratio-broadcast + per-doc-groupBy shape for
+adversarial vocabularies. See dsir_log_weights for the measured
+trade-offs.
 """
 
 from __future__ import annotations
@@ -93,9 +92,9 @@ def dsir_log_weights(
       instead of once per token occurrence (round-14 decomposition: the
       md5→hex→conv chain per token was ~60% of the operator), and per-doc
       scoring joins the token stream to the vocabulary's (token,
-      log-ratio) relation — unhinted, so AQE broadcasts it while it fits
-      and falls back to a shuffle join when the vocabulary outgrows the
-      threshold (vocabularies are data-sized in the worst case).
+      log-ratio) relation — SHUFFLE_HASH-hinted, never force-broadcast
+      (vocabularies are data-sized in the worst case); AQE still promotes
+      the join to broadcast while the vocabulary fits the threshold.
     - ``score_strategy="join"``: md5 every token occurrence into a
       persisted (id, array<bucket>) relation, broadcast the ≤B-row ratio
       onto the exploded stream, sum per doc. Immune to adversarial
