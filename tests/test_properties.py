@@ -328,3 +328,66 @@ def test_mmr_lam_zero_is_pure_diversity_after_first_pick(rows, k):
         # the chosen candidate's penalty is minimal up to float fuzz from
         # the independent recomputation path
         assert penalty(chosen) <= best + 1e-9
+
+
+# --- LSH star edges: connectivity-equivalence property ----------------------
+#
+# lsh_star_edges (operators/dedup.py) replaces each LSH bucket's clique
+# with a bucket-min star and claims the transitive closure is identical.
+# The Spark test pins one corpus; this pins the MATH for arbitrary bucket
+# assignments: for any doc->buckets map, union-find over clique edges and
+# over star edges must produce identical components.
+
+_BUCKETS = st.dictionaries(
+    st.integers(min_value=0, max_value=30),  # doc id
+    st.sets(st.integers(min_value=0, max_value=10), max_size=4),  # buckets
+    max_size=20,
+)
+
+
+def _components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return frozenset(
+        frozenset(n for n in nodes if find(n) == root)
+        for root in {find(n) for n in nodes}
+    )
+
+
+@given(_BUCKETS)
+@settings(max_examples=300, deadline=None)
+def test_star_edges_preserve_bucket_clique_components(assign):
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for doc, buckets in assign.items():
+        for b in buckets:
+            members[b].add(doc)
+    clique = {
+        (a, b)
+        for docs in members.values()
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    star = {
+        (min(docs), d)
+        for docs in members.values()
+        if len(docs) > 1
+        for d in docs
+        if d != min(docs)
+    }
+    assert all(a < b for a, b in star)
+    assert len(star) <= len(clique)
+    nodes = {d for pair in clique for d in pair}
+    assert _components(star, nodes) == _components(clique, nodes)
