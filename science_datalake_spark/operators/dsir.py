@@ -24,12 +24,13 @@ computable verbatim by the DuckDB twin (``('0x' || substr(md5(..),1,8))
 ::BIGINT``).
 
 Scale shape: two bounded aggregations (≤ num_buckets rows each, map-side
-combined), then scoring. The default ``score_strategy="vocab"`` hashes
-features once per DISTINCT token (word-count shuffle, zipf-compressed)
-and scores through a token-keyed join; ``score_strategy="join"`` keeps
-the md5-per-occurrence + ratio-broadcast + per-doc-groupBy shape for
-adversarial vocabularies. See dsir_log_weights for the measured
-trade-offs.
+combined), then scoring. The default ``score_strategy="join"`` broadcasts
+the ≤num_buckets-row ratio onto the token stream (one data-sized per-doc
+shuffle); ``score_strategy="vocab"`` hashes features once per DISTINCT
+token and scores through a token-keyed join. See dsir_log_weights for
+the measured trade-offs — the join default stands only under proper scan
+fan-out (files.openCostInBytes small enough that the map-only hash pass
+parallelizes; session.SCAN_OPEN_COST_BYTES).
 """
 
 from __future__ import annotations
@@ -71,7 +72,7 @@ def dsir_log_weights(
     num_buckets: int = 1024,
     alpha: float = 0.5,
     persist_tokens: bool | str = True,
-    score_strategy: str = "vocab",
+    score_strategy: str = "join",
 ) -> DataFrame:
     """Per-raw-document DSIR log importance weight.
 
@@ -84,22 +85,31 @@ def dsir_log_weights(
 
     Two result-identical scoring shapes (pinned by test):
 
-    - ``score_strategy="vocab"`` (default): hash features per DISTINCT
-      token — a word-count aggregation (the canonical map-side-combined
-      shuffle, volume = Σ per-partition vocabulary, zipf-compressed far
+    - ``score_strategy="join"`` (default): md5 every token occurrence
+      into a persisted (id, array<bucket>) relation, broadcast the ≤B-row
+      ratio onto the exploded stream, sum per doc. Map-only hashing —
+      immune to adversarial vocabularies, and the fastest shape whenever
+      the scan fans out enough for the hash pass to parallelize.
+    - ``score_strategy="vocab"``: hash features per DISTINCT token — a
+      word-count aggregation (map-side-combined, zipf-compressed far
       below token count) materialized once as a small (token, count,
-      bucket) relation; md5/bucketing then runs once per vocabulary entry
-      instead of once per token occurrence (round-14 decomposition: the
-      md5→hex→conv chain per token was ~60% of the operator), and per-doc
-      scoring joins the token stream to the vocabulary's (token,
+      bucket) relation; md5/bucketing runs once per vocabulary entry, and
+      per-doc scoring joins the token stream to the vocabulary's (token,
       log-ratio) relation — SHUFFLE_HASH-hinted, never force-broadcast
       (vocabularies are data-sized in the worst case); AQE still promotes
-      the join to broadcast while the vocabulary fits the threshold.
-    - ``score_strategy="join"``: md5 every token occurrence into a
-      persisted (id, array<bucket>) relation, broadcast the ≤B-row ratio
-      onto the exploded stream, sum per doc. Immune to adversarial
-      vocabularies (random-string tokens make the vocab relation as large
-      as the token stream); prefer it when dedup buys nothing.
+      the join to broadcast while the vocabulary fits.
+
+    MEASUREMENT CAVEAT (round 14, committed as a correction): vocab was
+    briefly adopted as the default on an A/B whose session LACKED the
+    bench's ``files.openCostInBytes`` scan fan-out — with the small-file
+    scan pinned to ~2 tasks, the per-occurrence md5 chain measured as
+    ~60% of the operator and the vocab dedup of that work won (sf1 1.59
+    vs 2.50). Re-measured under the true session config (fan-out
+    restored) the ranking INVERTS at every scale (sf0.1 1.10 vs 1.23,
+    sf1 1.24 vs 1.43, sf3 1.42 vs 1.59 best-of-3 interleaved): a
+    map-only pass that parallelizes beats hash-dedup + an extra join.
+    The strategy choice is a function of scan parallelism, not corpus
+    zipf alone.
 
     A third shape — collect the bounded ratio and fold map-only over the
     bucket arrays via element_at, eliminating the per-doc shuffle — was
@@ -284,15 +294,14 @@ def dsir_sample(
     alpha: float = 0.5,
     seed: int = 42,
     persist_tokens: bool = True,
-    score_strategy: str = "vocab",
+    score_strategy: str = "join",
 ) -> DataFrame:
     """Gumbel top-k resampling over DSIR log weights: a without-replacement
     sample of ``n`` raw documents distributed as softmax(log_weight).
     Returns (id_col, n_tokens, log_weight, score) sorted by score desc.
 
-    Plan: dsir_log_weights (default vocab strategy: md5 once per distinct
-    token, token-keyed scoring join) + map-only Gumbel perturbation +
-    TakeOrderedAndProject.
+    Plan: dsir_log_weights (default join strategy: one data-sized per-doc
+    shuffle) + map-only Gumbel perturbation + TakeOrderedAndProject.
     """
     w = dsir_log_weights(
         raw,

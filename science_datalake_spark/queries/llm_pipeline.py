@@ -3582,12 +3582,13 @@ def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT replacement from softmax(log_weight). This is the standard
     published recipe for matching a pretraining mixture to a high-quality
     target corpus. Scale shape (operators/dsir.py): both feature
-    distributions aggregate to <=1024 rows (map-side combined); the fitted
-    ratio is collected (bounded at num_buckets rows by construction) and
-    scoring is a MAP-ONLY in-row fold over the persisted token arrays —
-    the bucket count is the only data-sized exchange left; the per-doc
-    sum shuffle the broadcast-join form needed is gone (round-14 fold
-    strategy, A/B'd in BENCH_NOTES). The DuckDB twin replays the identical md5
+    distributions aggregate to <=1024 rows (map-side combined), the ratio
+    relation is broadcast onto the token stream, and the only data-sized
+    shuffle is the per-doc sum. Round 14 measured two alternatives —
+    map-only fold scoring (lost: interpreted HOFs) and per-distinct-token
+    hashing (wins only when the scan can't fan out; see the dsir
+    docstring's measurement-caveat correction) — and kept this shape.
+    The DuckDB twin replays the identical md5
     bucket hash, four-term smoothed log ratio, and md5-keyed Gumbel
     noise."""
     from science_datalake_spark.operators.dsir import dsir_sample

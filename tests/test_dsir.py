@@ -127,13 +127,17 @@ def test_target_vocabulary_docs_outrank_disjoint_docs(spark):
     plan = plans.physical_plan(sample)
     assert "BroadcastHashJoin" in plan, plan  # ratio relation rides a broadcast
     assert plans.is_take_ordered(sample), plan
-    # the join strategy keeps the broadcast-probe + per-doc-sum shape
-    sample_j = dsir_sample(
-        raw, target, "doc_id", "text", n=2, num_buckets=B, score_strategy="join"
+    # the vocab strategy's scoring join must stay a hinted
+    # ShuffledHashJoin (AQE may promote it to broadcast at runtime):
+    # without the hint the static planner broadcasts the WRONG side —
+    # the corpus-sized token stream — because the checkpointed vocab
+    # relation has no stats (round-14 estimator trap, third recurrence)
+    sample_v = dsir_sample(
+        raw, target, "doc_id", "text", n=2, num_buckets=B, score_strategy="vocab"
     )
-    plan_j = plans.physical_plan(sample_j)
-    assert "BroadcastHashJoin" in plan_j, plan_j
-    assert plans.is_take_ordered(sample_j), plan_j
+    plan_v = plans.physical_plan(sample_v)
+    assert "ShuffledHashJoin" in plan_v, plan_v
+    assert plans.is_take_ordered(sample_v), plan_v
 
 
 def test_vocab_and_join_scoring_are_result_identical(spark):

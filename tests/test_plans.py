@@ -333,12 +333,6 @@ def test_shared_relation_queries_reuse_cached_blocks(spark, sf_oracle):
     assert "InMemoryTableScan" in p, p
     p = plans.physical_plan(QUERIES["corpus_dsir_sample"](spark, sf_oracle))
     assert "ExistingRDD" in p, p
-    # the vocab scoring join must stay a hinted ShuffledHashJoin (AQE may
-    # promote it to broadcast at runtime): without the hint the static
-    # planner broadcasts the WRONG side — the corpus-sized token stream —
-    # because the checkpointed vocab relation has no stats (round-14
-    # estimator trap, third recurrence)
-    assert "ShuffledHashJoin" in p, p
 
 
 def test_iterative_graph_ops_persist_invariant_relations(spark):
