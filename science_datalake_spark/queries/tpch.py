@@ -258,15 +258,17 @@ def top_customers_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumnRenamed("o_custkey", "recent_custkey")
     )
-    # Top-k BEFORE the dimension joins (round-14 decomposition): the final
-    # sort keys are (total_revenue DESC, c_custkey), and c_custkey equals
-    # the revenue grain's o_custkey — both exist pre-join — while every
+    # Top-k BEFORE the dimension joins (round 14): the final sort keys
+    # are (total_revenue DESC, c_custkey), and c_custkey equals the
+    # revenue grain's o_custkey — both exist pre-join — while every
     # join below is row-preserving (customer/nation/region are N:1 inner
     # joins on PKs the fact's FKs reference — integrity pinned by the
     # sanity suite — and the existence flag is a LEFT join against a
     # pre-distinct'd key set). So the top-20 set is closed under the
-    # dim chain: TakeOrderedAndProject cuts 450k revenue rows to 20 and
-    # the entire dimension/flag chain runs on 20 rows instead of 450k.
+    # dim chain. This is a SCALE argument, not a fixture-scale win
+    # (measured a wash there — BENCH_NOTES r14b correction 2): customer
+    # scales with the data, so at 100 TB the cut turns a
+    # |customers|-row dimension/flag join chain into a k-row one.
     revenue = revenue.orderBy(F.desc("total_revenue"), "o_custkey").limit(20)
     return (
         revenue.join(c, revenue.o_custkey == c.c_custkey)
