@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
 
@@ -280,11 +281,50 @@ def _small_star(sym: DataFrame) -> DataFrame:
     )
 
 
+def _large_star_window(sym: DataFrame) -> DataFrame:
+    """``_large_star`` with the per-node minimum attached by a window
+    aggregate over the SAME relation instead of a groupBy + self-join.
+
+    Why (round-14): inside the star loop the planner broadcast-joins the
+    tiny min relation every round — each BroadcastExchange materializes
+    as its own future job, and at the loop's small per-round volumes
+    those 4 extra jobs per round (2 joins x build+reuse) cost more than
+    the round's data work (26 -> 8 jobs per CC at sf0.1, identical
+    labels, measured faster at sf0.1/sf1/sf3). The window form computes
+    min(v) over the partition without re-reading or re-shuffling a
+    second relation: one exchange on u, no join. Trade documented on
+    ``connected_components_star``: AQE can split a skewed JOIN but not a
+    skewed window partition, so the join form stays available."""
+    w = Window.partitionBy("u")
+    s = sym.withColumn("__m", F.least(F.col("u"), F.min("v").over(w)))
+    return (
+        s.filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    )
+
+
+def _small_star_window(sym: DataFrame) -> DataFrame:
+    """``_small_star`` via a window aggregate — see ``_large_star_window``.
+    The self-edge leg is deduped before the union (one row per u, as the
+    groupBy form emits) so the final distinct sees the same volume."""
+    dn = sym.filter(F.col("v") < F.col("u"))
+    w = Window.partitionBy("u")
+    s = dn.withColumn("__m", F.min("v").over(w))
+    nbr_edges = s.select(F.col("v").alias("u"), F.col("__m").alias("v"))
+    self_edges = s.select("u", F.col("__m").alias("v")).distinct()
+    return (
+        nbr_edges.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    round_shape: str = "window",
 ) -> DataFrame:
     """(node, component) labels by the large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -293,11 +333,36 @@ def connected_components_star(
     propagation would need a billion. Labels are identical to
     ``connected_components``: every node maps to its component's minimum.
 
-    Each round is two groupBy+join pairs on the node key — the same
-    shuffle profile as one propagation step, just alternating edge
+    Each round is two min-per-node attachments on the node key — the
+    same shuffle profile as one propagation step, just alternating edge
     orientations. Convergence = the edge multiset is a fixed set of stars
     (small-star changes nothing). Per-round localCheckpoint truncates
-    lineage; the previous round's blocks are released each time."""
+    lineage; the previous round's blocks are released each time.
+
+    ``round_shape`` picks how the per-node minimum is attached
+    (round-14, labels pinned identical by test at every shape/scale):
+
+    - ``"window"`` (default): min(v) as a window aggregate over the
+      round relation — no second relation, no join, and crucially no
+      per-round BroadcastExchange FUTURE JOBS (the planner broadcasts
+      the tiny min side every round otherwise; 26 -> 8 jobs per CC at
+      sf0.1 and window won EVERY paired rep of the interleaved warm
+      A/Bs on the dedup star edges, localCheckpoint-materialized input:
+      3.32 vs 4.33 s sf0.1, 3.19 vs 3.90 s sf1, 5.13 vs 6.10 s sf3
+      best-of-3).
+    - ``"join"``: the groupBy + join form. Keep for graphs with extreme
+      degree skew: AQE's skew-join splitting can break up a hot node's
+      partition in the join form, while a window partition cannot be
+      split. (The dedup consumer's star edges have construction-bounded
+      degrees — max_bucket caps bucket size — so the default applies.)"""
+    if round_shape == "window":
+        large, small = _large_star_window, _small_star_window
+    elif round_shape == "join":
+        large, small = _large_star, _small_star
+    else:
+        raise ValueError(
+            f"round_shape must be 'window' or 'join', got {round_shape!r}"
+        )
     isolated = (
         edges.filter(F.col(src) == F.col(dst))
         .select(F.col(src).alias("node"))
@@ -321,7 +386,7 @@ def connected_components_star(
         # Lazy checkpoint + one full-outer set-difference probe = ONE job
         # per round (both sides are distinct edge sets, so any row missing
         # from either side means the sets differ).
-        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        nxt = small(large(sym)).localCheckpoint(eager=False)
         diff = (
             nxt.withColumn("__n", F.lit(1))
             .join(cur.withColumn("__c", F.lit(1)), ["u", "v"], "full_outer")

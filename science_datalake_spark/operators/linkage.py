@@ -312,6 +312,7 @@ def knn_embedding_join(
     right_vec: str,
     threshold: float = 0.65,
     engine: str = "numpy",
+    query_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """Embedding kNN linkage: cosine-score right candidates per left
     entity, similarity floor, keep the single best match per left id.
@@ -327,6 +328,11 @@ def knn_embedding_join(
     the per-batch scan, best-per-left as a k=1 partial top-k); ``"sql"``
     keeps the column-expression form whose float summation order matches
     a relational twin bit-for-bit (the cosine_topk dual-engine contract).
+
+    ``query_rows`` (numpy engine only): pre-collected (id, vector)
+    pairs standing in for the engine's own collect of ``left`` — one
+    collect job shared across several passes over variants of the same
+    cohort (see _cosine_topk_numpy).
     """
     from science_datalake_spark.operators.similarity import (
         _cosine_topk_numpy,
@@ -344,6 +350,7 @@ def knn_embedding_join(
             exclude_self=False,
             round_digits=6,
             threshold=threshold,
+            query_rows=query_rows,
         )
         return out.select(
             F.col("query_id").alias("left_id"),
@@ -352,6 +359,11 @@ def knn_embedding_join(
         )
     if engine != "sql":
         raise ValueError(f"engine must be 'numpy' or 'sql', got {engine!r}")
+    if query_rows is not None:
+        raise ValueError(
+            "query_rows is a numpy-engine device (one driver collect shared "
+            "across passes); the sql engine broadcasts the relation lazily"
+        )
 
     q = left.select(F.col(left_id).alias("left_id"), as_double_vec(left_vec).alias("__lv"))
     c = right.select(F.col(right_id).alias("right_id"), as_double_vec(right_vec).alias("__rv"))

@@ -136,9 +136,18 @@ def _cosine_topk_numpy(
     threshold: float | None = None,
     max_query_rows: int = 65536,
     carry_cols: list[str] | None = None,
+    query_rows: list[tuple] | None = None,
 ) -> DataFrame:
     """The Arrow/numpy engine behind cosine_topk (see its docstring) and
     knn_embedding_join (linkage.py — which passes ``threshold``).
+
+    ``query_rows``: optional pre-collected query batch as (id, vector)
+    pairs, replacing the engine's own driver collect of ``queries``.
+    For callers that run SEVERAL passes over variants of one cohort
+    (sim_matryoshka_fidelity: full + three prefix-sliced retrievals),
+    each engine call is otherwise a separate collect JOB whose cost is
+    fixed per run — collect once, slice driver-side, pass the pairs.
+    ``queries`` is still required for its schema (output id type).
 
     Semantics replicate the SQL path row-for-row: sims are rounded
     half-away-from-zero to ``round_digits`` BEFORE ranking; a NULL,
@@ -159,15 +168,20 @@ def _cosine_topk_numpy(
     # The collect is CAPPED — limit(cap+1) bounds what the driver ever
     # materializes, and an over-cap query side raises with a pointer to
     # the lazy engine instead of OOMing the driver (ADVICE round 8)
-    qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+    if query_rows is None:
+        qrows = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+        q_ids = [r[id_col] for r in qrows]
+        qvecs = [r[vec_col] for r in qrows]
+    else:
+        qrows = query_rows
+        q_ids = [t[0] for t in qrows]
+        qvecs = [t[1] for t in qrows]
     if len(qrows) > max_query_rows:
         raise ValueError(
             f"numpy cosine engine collects the query side to the driver, "
             f"but it exceeds max_query_rows={max_query_rows}; pass "
             f'engine="sql" (lazy broadcast) or raise max_query_rows'
         )
-    q_ids = [r[id_col] for r in qrows]
-    qvecs = [r[vec_col] for r in qrows]
     dim = next((len(v) for v in qvecs if v is not None), 0)
     nq = len(qrows)
     qmat = _vec_matrix(pd.Series(qvecs), dim) if nq else None
@@ -238,6 +252,150 @@ def _cosine_topk_numpy(
     return top_k_per_key(
         part, keys=["query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=k
     )
+
+
+def cosine_top1_prefix_dims(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: list[int | None],
+    round_digits: int = 6,
+    threshold: float | None = None,
+    max_query_rows: int = 65536,
+    query_rows: list[tuple] | None = None,
+) -> DataFrame:
+    """Top-1 cosine retrieval for SEVERAL prefix-truncated variants of one
+    query cohort in ONE corpus pass — the matryoshka audit engine.
+
+    Each entry of ``dims`` is a prefix length d (score ``F.slice(vec, 1,
+    d)`` on both sides) or ``None`` (score the unsliced vectors). Output:
+    ``(d int — the prefix length, -1 for None, query_id, cand_id, sim)``,
+    one row per (variant, query) holding the best candidate under
+    (sim desc, cand_id asc).
+
+    Per variant the semantics are EXACTLY an independent
+    ``_cosine_topk_numpy(k=1)`` call over pre-sliced inputs (pinned by
+    test): the query-side matrix width is the first non-null (sliced)
+    query vector's length; a corpus row scores only when its (sliced)
+    length equals that width — ``min(L, d) == dim_d`` for a slice,
+    ``L == dim_full`` for the full pass — otherwise it is a zero row
+    whose NaN sim the threshold drops (the ``_vec_matrix`` NULL/ragged
+    contract). Rounding is half-away before ranking, partial top-1 per
+    batch, global window merge per (d, query_id).
+
+    Why it exists (round-14, guide §1.2 "fewer passes"): N independent
+    engine calls are N corpus scans, N Python boundary crossings and N
+    plan-construction rounds for one decision; here the corpus parquet
+    is read once, each Arrow batch is sliced as numpy views, and the
+    merge is one window instead of N."""
+    import numpy as np
+    import pandas as pd
+
+    from science_datalake_spark.operators.dedup import _round_half_away, _vec_matrix
+    from science_datalake_spark.operators.windows import top_k_per_key
+
+    if query_rows is None:
+        qraw = queries.select(id_col, vec_col).limit(max_query_rows + 1).collect()
+        qpairs = [(r[id_col], r[vec_col]) for r in qraw]
+    else:
+        qpairs = query_rows
+    if len(qpairs) > max_query_rows:
+        raise ValueError(
+            f"cosine_top1_prefix_dims collects the query side to the driver, "
+            f"but it exceeds max_query_rows={max_query_rows}"
+        )
+    q_ids = [t[0] for t in qpairs]
+    nq = len(qpairs)
+
+    # Per-variant query matrices, built from driver-side slices exactly as
+    # the per-pass engine would see them.
+    variants = []  # (tag, dim_d, is_full, d, qmat, qq)
+    for d in dims:
+        if d is None:
+            qvecs = [t[1] for t in qpairs]
+        else:
+            qvecs = [t[1][:d] if t[1] is not None else None for t in qpairs]
+        dim_d = next((len(v) for v in qvecs if v is not None), 0)
+        qmat = _vec_matrix(pd.Series(qvecs), dim_d) if nq else None
+        qq = (qmat * qmat).sum(axis=1) if nq else None
+        variants.append((-1 if d is None else d, dim_d, d is None, d, qmat, qq))
+
+    width = max((v[1] for v in variants), default=0)
+    qid_t = queries.schema[id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"d int, query_id {qid_t}, cand_id {cid_t}, sim double"
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            vals = pdf[vec_col].tolist()
+            lengths = np.fromiter(
+                (0 if v is None else len(v) for v in vals), dtype=np.int64, count=n
+            )
+            isnull = np.fromiter(
+                (v is None for v in vals), dtype=bool, count=n
+            )
+            # raw value matrix: first min(L, width) coords per row; validity
+            # is applied PER VARIANT below (zeroing the rows whose sliced
+            # length would not match that variant's matrix width)
+            m_big = np.zeros((n, width), dtype=np.float64)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    L = min(len(v), width)
+                    if L:
+                        m_big[i, :L] = v[:L]
+            cids = pdf[id_col].reset_index(drop=True)
+            frames = []
+            for tag, dim_d, is_full, d, qmat, qq in variants:
+                if is_full:
+                    valid = (~isnull) & (lengths == dim_d)
+                else:
+                    valid = (~isnull) & (np.minimum(lengths, d) == dim_d)
+                v = m_big[:, :dim_d].copy()
+                v[~valid] = 0.0
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = (v @ qmat.T) / np.sqrt(
+                        (v * v).sum(axis=1, keepdims=True) * qq[None, :]
+                    )
+                sims[~np.isfinite(sims)] = np.nan
+                sims = _round_half_away(sims, round_digits)
+                for j in range(nq):
+                    col = sims[:, j]
+                    key = np.where(np.isnan(col), -np.inf, col)
+                    mask = np.ones(n, dtype=bool)
+                    if threshold is not None:
+                        mask &= key >= threshold
+                    idx = np.nonzero(mask)[0]
+                    if idx.size == 0:
+                        continue
+                    kth = np.partition(key[idx], idx.size - 1)[idx.size - 1]
+                    sel = idx[key[idx] >= kth]
+                    tmp = pd.DataFrame(
+                        {
+                            "d": tag,
+                            "query_id": q_ids[j],
+                            "cand_id": cids.iloc[sel].to_numpy(),
+                            "sim": col[sel],
+                            "__key": key[sel],
+                        }
+                    )
+                    frames.append(
+                        tmp.sort_values(
+                            ["__key", "cand_id"],
+                            ascending=[False, True],
+                            kind="mergesort",
+                        ).head(1)[["d", "query_id", "cand_id", "sim"]]
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    part = corpus.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    return top_k_per_key(
+        part, keys=["d", "query_id"], order=[F.desc("sim"), F.asc("cand_id")], k=1
+    ).drop("rank")
 
 
 def sign_bucket(vec: Column, dims: int = 6) -> Column:

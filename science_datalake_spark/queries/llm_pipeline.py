@@ -3375,7 +3375,7 @@ def sim_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d slices the arrays BEFORE the BLAS scoring so the truncated passes
     are cheaper than the full one. The DuckDB twin replays slices, the
     6-dp-then-tie-break ranking, and the agreement join."""
-    from science_datalake_spark.operators.linkage import knn_embedding_join
+    from science_datalake_spark.operators.similarity import cosine_top1_prefix_dims
 
     e = table(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     dims = [8, 16, 32]
@@ -3429,33 +3429,57 @@ def sim_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # leave them alone.
     q = e.filter(F.col("vec_id") < 40)
     c = e.filter(F.col("vec_id") >= 40)
-    full = knn_embedding_join(
-        q, c, "vec_id", "vec_id", "embedding", "embedding", threshold=-2.0
-    ).select(F.col("left_id").alias("qid"), F.col("right_id").alias("full_cid"))
-    parts = []
-    for d in dims:
-        qd = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        parts.append(
-            knn_embedding_join(
-                qd, cd, "vec_id", "vec_id", "embedding", "embedding", threshold=-2.0
-            ).select(
-                F.lit(d).alias("d"),
-                F.col("left_id").alias("qid"),
-                F.col("right_id").alias("trunc_cid"),
-            )
-        )
-    trunc = parts[0]
-    for p in parts[1:]:
-        trunc = trunc.unionByName(p)
+    # Round-14 fused retrieval (guide §1.2 — fewer passes): the four
+    # knn_embedding_join calls (full + three prefix slices) were four
+    # corpus scans, four Python boundary crossings, four plan builds and
+    # four 40-row query-cohort collect JOBS — ~0.4-0.5 s of fixed cost
+    # per pass at every scale. cosine_top1_prefix_dims collects the
+    # cohort once, slices it driver-side (v[:d] IS F.slice(v, 1, d)),
+    # and scores every variant from one Arrow batch stream; per-variant
+    # semantics are pinned equal to independent knn passes by test.
+    qrows = [
+        (r["vec_id"], r["embedding"])
+        for r in q.select("vec_id", "embedding").collect()
+    ]
+    fused = cosine_top1_prefix_dims(
+        c, q, "vec_id", "embedding", dims=[*dims, None],
+        threshold=-2.0, query_rows=qrows,
+    )
+    # pivot to one row per query, then compare each truncated top-1 to
+    # the full-space top-1 — equivalent to the per-pass inner join on
+    # qid because k=1 makes (d, query_id) unique; the null filter
+    # reproduces the inner join's both-sides-present requirement
+    per_q = fused.groupBy("query_id").agg(
+        F.max(F.when(F.col("d") == -1, F.col("cand_id"))).alias("__full"),
+        *[
+            F.max(F.when(F.col("d") == d, F.col("cand_id"))).alias(f"__c{d}")
+            for d in dims
+        ],
+    )
     agree = (
-        trunc.join(full, "qid")
+        per_q.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            F.when(
+                                F.col(f"__c{d}").isNotNull()
+                                & F.col("__full").isNotNull(),
+                                (F.col(f"__c{d}") == F.col("__full")).cast("double"),
+                            ).alias("m"),
+                        )
+                        for d in dims
+                    ]
+                )
+            ).alias("__x")
+        )
+        .select("__x.d", "__x.m")
+        .filter(F.col("m").isNotNull())
         .groupBy("d")
         .agg(
             F.count("*").alias("n_queries"),
-            F.round(
-                F.avg((F.col("trunc_cid") == F.col("full_cid")).cast("double")), 6
-            ).alias("top1_agree"),
+            F.round(F.avg("m"), 6).alias("top1_agree"),
         )
     )
     return energy.join(agree, "d").orderBy("d")

@@ -887,3 +887,92 @@ def test_pq_codebooks_session_cache(spark):
     assert c is not a and len(c[0]) == 2
     d = pq_codebooks(df, "vec_id", "embedding", m=2, k=3)  # opt-out
     assert d is not a and d == a
+
+
+def test_cosine_top1_prefix_dims_equals_independent_passes(spark):
+    """The fused matryoshka engine (one corpus pass scoring the full
+    retrieval plus prefix-sliced variants) is row-identical, per variant,
+    to independent knn_embedding_join calls over F.slice'd inputs —
+    including the _vec_matrix NULL/ragged contract: a corpus row whose
+    (sliced) length differs from the query matrix width scores NULL and
+    is dropped by the threshold, exactly as in the per-pass engine.
+    Fixture includes NULL vectors, a short (ragged) vector, an over-long
+    vector, and a zero vector on the corpus side."""
+    from science_datalake_spark.operators.linkage import knn_embedding_join
+    from science_datalake_spark.operators.similarity import cosine_top1_prefix_dims
+
+    dim = 8
+    rows = []
+    # queries: ids 0-4 (one NULL vector among them)
+    rows.append((0, [float(i + 1) for i in range(dim)]))
+    rows.append((1, [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0]))
+    rows.append((2, None))
+    rows.append((3, [0.5] * dim))
+    rows.append((4, [9.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]))
+    # corpus: ids 10+ — normal, ragged-short (len 4), over-long (len 10),
+    # zero vector, NULL
+    rows.append((10, [float(dim - i) for i in range(dim)]))
+    rows.append((11, [2.0, 2.0, 2.0, 2.0]))
+    rows.append((12, [1.0] * 10))
+    rows.append((13, [0.0] * dim))
+    rows.append((14, None))
+    rows.append((15, [-1.0, 4.0, -2.0, 3.0, 0.0, 1.0, 2.0, -3.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 10)
+    c = df.filter(F.col("vec_id") >= 10)
+
+    dims = [2, 4, None]
+    fused = {
+        (r["d"], r["query_id"]): (r["cand_id"], r["sim"])
+        for r in cosine_top1_prefix_dims(
+            c, q, "vec_id", "embedding", dims=dims, threshold=-2.0
+        ).collect()
+    }
+    for d in dims:
+        if d is None:
+            qd, cd, tag = q, c, -1
+        else:
+            qd = q.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+            cd = c.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+            tag = d
+        ref = {
+            (tag, r["left_id"]): (r["right_id"], r["similarity"])
+            for r in knn_embedding_join(
+                qd, cd, "vec_id", "vec_id", "embedding", "embedding",
+                threshold=-2.0, engine="numpy",
+            ).collect()
+        }
+        got = {k: v for k, v in fused.items() if k[0] == tag}
+        assert got == ref, f"variant d={d}: {got} != {ref}"
+
+
+def test_knn_embedding_join_query_rows_matches_own_collect(spark):
+    """query_rows (the shared-collect device) yields the identical result
+    to letting the engine collect the query side itself, and is rejected
+    by the sql engine, whose broadcast is already lazy."""
+    import pytest
+
+    from science_datalake_spark.operators.linkage import knn_embedding_join
+
+    df = spark.range(30).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7 + 1).cast("double"), (F.col("id") % 5).cast("double")
+        ).alias("embedding"),
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    qrows = [(r["vec_id"], r["embedding"]) for r in q.collect()]
+    a = sorted(map(tuple, knn_embedding_join(
+        q, c, "vec_id", "vec_id", "embedding", "embedding", threshold=0.1
+    ).collect()))
+    b = sorted(map(tuple, knn_embedding_join(
+        q, c, "vec_id", "vec_id", "embedding", "embedding", threshold=0.1,
+        query_rows=qrows,
+    ).collect()))
+    assert a == b and len(a) == 5
+    with pytest.raises(ValueError, match="numpy-engine"):
+        knn_embedding_join(
+            q, c, "vec_id", "vec_id", "embedding", "embedding",
+            threshold=0.1, engine="sql", query_rows=qrows,
+        )

@@ -698,3 +698,30 @@ def test_calibration_report_perfect_and_random(spark):
     got = {r["g"]: r for r in calibration_report(df, ["g"], "p", "y").collect()}
     assert got["p"]["ece"] == 0.0 and got["p"]["brier"] == 0.1875
     assert got["o"]["ece"] == 0.4 and got["o"]["brier"] == 0.41
+
+
+def test_connected_components_star_round_shapes_identical(spark):
+    """The window round shape (round-14 default — no per-round broadcast
+    future jobs) labels identically to the join shape on every graph
+    class: dense blob, long chain, degree-skewed hub star, pair,
+    self-loop singleton. Also pins the invalid-shape error."""
+    import pytest
+
+    from science_datalake_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("a", "c"), ("c", "d")]
+        + [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)]
+        + [("hub", f"leaf{i:02d}") for i in range(50)]
+        + [("x", "y"), ("z", "z")],
+        "src STRING, dst STRING",
+    )
+    win = sorted(
+        map(tuple, connected_components_star(edges, round_shape="window").collect())
+    )
+    jon = sorted(
+        map(tuple, connected_components_star(edges, round_shape="join").collect())
+    )
+    assert win == jon and len(win) > 0
+    with pytest.raises(ValueError, match="round_shape"):
+        connected_components_star(edges, round_shape="broadcast")
