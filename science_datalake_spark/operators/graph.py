@@ -285,12 +285,15 @@ def _large_star_window(sym: DataFrame) -> DataFrame:
     """``_large_star`` with the per-node minimum attached by a window
     aggregate over the SAME relation instead of a groupBy + self-join.
 
-    Why (round-14): inside the star loop the planner broadcast-joins the
-    tiny min relation every round — each BroadcastExchange materializes
-    as its own future job, and at the loop's small per-round volumes
-    those 4 extra jobs per round (2 joins x build+reuse) cost more than
-    the round's data work (26 -> 8 jobs per CC at sf0.1, identical
-    labels, measured faster at sf0.1/sf1/sf3). The window form computes
+    Why (round-14): inside the star loop the STATIC planner
+    auto-broadcasts the tiny min relations (AQE is gated off at small
+    scales; one round plans 3 BroadcastHashJoins fed by 4
+    BroadcastExchanges — the large-star subtree is re-planned in both
+    small-star legs), and each BroadcastExchange materializes as its
+    own future job; at the loop's small per-round volumes those 4
+    extra jobs per round cost more than the round's data work
+    (26 -> 8 jobs per CC at sf0.1, identical labels, measured faster
+    at sf0.1/sf1/sf3). The window form computes
     min(v) over the partition without re-reading or re-shuffling a
     second relation: one exchange on u, no join. Trade documented on
     ``connected_components_star``: AQE can split a skewed JOIN but not a
