@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
@@ -322,12 +323,55 @@ def _small_star_window(sym: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_labels_local(us: list, vs: list) -> dict:
+    """Driver-side union-find over a normalized (u >= v, distinct) edge
+    list — the small-graph engine behind ``connected_components_star``'s
+    bounded fast path. Attaching the larger root under the smaller keeps
+    every root equal to its component's MINIMUM (the same canonical label
+    the distributed rounds produce); path-halving keeps finds near-O(1).
+    Self-loop rows mark isolated nodes: they label themselves unless some
+    real edge also touches them. Python ``min``/``<`` on str compares by
+    code point and Spark's UTF8String comparison is byte-wise — UTF-8
+    byte order equals code-point order, so string labels agree."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    self_loops = []
+    for u, v in zip(us, vs):
+        if u == v:
+            self_loops.append(u)
+            continue
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                parent[ru] = rv
+            else:
+                parent[rv] = ru
+    labels = {n: find(n) for n in parent}
+    for s in self_loops:
+        if s not in labels:
+            labels[s] = s
+    return labels
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
     round_shape: str = "window",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """(node, component) labels by the large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -357,7 +401,26 @@ def connected_components_star(
       degree skew: AQE's skew-join splitting can break up a hot node's
       partition in the join form, while a window partition cannot be
       split. (The dedup consumer's star edges have construction-bounded
-      degrees — max_bucket caps bucket size — so the default applies.)"""
+      degrees — max_bucket caps bucket size — so the default applies.)
+
+    ``small_graph_edges`` (round-14 optimization 1, guide §3.1's
+    "broadcast the side that fits" applied to graphs): when the
+    normalized distinct edge set is at most this many rows, collect it
+    via Arrow and label with a driver-side union-find instead of running
+    the distributed rounds. Every round of the loop is a fixed ~0.4-0.5 s
+    of pure job scheduling at small edge volumes (the sf0.1 dedup graph:
+    2,260 edges, 8 jobs, ~4 s — measured by tools/decompose_cluster_sizes
+    .py), while 200k normalized edges are a ~10 MB broadcast-class
+    collect (same size discipline as autoBroadcastJoinThreshold) and a
+    sub-0.3 s union-find. Labels are identical by construction (union
+    attaches the larger root under the smaller, so every root is the
+    component minimum) and pinned by test against the distributed rounds.
+    The gate costs one count on the already-checkpointed normalized
+    relation; above it, the rounds run exactly as before. Set 0 to
+    disable. This is a size-adaptive engine tier, not a local-mode tune:
+    at 100 TB the edge set blows past any such threshold and the O(log n)
+    rounds carry the query, exactly like a sort-merge join past the
+    broadcast threshold."""
     if round_shape == "window":
         large, small = _large_star_window, _small_star_window
     elif round_shape == "join":
@@ -366,13 +429,13 @@ def connected_components_star(
         raise ValueError(
             f"round_shape must be 'window' or 'join', got {round_shape!r}"
         )
-    isolated = (
-        edges.filter(F.col(src) == F.col(dst))
-        .select(F.col(src).alias("node"))
-        .distinct()
-    )
-    cur = (
-        edges.filter(F.col(src) != F.col(dst))
+    # One normalization both engines share: drop null endpoints (a null
+    # src/dst never survived the src==dst / src!=dst comparisons of the
+    # pre-r14 shape either), orient u >= v, dedup, checkpoint. Self-loops
+    # stay in (they mark isolated nodes); the loop filters them out of
+    # its working set below.
+    norm = (
+        edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
         .select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
@@ -380,7 +443,29 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    prev_ckpt: DataFrame = cur
+    if small_graph_edges and norm.count() <= small_graph_edges:
+        import pandas as pd
+
+        pdf = norm.toPandas()
+        _release_checkpoint(norm)
+        labels = _union_find_labels_local(list(pdf["u"]), list(pdf["v"]))
+        out_schema = StructType(
+            [
+                StructField("node", norm.schema["u"].dataType),
+                StructField("comp", norm.schema["u"].dataType),
+            ]
+        )
+        out_pdf = pd.DataFrame(
+            {"node": list(labels.keys()), "comp": list(labels.values())}
+        )
+        return edges.sparkSession.createDataFrame(out_pdf, schema=out_schema)
+    isolated = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+    )
+    cur = norm.filter(F.col("u") != F.col("v"))
+    prev_ckpt: DataFrame = norm
     converged = False
     for _ in range(max_rounds):
         sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))

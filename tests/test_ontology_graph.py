@@ -437,6 +437,45 @@ def test_connected_components_star_matches_propagation(spark):
     assert star["z"] == "z" and star["t"] == "p"
 
 
+def test_connected_components_star_small_graph_gate(spark):
+    """The round-14-opt bounded fast path (driver union-find when the
+    normalized edge set fits ``small_graph_edges``) must be invisible in
+    the results: identical labels at any gate setting, identical
+    null-endpoint semantics (dropped, as the comparison filters always
+    did), identical schema on non-string ids and on empty input."""
+    from science_datalake_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("z", "z"), (None, "k"), ("k", None)],
+        "src STRING, dst STRING",
+    )
+    want = {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"), ("z", "z")}
+    # normalized distinct edge count here is 4 (null rows drop): thresholds
+    # above, exactly at, and below the count, plus disabled
+    for gate in (200_000, 4, 3, 1, 0):
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components_star(edges, small_graph_edges=gate).collect()
+        }
+        assert got == want, f"small_graph_edges={gate}"
+
+    ints = spark.createDataFrame([(2, 1), (3, 2), (9, 9)], "src LONG, dst LONG")
+    fast = connected_components_star(ints)
+    slow = connected_components_star(ints, small_graph_edges=0)
+    assert fast.schema == slow.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect())) == [
+        (1, 1),
+        (2, 1),
+        (3, 1),
+        (9, 9),
+    ]
+
+    empty = spark.createDataFrame([], "src STRING, dst STRING")
+    out = connected_components_star(empty)
+    assert out.count() == 0
+    assert out.schema == connected_components_star(empty, small_graph_edges=0).schema
+
+
 def test_connected_components_cache_flat_across_iterations(spark):
     """The per-iteration localCheckpoint must not accumulate cached RDDs
     (round-3 advice finding): a 60-hop chain needs dozens of rounds, but
@@ -454,7 +493,9 @@ def test_connected_components_cache_flat_across_iterations(spark):
     chain = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(60)], "src STRING, dst STRING"
     )
-    out = connected_components_star(chain)
+    # small_graph_edges=0 forces the distributed rounds — the per-round
+    # cache discipline is exactly what this test pins
+    out = connected_components_star(chain, small_graph_edges=0)
     assert out.count() == 61
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after - base <= 1  # only the live result, never one-per-round
@@ -555,8 +596,19 @@ def test_connected_components_star_random_graphs_vs_union_find(spark):
         nodes = sorted({x for e in edges for x in e})
         expected = union_find_labels(edges, nodes)
         df = spark.createDataFrame(edges, "src STRING, dst STRING")
-        got = {r["node"]: r["comp"] for r in connected_components_star(df).collect()}
+        # distributed rounds forced (the default gate would route these
+        # tiny graphs to the driver-side union-find — which this oracle
+        # IS, so that comparison would be vacuous)
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components_star(df, small_graph_edges=0).collect()
+        }
         assert got == expected, f"seed={seed}"
+        # the bounded fast path must agree with both
+        fast = {
+            r["node"]: r["comp"] for r in connected_components_star(df).collect()
+        }
+        assert fast == expected, f"seed={seed} (fast path)"
 
 
 def test_annotated_stratified_metrics_hand_computed(spark):
@@ -716,12 +768,28 @@ def test_connected_components_star_round_shapes_identical(spark):
         + [("x", "y"), ("z", "z")],
         "src STRING, dst STRING",
     )
+    # small_graph_edges=0 forces the distributed rounds: with the default
+    # gate this fixture would take the union-find fast path and never
+    # exercise either round shape
     win = sorted(
-        map(tuple, connected_components_star(edges, round_shape="window").collect())
+        map(
+            tuple,
+            connected_components_star(
+                edges, round_shape="window", small_graph_edges=0
+            ).collect(),
+        )
     )
     jon = sorted(
-        map(tuple, connected_components_star(edges, round_shape="join").collect())
+        map(
+            tuple,
+            connected_components_star(
+                edges, round_shape="join", small_graph_edges=0
+            ).collect(),
+        )
     )
     assert win == jon and len(win) > 0
+    # the bounded fast path (default gate) must label identically to both
+    fast = sorted(map(tuple, connected_components_star(edges).collect()))
+    assert fast == win
     with pytest.raises(ValueError, match="round_shape"):
         connected_components_star(edges, round_shape="broadcast")
