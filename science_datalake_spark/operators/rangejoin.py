@@ -34,12 +34,166 @@ the additive distributed-scale counterpart.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _bucket(col: Column, width: float) -> Column:
     return F.floor(col / F.lit(width)).cast("long")
+
+
+def _grouped_arrow_fn(
+    keys: list[str],
+    l_items: list[str],
+    r_items: list[str],
+    ls: str,
+    le: str,
+    rs: str,
+    re_: str,
+    self_join: bool,
+    max_candidates: int = 4_000_000,
+):
+    """Build the mapInArrow function for ``strategy="grouped_arrow"``.
+
+    Input batches arrive key-contiguous (the caller established hash
+    partitioning + an in-partition sort on the keys, plus ``__side`` for
+    two-sided joins). Groups may straddle Arrow batch boundaries, so the
+    tail group of every batch is carried into the next one and flushed
+    at end of partition. Inside a group, ALL ordered candidate pairs are
+    enumerated with numpy index arrays over the group's SHARED column
+    buffers — the per-pair array copy that sank the JVM ``grouped``
+    strategy (unsafe-row format has no array sharing) never happens; the
+    only per-pair materialization is the final ``take`` of surviving
+    pairs. ``max_candidates`` chunks the enumeration (at group-row
+    granularity on the left index) so peak memory stays bounded even for
+    groups near the routing cap.
+
+    Null semantics mirror the equi-join paths exactly: bounds are read
+    as float64 with nulls as NaN, and every NaN comparison is False, so
+    a null-bounded interval pairs with nothing — same as the banded
+    join's three-valued overlap predicate. (Bounds are numeric by the
+    operator contract; integral bounds ride through float64 here just as
+    they ride through double division in the banded bucketing.)
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        key_cols = list(keys)
+
+        def change_flags(tbl: "pa.Table"):
+            # bool numpy array, True where row i starts a new key group
+            # (row 0 excluded — callers add it). Keys are non-null by
+            # construction (filtered upstream); fill_null(False) is
+            # belt-and-braces for the slice compare.
+            n = tbl.num_rows
+            out = np.zeros(max(n - 1, 0), dtype=bool)
+            for k in key_cols:
+                col = tbl.column(k).chunk(0)
+                neq = pc.fill_null(
+                    pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1)),
+                    False,
+                )
+                out |= neq.to_numpy(zero_copy_only=False).astype(bool)
+            return out
+
+        def f64(arr: "pa.Array"):
+            a = pc.cast(arr, pa.float64())
+            if a.null_count:
+                a = pc.fill_null(a, float("nan"))
+            return a.to_numpy(zero_copy_only=False)
+
+        def emit(tbl: "pa.Table"):
+            n = tbl.num_rows
+            if n == 0:
+                return
+            flags = change_flags(tbl)
+            starts = np.concatenate(([0], np.flatnonzero(flags) + 1))
+            sizes = np.diff(np.append(starts, n))
+            s_l = f64(tbl.column(ls).chunk(0))
+            e_l = f64(tbl.column(le).chunk(0))
+            if self_join:
+                s_r, e_r = s_l, e_l
+                # every row is a LEFT row paired against its whole group
+                row_cnt = np.repeat(sizes, sizes)
+                row_off = np.repeat(starts, sizes)
+            else:
+                s_r = f64(tbl.column(rs).chunk(0))
+                e_r = f64(tbl.column(re_).chunk(0))
+                # rows are sorted (keys, __side): left block then right
+                # block inside each group. Left rows pair against the
+                # right block; right rows contribute no pairs as LEFT.
+                side = tbl.column("__side").chunk(0).to_numpy(
+                    zero_copy_only=False
+                )
+                gidx = np.repeat(np.arange(starts.size), sizes)
+                n_left = np.bincount(
+                    gidx, weights=(side == 0), minlength=starts.size
+                ).astype(np.int64)
+                row_cnt = np.where(
+                    side == 0, np.repeat(sizes - n_left, sizes), 0
+                ).astype(np.int64)
+                row_off = np.repeat(starts + n_left, sizes)
+            csum = np.cumsum(row_cnt)
+            out_cols = [tbl.column(c).chunk(0) for c in key_cols]
+            l_cols = [tbl.column(c).chunk(0) for c in l_items]
+            # self-join: right-side VALUES come from the left columns —
+            # only the output names carry the right suffix
+            r_cols = [
+                tbl.column(c).chunk(0)
+                for c in (l_items if self_join else r_items)
+            ]
+            lo = 0
+            base = 0
+            while lo < n:
+                hi = int(np.searchsorted(csum, base + max_candidates)) + 1
+                hi = min(max(hi, lo + 1), n)
+                cnt = row_cnt[lo:hi]
+                total = int(csum[hi - 1] - base)
+                base = int(csum[hi - 1])
+                if total == 0:
+                    lo = hi
+                    continue
+                left = np.repeat(np.arange(lo, hi, dtype=np.int64), cnt)
+                bs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                right = (
+                    np.arange(total, dtype=np.int64)
+                    - np.repeat(bs, cnt)
+                    + np.repeat(row_off[lo:hi], cnt)
+                )
+                mask = (s_l[left] <= e_r[right]) & (s_r[right] <= e_l[left])
+                li = pa.array(left[mask], type=pa.int64())
+                ri = pa.array(right[mask], type=pa.int64())
+                arrays = [c.take(li) for c in out_cols]
+                arrays += [c.take(li) for c in l_cols]
+                arrays += [c.take(ri) for c in r_cols]
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=[*key_cols, *l_items, *r_items]
+                )
+                lo = hi
+
+        carry = None
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+            tbl = tbl.combine_chunks()
+            n = tbl.num_rows
+            if n == 0:
+                carry = None
+                continue
+            flags = change_flags(tbl)
+            idx = np.flatnonzero(flags)
+            split = int(idx[-1]) + 1 if idx.size else 0
+            head, carry = tbl.slice(0, split), tbl.slice(split)
+            # slices of a combined table are still single-chunk views
+            yield from emit(head)
+        if carry is not None and carry.num_rows:
+            yield from emit(carry.combine_chunks())
+
+    return fn
 
 
 def interval_overlap_join(
@@ -55,6 +209,7 @@ def interval_overlap_join(
     strategy: str = "banded",
     share_scan: bool = False,
     keyed_join: str = "sort_merge",
+    banded_join: str = "sort_merge",
     persist_handles: list | None = None,
     grouped_max_size: int | None = 4096,
 ) -> DataFrame:
@@ -148,15 +303,20 @@ def interval_overlap_join(
     results are materialized (r13 advice)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
-    if strategy not in ("banded", "keyed", "grouped"):
+    if strategy not in ("banded", "keyed", "grouped", "grouped_arrow"):
         raise ValueError(
-            f"strategy must be 'banded', 'keyed' or 'grouped', got {strategy!r}"
+            "strategy must be 'banded', 'keyed', 'grouped' or "
+            f"'grouped_arrow', got {strategy!r}"
         )
-    if strategy in ("keyed", "grouped") and not on:
+    if strategy in ("keyed", "grouped", "grouped_arrow") and not on:
         raise ValueError(f"strategy={strategy!r} requires equi keys (on=...)")
     if keyed_join not in ("sort_merge", "shuffle_hash"):
         raise ValueError(
             f"keyed_join must be 'sort_merge' or 'shuffle_hash', got {keyed_join!r}"
+        )
+    if banded_join not in ("sort_merge", "shuffle_hash"):
+        raise ValueError(
+            f"banded_join must be 'sort_merge' or 'shuffle_hash', got {banded_join!r}"
         )
     if grouped_max_size is not None and grouped_max_size < 1:
         raise ValueError("grouped_max_size must be >= 1 (or None to disable)")
@@ -165,7 +325,11 @@ def interval_overlap_join(
     rs, re_ = right_bounds
     self_join = right is left
 
-    if share_scan and strategy in ("banded", "grouped") and long_span_buckets is not None:
+    if (
+        share_scan
+        and strategy in ("banded", "grouped", "grouped_arrow")
+        and long_span_buckets is not None
+    ):
         from pyspark import StorageLevel
 
         left = left.persist(StorageLevel.MEMORY_AND_DISK)
@@ -225,6 +389,17 @@ def interval_overlap_join(
         first_common = F.greatest(
             _bucket(F.col(ls), bucket_width), _bucket(F.col(rs), bucket_width)
         )
+        if banded_join == "shuffle_hash":
+            # the overlap + first-common-bucket post-filter consumes the
+            # join UNORDERED, so sort-merge's two full sorts of the
+            # exploded band streams are pure overhead whenever the
+            # per-partition build fits memory (the keyed strategy's r13
+            # lesson, applied to the banded engine in r15). Opt-in: the
+            # build side is the EXPLODED band relation — band fan-out
+            # multiplies it, so callers must have sized bucket_width
+            # (fan-out ~1) and their exchanges first (the r13 W=16
+            # experiment OOM'd exactly here).
+            rb = rb.hint("shuffle_hash")
         return (
             lb.join(rb, on=[*on, "__bucket"])
             .filter(overlap & (F.col("__bucket") == first_common))
@@ -280,6 +455,87 @@ def interval_overlap_join(
                 if self_join
                 else r_short
             )
+            shortshort = shortshort.unionByName(banded_leg(big_l, big_r))
+        banded = shortshort
+    elif strategy == "grouped_arrow":
+        # short×short via ONE key-clustered stage + Arrow pair
+        # enumeration (round 15, the round-14 verdict's retry of the
+        # grouped idea at the Arrow layer): a single exchange
+        # establishes hash partitioning on the keys, a window count
+        # sizes every group in the same pass (its sort makes groups
+        # contiguous), and a mapInArrow stage enumerates each group's
+        # candidate pairs with shared numpy index arrays — the per-pair
+        # group-array copy that made the JVM "grouped" strategy 2x
+        # SLOWER than banded (unsafe rows cannot share arrays) does not
+        # exist in this representation. No band explode, no join
+        # exchange on the pair stream. Oversized groups (>
+        # grouped_max_size rows across both sides, per key) route to
+        # the banded engine, which prunes candidate pairs by bucket
+        # colocation — the right plan when one giant group's intervals
+        # are spread over time; routing is per KEY, so the two legs
+        # partition the pair space exactly. NULL-key rows are excluded
+        # up front to mirror equi-join semantics.
+        from pyspark.sql.types import StructField, StructType
+
+        l_items = [c for c in left.columns if c not in on]
+        r_items = [c for c in right.columns if c not in on]
+        nn_l = l_short
+        for k_ in on:
+            nn_l = nn_l.filter(F.col(k_).isNotNull())
+        if self_join:
+            u = nn_l
+        else:
+            nn_r = r_short
+            for k_ in on:
+                nn_r = nn_r.filter(F.col(k_).isNotNull())
+            u = nn_l.select(
+                *on,
+                F.lit(0).alias("__side"),
+                *[F.col(c) for c in l_items],
+                *[
+                    F.lit(None).cast(right.schema[c].dataType).alias(c)
+                    for c in r_items
+                ],
+            ).unionByName(
+                nn_r.select(
+                    *on,
+                    F.lit(1).alias("__side"),
+                    *[
+                        F.lit(None).cast(left.schema[c].dataType).alias(c)
+                        for c in l_items
+                    ],
+                    *[F.col(c) for c in r_items],
+                )
+            )
+        if grouped_max_size is not None:
+            w = Window.partitionBy(*on)
+            sized = u.withColumn("__gsz", F.count(F.lit(1)).over(w))
+            small = sized.filter(F.col("__gsz") <= grouped_max_size).drop("__gsz")
+            big = sized.filter(F.col("__gsz") > grouped_max_size).drop("__gsz")
+        else:
+            small = u.repartition(*on).sortWithinPartitions(*on)
+            big = None
+        if not self_join:
+            # left block before right block inside each key group (the
+            # window's sort covers the keys; __side needs one more sort
+            # level, still inside the same stage — no extra exchange)
+            small = small.sortWithinPartitions(*on, "__side")
+        fields = [StructField(k_, left.schema[k_].dataType, True) for k_ in on]
+        fields += [StructField(c, left.schema[c].dataType, True) for c in l_items]
+        fields += [StructField(c, right.schema[c].dataType, True) for c in r_items]
+        pair_fn = _grouped_arrow_fn(
+            on, l_items, r_items, ls, le, rs, re_, self_join
+        )
+        shortshort = small.mapInArrow(pair_fn, StructType(fields))
+        if big is not None:
+            if self_join:
+                big_l = big
+                big_r = big.select(
+                    *on, *[F.col(c).alias(renames.get(c, c)) for c in l_items]
+                )
+            else:
+                big_l = big.filter(F.col("__side") == 0).select(*on, *l_items)
+                big_r = big.filter(F.col("__side") == 1).select(*on, *r_items)
             shortshort = shortshort.unionByName(banded_leg(big_l, big_r))
         banded = shortshort
     else:

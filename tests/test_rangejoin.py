@@ -336,3 +336,93 @@ def test_grouped_strategy_matches_banded(spark):
             iv, iv, bucket_width=10.0, on=["k"], strategy="grouped",
             grouped_max_size=0,
         )
+
+
+def test_grouped_arrow_strategy_matches_banded(spark):
+    """strategy='grouped_arrow' (round 15: key-clustered Arrow pair
+    enumeration, shared numpy buffers per group) returns the identical
+    pair MULTISET as the banded strategy on self-joins and two-sided
+    joins, at every grouped_max_size routing (all-small, mixed via the
+    banded fallback, cap=None trust mode), survives groups that straddle
+    Arrow batch boundaries (maxRecordsPerBatch forced tiny), excludes
+    NULL-key rows exactly like the equi-join paths, and treats
+    NULL-bounded intervals as pairing with nothing (three-valued overlap
+    semantics)."""
+    from collections import Counter
+
+    from science_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [
+            (
+                i,
+                i % 5,
+                float((i * 37) % 400),
+                float((i * 37) % 400 + (1, 3, 9, 120, 900)[i % 5]),
+            )
+            for i in range(240)
+        ]
+        rows.append((9001, None, 5.0, 50.0))  # NULL key: must never pair
+        rows.append((9002, 2, None, 50.0))  # NULL bound: pairs with nothing
+        iv = spark.createDataFrame(
+            rows, "uid LONG, k INT, start DOUBLE, end DOUBLE"
+        )
+        kw = dict(bucket_width=10.0, on=["k"], long_span_buckets=8)
+        base = Counter(
+            (r["uid"], r["uid_r"])
+            for r in interval_overlap_join(iv, iv, **kw).collect()
+        )
+        assert base and not any(9001 in p or 9002 in p for p in base)
+        for cap in (4096, 3, 1, None):
+            got = Counter(
+                (r["uid"], r["uid_r"])
+                for r in interval_overlap_join(
+                    iv, iv, strategy="grouped_arrow", grouped_max_size=cap, **kw
+                ).collect()
+            )
+            assert got == base, cap
+        # two-sided: left/right blocks inside each key group
+        other = iv.filter(F.col("uid") % 2 == 0).withColumnRenamed("uid", "uid2")
+        base2 = Counter(
+            (r["uid"], r["uid2"])
+            for r in interval_overlap_join(iv, other, **kw).collect()
+        )
+        for cap in (4096, 3, None):
+            got2 = Counter(
+                (r["uid"], r["uid2"])
+                for r in interval_overlap_join(
+                    iv,
+                    other,
+                    strategy="grouped_arrow",
+                    grouped_max_size=cap,
+                    **kw,
+                ).collect()
+            )
+            assert got2 == base2, cap
+        # long_span_buckets=None: grouped_arrow covers the pair space alone
+        got3 = Counter(
+            (r["uid"], r["uid_r"])
+            for r in interval_overlap_join(
+                iv,
+                iv,
+                bucket_width=10.0,
+                on=["k"],
+                long_span_buckets=None,
+                strategy="grouped_arrow",
+            ).collect()
+        )
+        base3 = Counter(
+            (r["uid"], r["uid_r"])
+            for r in interval_overlap_join(
+                iv, iv, bucket_width=10.0, on=["k"], long_span_buckets=None
+            ).collect()
+        )
+        assert got3 == base3
+        with pytest.raises(ValueError, match="requires equi keys"):
+            interval_overlap_join(
+                iv, iv, bucket_width=10.0, strategy="grouped_arrow"
+            )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
