@@ -1937,3 +1937,55 @@ def test_bm25_batch_matches_single_query_scorer(spark, sf_oracle):
     got2 = {r["doc_id"] for r in batch if r["qid"] == 2}
     assert got2  # 'data' occurs in the fixture corpus
     assert got2 != set(got1)
+
+
+def test_quality_gate_flags_arrow_engine_matches_expr(spark):
+    """quality_gate_flags(engine='arrow') — the Arrow-vectorized count
+    UDF replacing the interpreted filter/zip_with lambdas (round 15) —
+    must emit IDENTICAL values to the expression engine for every
+    signal, on adversarial tokenizer inputs: NULL/empty text, pure
+    whitespace, leading/trailing tabs (Java split keeps the empty
+    fields), Unicode NBSP (Java's ASCII \\s must NOT split on it),
+    repeated bigrams, stopword-only docs, and the boundary docs for each
+    reject reason. Also validates the engine argument."""
+    import pytest as _pytest
+
+    from science_datalake_spark.operators.textops import quality_gate_flags
+
+    en = "the cat sat of the mat and the dog is to run in the house again"
+    rows = [
+        (1, en),
+        (2, "short text"),
+        (3, " ".join(["spam ham"] * 40)),
+        (4, " ".join(f"w{i}" for i in range(20))),
+        (5, " ".join(["the"] * 10 + [f"u{i}" for i in range(190)])),
+        (6, None),
+        (7, ""),
+        (8, "   "),
+        (9, "\ta b\t"),
+        (10, "a b c"),
+        (11, "the the the the"),
+        (12, " ".join(["the"] * 16)),
+        (13, "one\n\ntwo\r\nthree\x0bfour\ffive"),
+        (14, "  leading and trailing  "),
+        # NBSP is NOT whitespace to Java's ASCII \s: "a<NBSP>b" is ONE token
+        (15, "a\u00a0b " + " ".join(["the"] * 15)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    cols = ("n_tokens", "dup_bigram_frac", "stop_ratio", "quality_reject")
+    want = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in quality_gate_flags(df, "text").collect()
+    }
+    got = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in quality_gate_flags(df, "text", engine="arrow").collect()
+    }
+    assert got == want
+    # same column set out (scratch columns dropped on both engines)
+    assert (
+        quality_gate_flags(df, "text", engine="arrow").columns
+        == quality_gate_flags(df, "text").columns
+    )
+    with _pytest.raises(ValueError, match="engine"):
+        quality_gate_flags(df, "text", engine="bogus")
