@@ -17,7 +17,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    FloatType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 from pyspark.storagelevel import StorageLevel
 
@@ -372,6 +379,7 @@ def connected_components_star(
     max_rounds: int = 30,
     round_shape: str = "window",
     small_graph_edges: int = 200_000,
+    small_graph_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """(node, component) labels by the large-star/small-star alternation
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -420,7 +428,23 @@ def connected_components_star(
     disable. This is a size-adaptive engine tier, not a local-mode tune:
     at 100 TB the edge set blows past any such threshold and the O(log n)
     rounds carry the query, exactly like a sort-merge join past the
-    broadcast threshold."""
+    broadcast threshold.
+
+    Two r15 guards (round-14 ADVICE):
+
+    - ``small_graph_bytes`` caps the COLLECTED size, not just the row
+      count — with wide string node ids (long URLs/hashes) 200k edges
+      can be hundreds of MB on the driver plus a comparable Python dict.
+      For string/binary ids the byte estimate is ``sum(octet_length)``
+      measured in the SAME single aggregation job as the row count (no
+      extra pass); fixed-width ids are bounded by the row gate alone.
+    - Fractional node ids (float/double) skip the fast path entirely:
+      Spark's greatest/least order NaN as largest while Python NaN
+      comparisons are always False, so a NaN-labeled graph could pick a
+      different union-by-min root than the distributed rounds. The
+      supported fast-path id types are string/integral/binary/date/
+      timestamp/decimal, whose Python ``<`` agrees with Spark's
+      ordering."""
     if round_shape == "window":
         large, small = _large_star_window, _small_star_window
     elif round_shape == "join":
@@ -443,7 +467,27 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if small_graph_edges and norm.count() <= small_graph_edges:
+    id_type = norm.schema["u"].dataType
+    fast_path_type = not isinstance(id_type, (DoubleType, FloatType))
+    if small_graph_edges and fast_path_type:
+        if isinstance(id_type, (StringType, BinaryType)):
+            gate = norm.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.octet_length(F.col("u")) + F.octet_length(F.col("v"))
+                ).alias("b"),
+            ).collect()[0]
+            n_edges = gate["n"]
+            est_bytes = int(gate["b"] or 0)
+        else:
+            n_edges = norm.count()
+            est_bytes = n_edges * 16  # two fixed-width ids
+        use_fast_path = n_edges <= small_graph_edges and (
+            not small_graph_bytes or est_bytes <= small_graph_bytes
+        )
+    else:
+        use_fast_path = False
+    if use_fast_path:
         import pandas as pd
 
         pdf = norm.toPandas()

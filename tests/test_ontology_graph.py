@@ -793,3 +793,51 @@ def test_connected_components_star_round_shapes_identical(spark):
     assert fast == win
     with pytest.raises(ValueError, match="round_shape"):
         connected_components_star(edges, round_shape="broadcast")
+
+
+def test_connected_components_star_fast_path_guards(spark, monkeypatch):
+    """Round-15 ADVICE guards on the driver union-find tier: (1) the
+    fast path is byte-capped, not just row-capped — wide string ids
+    above ``small_graph_bytes`` route to the distributed rounds; (2)
+    fractional node ids skip the fast path entirely (Python NaN
+    comparisons disagree with Spark's NaN-largest ordering), with
+    identical labels either way on NaN-free data."""
+    from science_datalake_spark.operators import graph as G
+
+    def boom(*a, **k):  # trips if the fast path is taken
+        raise AssertionError("fast path must not run")
+
+    wide = spark.createDataFrame(
+        [("u" * 200 + str(i), "v" * 200 + str(i % 3)) for i in range(6)],
+        "src STRING, dst STRING",
+    )
+    want = sorted(
+        map(tuple, G.connected_components_star(wide, small_graph_edges=0).collect())
+    )
+    # under the default byte gate this tiny graph IS fast-pathed...
+    assert sorted(
+        map(tuple, G.connected_components_star(wide).collect())
+    ) == want
+    # ...but a 100-byte cap routes it to the distributed rounds
+    monkeypatch.setattr(G, "_union_find_labels_local", boom)
+    assert sorted(
+        map(
+            tuple,
+            G.connected_components_star(wide, small_graph_bytes=100).collect(),
+        )
+    ) == want
+
+    floats = spark.createDataFrame(
+        [(2.0, 1.0), (3.0, 2.0), (9.5, 9.5)], "src DOUBLE, dst DOUBLE"
+    )
+    # fractional ids never take the fast path (boom still patched)
+    got = sorted(map(tuple, G.connected_components_star(floats).collect()))
+    assert got == [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (9.5, 9.5)]
+    monkeypatch.undo()
+    # and the labels equal the forced-distributed ones
+    assert got == sorted(
+        map(
+            tuple,
+            G.connected_components_star(floats, small_graph_edges=0).collect(),
+        )
+    )
