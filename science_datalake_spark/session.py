@@ -28,21 +28,17 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # AQE sort-merge -> shuffled-hash conversion (guide §3.1): when every
-    # post-shuffle partition's build side fits under this cap, the SMJ's
-    # two full sorts are replaced by a per-partition hash build — the
-    # runtime-sized, no-OOM-guess version of preferSortMergeJoin=false
-    # (static SHJ selection trusts size ESTIMATES; this trusts observed
-    # partition bytes, and broadcast demotion/promotion still wins below
-    # the broadcast threshold). Must be >= advisoryPartitionSizeInBytes
-    # (64 MB default) for the rule to fire. Measured r15 on the sf3
-    # banded interval join (22 x ~44 MB build partitions): 6.6 -> 5.9 s,
-    # plan SortMergeJoin -> ShuffledHashJoin, results hash-identical.
-    # Inert below the AQE input gate (suggest_aqe), so sf0.1 bench plans
-    # are unchanged; at 100 TB the same cap bounds per-task build memory.
-    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
-        128 * 1024 * 1024
-    ),
+    # AQE sort-merge -> shuffled-hash conversion
+    # (maxShuffledHashJoinLocalMapThreshold) was MEASURED AND REVERTED in
+    # r15: isolated A/Bs on the sf3 banded interval join read 6.6 ->
+    # 5.9 s (plan SortMergeJoin -> ShuffledHashJoin, results
+    # hash-identical), but the converted join OOM'd IN-SUITE at sf3
+    # ("not enough memory to build hash map", ShuffledHashJoinExec) —
+    # an SHJ build cannot spill, and a cap that fits on an idle heap
+    # does not fit after 19 heavy queries' caches fragment it. Guide
+    # §3.1's stated risk, observed. Sort-merge spills gracefully and
+    # stays the default; callers who KNOW a build side is bounded can
+    # opt in per join (rangejoin banded_join/keyed_join="shuffle_hash").
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "zstd",
