@@ -125,9 +125,26 @@ def bm25_batch_scores(
     Scale: one postings shuffle; the (qid, term) relation and the idf
     relation broadcast (they are query-sized, not corpus-sized); one
     (qid, doc) aggregate.
+
+    r15, two exchange cuts (guide §2.3/§2.4; decomposed at sf3 where the
+    query-to-doc fanout is ~31 queries per term):
+
+    - when this function builds its own postings, the query-term
+      semi-join moves BELOW the postings aggregation — the exploded
+      token stream is broadcast-filtered to the query vocabulary before
+      the (doc, term) groupBy (Catalyst cannot push a join through an
+      aggregate on its own);
+    - the matched postings are then hash-partitioned by the DOC alone.
+      ``HashPartitioning(doc) ⊆ clustering (qid, doc)``, so the
+      (qid, doc) score aggregation needs NO exchange: the qterms-fanout
+      stream (|postings| x queries-per-term rows — 108M at sf3, the
+      plan's dominant exchange before this change) is consumed by the
+      final aggregate inside the same stage and never crosses the wire.
+      Exchanged volume drops from ~|fanout| to ~2x|matched postings|.
+
+    tf/df/idf and every score are unchanged — the same rows meet the
+    same aggregates, only their placement moves.
     """
-    if postings is None:
-        postings = term_postings(df, id_col, text_col)
     if doclen is None:
         doclen = doc_lengths(df, id_col, text_col)
     consts = doclen.agg(
@@ -137,7 +154,21 @@ def bm25_batch_scores(
         F.col(qid_col), F.lower(F.col(qterm_col)).alias("term")
     ).distinct()
     terms = qterms.select("term").distinct()
-    q = postings.join(F.broadcast(terms), "term")
+    if postings is None:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        q = (
+            toks.join(F.broadcast(terms), "term")
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+        )
+    else:
+        q = postings.join(F.broadcast(terms), "term")
+    q = q.repartition(F.col(id_col))
     dfreq = q.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
     idf = dfreq.crossJoin(F.broadcast(consts)).select(
         "term",
